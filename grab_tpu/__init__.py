@@ -1,0 +1,32 @@
+"""grab_tpu — a TPU-native bulk string-scan engine.
+
+A from-scratch reimplementation of the capabilities of stealth/grab
+("greppin"): PCRE-class regex search over large file corpora, designed
+TPU-first:
+
+  * regexes are compiled on host into dense byte-class DFA transition
+    tables plus Teddy-style literal prefilter masks
+    (replaces /root/reference/src/grab.cc:101-123 pcre_compile/pcre_study),
+  * the hot scan loop runs as Pallas kernels streaming chunk batches
+    through VMEM (replaces the pcre_exec mmap loop, grab.cc:154-213),
+  * corpora are sharded data-parallel over a jax.sharding.Mesh with the
+    transition table replicated per chip; match counts ride
+    jax.lax.psum, match positions are gathered and merged
+    deterministically (replaces the pthread pool of main.cc:163-230),
+  * byte-for-byte output parity with the reference's stdout grammar is
+    produced by a host-side formatter that replays exact PCRE semantics
+    around kernel-reported candidate regions (grab.cc:171-234).
+
+Package layout:
+  regex/     pattern parser, NFA/DFA compiler, exact backtracking engine,
+             PCRE2 ctypes binding
+  golden/    numpy oracle scanner used by tests to validate every kernel
+  ops/       Pallas TPU kernels + jnp reference implementations
+  parallel/  mesh / shard_map scan step, collectives, deterministic merge
+  ingest/    corpus walker + chunk packer (C++ native library + fallback)
+  format/    reference-exact output grammar
+  engine.py  orchestrator (the FileGrep equivalent)
+  cli.py     `tpugrep` command-line front end (grab-compatible flags)
+"""
+
+__version__ = "0.1.0"

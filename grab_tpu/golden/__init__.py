@@ -1,0 +1,6 @@
+"""Golden reference implementations (numpy) that every kernel oracles
+against. Slow, obviously-correct, test-only."""
+
+from grab_tpu.golden.scanner import dfa_scan_ends, literal_scan_starts, block_counts
+
+__all__ = ["dfa_scan_ends", "literal_scan_starts", "block_counts"]

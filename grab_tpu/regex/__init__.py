@@ -1,0 +1,20 @@
+"""Pattern layer: PCRE-subset parser, NFA/DFA pipeline, exact matchers.
+
+This replaces the reference's pattern-preparation stage
+(/root/reference/src/grab.cc:101-123: pcre_compile + pcre_study +
+PCRE_INFO_MINLENGTH) with a self-contained compiler whose output is
+TPU-consumable: dense [n_states, n_classes] transition tables, byte
+equivalence classes, accept masks, literal prefilter factors, and the
+minlength used for corpus pruning.
+"""
+
+from grab_tpu.regex.parser import parse, RegexSyntaxError
+from grab_tpu.regex.compiler import compile_pattern, compile_multi, CompiledPattern
+
+__all__ = [
+    "parse",
+    "RegexSyntaxError",
+    "compile_pattern",
+    "compile_multi",
+    "CompiledPattern",
+]

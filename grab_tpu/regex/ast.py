@@ -1,0 +1,416 @@
+"""Regex AST node types and static analyses.
+
+The AST is byte-oriented (no UTF mode), matching the reference engine's
+configuration: grab compiles with options=0 and C-locale tables
+(/root/reference/src/grab.cc:106), so the subject is a byte string and
+`.` excludes ``\n``.
+
+Analyses provided here:
+  * ``min_len``  — minimum match length in bytes; the TPU build uses it
+    for the whole-file skip prune exactly like the reference uses
+    PCRE_INFO_MINLENGTH (grab.cc:120, 133-135).
+  * ``max_len``  — maximum match length (None = unbounded); bounds the
+    halo/overlap the scan kernels need for cross-block exactness.
+  * ``mandatory_literals`` — a set of literal byte strings such that any
+    match must contain at least one of them; drives the Teddy-style
+    prefilter kernel.
+  * ``has_captures`` / anchors / zero-width info used by the engine to
+    decide PCRE1-quirk behavior (see grab.cc:171-179 ovector[3]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+# ---------------------------------------------------------------------------
+# Node types
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    """Base class for AST nodes."""
+
+
+
+@dataclass(frozen=True)
+class Empty(Node):
+    """Matches the empty string."""
+
+
+
+@dataclass(frozen=True)
+class CharClass(Node):
+    """A set of bytes, stored as a 256-bit bitmask (int)."""
+
+    mask: int  # bit b set <=> byte b is in the class
+
+
+    def contains(self, byte: int) -> bool:
+        return bool((self.mask >> byte) & 1)
+
+    def bytes(self):
+        m = self.mask
+        out = []
+        while m:
+            b = (m & -m).bit_length() - 1
+            out.append(b)
+            m &= m - 1
+        return out
+
+    def count(self) -> int:
+        return bin(self.mask).count("1")
+
+
+@dataclass(frozen=True)
+class Concat(Node):
+    parts: tuple
+
+
+
+@dataclass(frozen=True)
+class Alt(Node):
+    branches: tuple
+
+
+
+@dataclass(frozen=True)
+class Repeat(Node):
+    node: Node
+    lo: int
+    hi: Optional[int]  # None = unbounded
+    lazy: bool = False
+    possessive: bool = False
+
+
+
+@dataclass(frozen=True)
+class Group(Node):
+    node: Node
+    capturing: bool
+    index: int  # capture index (1-based) if capturing else 0
+
+
+
+@dataclass(frozen=True)
+class Anchor(Node):
+    """Zero-width assertion.
+
+    kind is one of: 'bos' (^ or \\A), 'eos' ($), 'abs_eos' (\\z),
+    'eos_nl' (\\Z), 'wordb' (\\b), 'nwordb' (\\B).
+    """
+
+    kind: str
+
+
+
+@dataclass(frozen=True)
+class Backref(Node):
+    """Backreference \\N. Not DFA-able; forces host-only matching."""
+
+    index: int
+
+
+
+# ---------------------------------------------------------------------------
+# Byte-class helpers
+# ---------------------------------------------------------------------------
+
+ALL_BYTES_MASK = (1 << 256) - 1
+NEWLINE_MASK = 1 << 0x0A
+
+
+def mask_of(byte_values) -> int:
+    m = 0
+    for b in byte_values:
+        m |= 1 << b
+    return m
+
+
+def mask_range(lo: int, hi: int) -> int:
+    """Mask for bytes lo..hi inclusive."""
+    return ((1 << (hi - lo + 1)) - 1) << lo
+
+
+DIGIT_MASK = mask_range(0x30, 0x39)
+UPPER_MASK = mask_range(0x41, 0x5A)
+LOWER_MASK = mask_range(0x61, 0x7A)
+ALPHA_MASK = UPPER_MASK | LOWER_MASK
+ALNUM_MASK = ALPHA_MASK | DIGIT_MASK
+WORD_MASK = ALNUM_MASK | (1 << 0x5F)  # [A-Za-z0-9_]
+SPACE_MASK = mask_of([0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D])
+HSPACE_MASK = mask_of([0x20, 0x09])
+XDIGIT_MASK = DIGIT_MASK | mask_range(0x41, 0x46) | mask_range(0x61, 0x66)
+PUNCT_MASK = (
+    mask_range(0x21, 0x2F)
+    | mask_range(0x3A, 0x40)
+    | mask_range(0x5B, 0x60)
+    | mask_range(0x7B, 0x7E)
+)
+PRINT_MASK = mask_range(0x20, 0x7E)
+GRAPH_MASK = mask_range(0x21, 0x7E)
+CNTRL_MASK = mask_range(0x00, 0x1F) | (1 << 0x7F)
+DOT_MASK = ALL_BYTES_MASK & ~NEWLINE_MASK  # '.' excludes \n in default PCRE
+
+
+def literal(byte: int) -> CharClass:
+    return CharClass(1 << byte)
+
+
+def literal_string(data: bytes) -> Node:
+    if len(data) == 0:
+        return Empty()
+    if len(data) == 1:
+        return literal(data[0])
+    return Concat(tuple(literal(b) for b in data))
+
+
+# ---------------------------------------------------------------------------
+# Analyses
+# ---------------------------------------------------------------------------
+
+
+def min_len(node: Node) -> int:
+    """Minimum match length in bytes (the PCRE_INFO_MINLENGTH analog)."""
+    if isinstance(node, (Empty, Anchor)):
+        return 0
+    if isinstance(node, CharClass):
+        return 1
+    if isinstance(node, Concat):
+        return sum(min_len(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return min(min_len(b) for b in node.branches)
+    if isinstance(node, Repeat):
+        return node.lo * min_len(node.node)
+    if isinstance(node, Group):
+        return min_len(node.node)
+    if isinstance(node, Backref):
+        return 0  # conservative: referenced group may have matched ""
+    raise TypeError(f"unknown node {node!r}")
+
+
+def max_len(node: Node) -> Optional[int]:
+    """Maximum match length in bytes, or None if unbounded."""
+    if isinstance(node, (Empty, Anchor)):
+        return 0
+    if isinstance(node, CharClass):
+        return 1
+    if isinstance(node, Concat):
+        total = 0
+        for p in node.parts:
+            m = max_len(p)
+            if m is None:
+                return None
+            total += m
+        return total
+    if isinstance(node, Alt):
+        best = 0
+        for b in node.branches:
+            m = max_len(b)
+            if m is None:
+                return None
+            best = max(best, m)
+        return best
+    if isinstance(node, Repeat):
+        if node.hi is None:
+            inner = max_len(node.node)
+            return 0 if inner == 0 else None
+        m = max_len(node.node)
+        return None if m is None else node.hi * m
+    if isinstance(node, Group):
+        return max_len(node.node)
+    if isinstance(node, Backref):
+        return None
+    raise TypeError(f"unknown node {node!r}")
+
+
+def has_captures(node: Node) -> bool:
+    """True if the pattern contains at least one capturing group.
+
+    The reference calls pcre_exec with a 3-slot ovector (grab.cc:171,178);
+    with >=1 capturing group PCRE1 returns 0 which grab treats as
+    no-match (grab.cc:179), so such patterns silently produce no output.
+    The engine replicates that quirk only in pcre1-compat mode.
+    """
+    if isinstance(node, Group):
+        return node.capturing or has_captures(node.node)
+    if isinstance(node, Concat):
+        return any(has_captures(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(has_captures(b) for b in node.branches)
+    if isinstance(node, Repeat):
+        return has_captures(node.node)
+    return False
+
+
+def has_backrefs(node: Node) -> bool:
+    if isinstance(node, Backref):
+        return True
+    if isinstance(node, Group):
+        return has_backrefs(node.node)
+    if isinstance(node, Concat):
+        return any(has_backrefs(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(has_backrefs(b) for b in node.branches)
+    if isinstance(node, Repeat):
+        return has_backrefs(node.node)
+    return False
+
+
+def has_anchors(node: Node) -> bool:
+    """True if the pattern contains any zero-width assertion.
+
+    Assertion conditions are over-approximated (treated as epsilon) in
+    the DFA used for device-side candidate generation, so patterns with
+    anchors always require host-side exact verification of candidates.
+    """
+    if isinstance(node, Anchor):
+        return True
+    if isinstance(node, Group):
+        return has_anchors(node.node)
+    if isinstance(node, Concat):
+        return any(has_anchors(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(has_anchors(b) for b in node.branches)
+    if isinstance(node, Repeat):
+        return has_anchors(node.node)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Mandatory-literal extraction (prefilter factors)
+# ---------------------------------------------------------------------------
+
+_MAX_LITERAL_SET = 64  # cap on number of alternative literals
+_MAX_CLASS_EXPANSION = 4  # expand char classes with <= this many bytes
+
+
+@dataclass
+class _LitInfo:
+    """Literal analysis of a subexpression.
+
+    ``exact``: set of byte strings = exactly the language (if small), or
+    None. ``required``: set of literals such that every match contains at
+    least one member as a substring, or None if no such (useful) set.
+    """
+
+    exact: Optional[frozenset]
+    required: Optional[frozenset]
+
+
+def _lit_info(node: Node) -> _LitInfo:
+    if isinstance(node, Empty) or isinstance(node, Anchor):
+        return _LitInfo(frozenset({b""}), None)
+    if isinstance(node, Backref):
+        return _LitInfo(None, None)
+    if isinstance(node, CharClass):
+        bs = node.bytes()
+        if 0 < len(bs) <= _MAX_CLASS_EXPANSION:
+            ex = frozenset(bytes([b]) for b in bs)
+            return _LitInfo(ex, ex)
+        return _LitInfo(None, None)
+    if isinstance(node, Group):
+        return _lit_info(node.node)
+    if isinstance(node, Alt):
+        exacts, reqs = [], []
+        for b in node.branches:
+            i = _lit_info(b)
+            exacts.append(i.exact)
+            reqs.append(i.required)
+        exact = None
+        if all(e is not None for e in exacts):
+            u = frozenset().union(*exacts)
+            if len(u) <= _MAX_LITERAL_SET:
+                exact = u
+        required = None
+        if all(r is not None for r in reqs):
+            u = frozenset().union(*reqs)
+            if len(u) <= _MAX_LITERAL_SET:
+                required = u
+        return _LitInfo(exact, required)
+    if isinstance(node, Repeat):
+        inner = _lit_info(node.node)
+        if node.lo == 0:
+            return _LitInfo(None, None)
+        # At least one occurrence: inner required literals still required.
+        exact = None
+        if node.lo == node.hi and inner.exact is not None:
+            combos = frozenset({b""})
+            ok = True
+            for _ in range(node.lo):
+                combos = frozenset(a + c for a in combos for c in inner.exact)
+                if len(combos) > _MAX_LITERAL_SET:
+                    ok = False
+                    break
+            if ok:
+                exact = combos
+        return _LitInfo(exact, inner.required)
+    if isinstance(node, Concat):
+        # exact: cross product of parts (bounded)
+        exact = frozenset({b""})
+        for p in node.parts:
+            pi = _lit_info(p)
+            if exact is not None and pi.exact is not None:
+                exact = frozenset(a + c for a in exact for c in pi.exact)
+                if len(exact) > _MAX_LITERAL_SET:
+                    exact = None
+            else:
+                exact = None
+            if exact is None:
+                break
+        if exact is not None:
+            return _LitInfo(exact, exact)
+        # required: best single segment. Find maximal runs of exact parts
+        # and treat each run's cross-product as one candidate required set;
+        # fall back to any single part's required set.
+        best: Optional[frozenset] = None
+
+        def score(s: Optional[frozenset]) -> float:
+            if not s:
+                return -1.0
+            if any(len(x) == 0 for x in s):
+                return -1.0
+            # prefer longer minimum literal, then fewer alternatives
+            return min(len(x) for x in s) * 1000 - len(s)
+
+        run: Optional[frozenset] = frozenset({b""})
+        for p in node.parts:
+            pi = _lit_info(p)
+            if pi.exact is not None and run is not None:
+                nxt = frozenset(a + c for a in run for c in pi.exact)
+                if len(nxt) <= _MAX_LITERAL_SET:
+                    run = nxt
+                else:
+                    if score(run) > score(best):
+                        best = run
+                    run = frozenset({b""})
+            else:
+                if run is not None and score(run) > score(best):
+                    best = run
+                run = frozenset({b""})
+                if score(pi.required) > score(best):
+                    best = pi.required
+        if run is not None and score(run) > score(best):
+            best = run
+        if best is not None and score(best) < 0:
+            best = None
+        return _LitInfo(None, best)
+    raise TypeError(f"unknown node {node!r}")
+
+
+def mandatory_literals(node: Node) -> Optional[list]:
+    """A list of byte strings such that every match contains >= 1 of them.
+
+    Returns None when no useful literal set exists (e.g. ``[a-z]+``); the
+    engine then skips the prefilter stage and scans with the DFA kernel
+    directly. Mirrors hyperscan's literal-factoring role in the greppin
+    branch (/root/reference/README.md:46-50).
+    """
+    info = _lit_info(node)
+    req = info.required
+    if req is None:
+        return None
+    if any(len(x) == 0 for x in req):
+        return None
+    return sorted(req)

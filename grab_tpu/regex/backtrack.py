@@ -1,0 +1,320 @@
+"""Exact leftmost-first (PCRE-semantics) backtracking matcher.
+
+This is the host-side truth engine: the scan kernels produce *candidate*
+regions at memory bandwidth, and this engine replays the reference's
+pcre_exec call (/root/reference/src/grab.cc:178) exactly — leftmost
+start, first-alternative / greedy-quantifier preference for the extent,
+window-relative anchor semantics (grab passes the remaining window
+``[start, end)`` as the whole subject, so ``^`` matches at each restart
+position and ``$`` at window end or before a trailing newline).
+
+The matcher is an iterative backtracking VM over compiled instructions
+(explicit stack, no Python recursion), with:
+  * empty-loop-body protection (PCRE also breaks these; the reference
+    binary instead hangs on empty matches with -l, README.md-documented —
+    we deliberately do not reproduce the hang, see SURVEY §3.5),
+  * a step budget to bound catastrophic backtracking,
+  * backreference support (groups are tracked).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from grab_tpu.regex import ast as A
+from grab_tpu.regex.parser import parse
+
+_EXPANSION_CAP = 4096
+
+# instruction opcodes
+CHAR = 0  # (mask_index) consume one byte in class
+SPLIT = 1  # (x, y) try x first, then y
+JMP = 2  # (x,)
+MATCH = 3  # ()
+ASSERT = 4  # (kind,)
+SAVE = 5  # (slot,) record pos (2*g = start of group g, 2*g+1 = end)
+SETREG = 6  # (reg,) record pos in loop register
+CHKREG = 7  # (reg,) fail branch if pos == reg (no progress in loop body)
+BACKREF = 8  # (group,) consume text of group
+
+
+class PatternTooLarge(ValueError):
+    pass
+
+
+class BacktrackBudgetExceeded(RuntimeError):
+    pass
+
+
+@dataclass
+class Program:
+    code: List[tuple]
+    masks: List[int]
+    n_groups: int
+    n_regs: int
+
+
+class _Compiler:
+    def __init__(self):
+        self.code: List[tuple] = []
+        self.masks: List[int] = []
+        self.mask_ids = {}
+        self.n_regs = 0
+        self.max_group = 0
+
+    def mask_id(self, mask: int) -> int:
+        if mask not in self.mask_ids:
+            self.mask_ids[mask] = len(self.masks)
+            self.masks.append(mask)
+        return self.mask_ids[mask]
+
+    def emit(self, *ins) -> int:
+        self.code.append(ins)
+        return len(self.code) - 1
+
+    def compile(self, node: A.Node):
+        if len(self.code) > 65536:
+            raise PatternTooLarge("compiled program too large")
+        if isinstance(node, A.Empty):
+            return
+        if isinstance(node, A.CharClass):
+            self.emit(CHAR, self.mask_id(node.mask))
+            return
+        if isinstance(node, A.Anchor):
+            self.emit(ASSERT, node.kind)
+            return
+        if isinstance(node, A.Backref):
+            self.emit(BACKREF, node.index)
+            return
+        if isinstance(node, A.Group):
+            if node.capturing:
+                self.max_group = max(self.max_group, node.index)
+                self.emit(SAVE, 2 * node.index)
+                self.compile(node.node)
+                self.emit(SAVE, 2 * node.index + 1)
+            else:
+                self.compile(node.node)
+            return
+        if isinstance(node, A.Concat):
+            for p in node.parts:
+                self.compile(p)
+            return
+        if isinstance(node, A.Alt):
+            jumps = []
+            for i, b in enumerate(node.branches):
+                if i < len(node.branches) - 1:
+                    split = self.emit(SPLIT, None, None)
+                    self.compile(b)
+                    jumps.append(self.emit(JMP, None))
+                    self.code[split] = (SPLIT, split + 1, len(self.code))
+                else:
+                    self.compile(b)
+            end = len(self.code)
+            for j in jumps:
+                self.code[j] = (JMP, end)
+            return
+        if isinstance(node, A.Repeat):
+            self._compile_repeat(node)
+            return
+        raise TypeError(f"unknown node {node!r}")
+
+    def _compile_repeat(self, node: A.Repeat):
+        lo, hi, lazy = node.lo, node.hi, node.lazy
+        if hi is not None and hi > _EXPANSION_CAP:
+            raise PatternTooLarge(f"counted repeat {{{lo},{hi}}} too large")
+        if lo > _EXPANSION_CAP:
+            raise PatternTooLarge(f"counted repeat {{{lo},..}} too large")
+        for _ in range(lo):
+            self.compile(node.node)
+        if hi is None:
+            # star: L1: SPLIT(body, end); body; CHKREG; JMP L1
+            reg = self.n_regs
+            self.n_regs += 1
+            l1 = self.emit(SPLIT, None, None)
+            self.emit(SETREG, reg)
+            self.compile(node.node)
+            self.emit(CHKREG, reg)
+            self.emit(JMP, l1)
+            end = len(self.code)
+            if lazy:
+                self.code[l1] = (SPLIT, end, l1 + 1)
+            else:
+                self.code[l1] = (SPLIT, l1 + 1, end)
+        else:
+            # (hi - lo) optional copies; nested so that early exit skips rest
+            splits = []
+            for _ in range(hi - lo):
+                splits.append(self.emit(SPLIT, None, None))
+                self.compile(node.node)
+            end = len(self.code)
+            for s in splits:
+                if lazy:
+                    self.code[s] = (SPLIT, end, s + 1)
+                else:
+                    self.code[s] = (SPLIT, s + 1, end)
+
+
+def compile_program(node: A.Node) -> Program:
+    c = _Compiler()
+    c.compile(node)
+    c.emit(MATCH)
+    return Program(code=c.code, masks=c.masks, n_groups=c.max_group, n_regs=c.n_regs)
+
+
+def _is_word(b: int) -> bool:
+    return bool((A.WORD_MASK >> b) & 1)
+
+
+DEFAULT_BUDGET = 50_000_000
+
+
+class Matcher:
+    """Executes a Program against byte windows with PCRE semantics.
+
+    Dispatch: linear-time PikeVM (see pikevm.py) for everything except
+    backreference patterns, which need the budget-bounded backtracking
+    VM below.
+    """
+
+    def __init__(self, program: Program, budget: int = DEFAULT_BUDGET):
+        self.prog = program
+        self.budget = budget
+        self._pike = None
+        self._has_backref = any(op[0] == BACKREF for op in program.code)
+        if not self._has_backref:
+            from grab_tpu.regex.pikevm import PikeVM
+
+            self._pike = PikeVM(program)
+
+    @classmethod
+    def from_pattern(cls, pattern) -> "Matcher":
+        return cls(compile_program(parse(pattern)))
+
+    def match_at(
+        self, data: bytes, pos: int, lo: int, hi: int
+    ) -> Optional[int]:
+        """Try to match with the subject being data[lo:hi], starting
+        exactly at ``pos``. Returns match end or None."""
+        code = self.prog.code
+        masks = self.prog.masks
+        groups = [-1] * (2 * (self.prog.n_groups + 1))
+        regs = [-1] * self.prog.n_regs
+        # stack entries: (pc, pos, undo_list) where undo_list restores
+        # groups/regs slots on backtrack
+        stack: List[tuple] = []
+        pc = 0
+        cur = pos
+        budget = self.budget
+        undo: List[tuple] = []  # (which, idx, oldval); which: 0=groups 1=regs
+
+        def push_alt(alt_pc: int, at: int):
+            stack.append((alt_pc, at, len(undo)))
+
+        def backtrack() -> Optional[Tuple[int, int]]:
+            if not stack:
+                return None
+            apc, apos, ulen = stack.pop()
+            while len(undo) > ulen:
+                which, idx, old = undo.pop()
+                if which == 0:
+                    groups[idx] = old
+                else:
+                    regs[idx] = old
+            return apc, apos
+
+        while True:
+            budget -= 1
+            if budget <= 0:
+                raise BacktrackBudgetExceeded(
+                    "backtracking budget exceeded (catastrophic pattern?)"
+                )
+            op = code[pc]
+            kind = op[0]
+            if kind == CHAR:
+                if cur < hi and (masks[op[1]] >> data[cur]) & 1:
+                    cur += 1
+                    pc += 1
+                    continue
+            elif kind == SPLIT:
+                push_alt(op[2], cur)
+                pc = op[1]
+                continue
+            elif kind == JMP:
+                pc = op[1]
+                continue
+            elif kind == MATCH:
+                return cur
+            elif kind == ASSERT:
+                k = op[1]
+                ok = False
+                if k == "bos":
+                    ok = cur == lo
+                elif k == "eos":
+                    ok = cur == hi or (cur == hi - 1 and data[cur] == 0x0A)
+                elif k == "eos_nl":
+                    ok = cur == hi or (cur == hi - 1 and data[cur] == 0x0A)
+                elif k == "abs_eos":
+                    ok = cur == hi
+                elif k == "wordb" or k == "nwordb":
+                    before = cur > lo and _is_word(data[cur - 1])
+                    after = cur < hi and _is_word(data[cur])
+                    ok = before != after
+                    if k == "nwordb":
+                        ok = not ok
+                if ok:
+                    pc += 1
+                    continue
+            elif kind == SAVE:
+                idx = op[1]
+                undo.append((0, idx, groups[idx]))
+                groups[idx] = cur
+                pc += 1
+                continue
+            elif kind == SETREG:
+                idx = op[1]
+                undo.append((1, idx, regs[idx]))
+                regs[idx] = cur
+                pc += 1
+                continue
+            elif kind == CHKREG:
+                if regs[op[1]] != cur:
+                    pc += 1
+                    continue
+                # empty loop body: fail this branch
+            elif kind == BACKREF:
+                g = op[1]
+                gs, ge = groups[2 * g], groups[2 * g + 1]
+                if gs < 0 or ge < 0:
+                    # unset group matches empty string in PCRE
+                    pc += 1
+                    continue
+                glen = ge - gs
+                if cur + glen <= hi and data[cur : cur + glen] == data[gs:ge]:
+                    cur += glen
+                    pc += 1
+                    continue
+            bt = backtrack()
+            if bt is None:
+                return None
+            pc, cur = bt
+
+    def search(
+        self, data: bytes, lo: int, hi: int, min_len: int = 0
+    ) -> Optional[Tuple[int, int]]:
+        """Leftmost match with subject = data[lo:hi].
+
+        Emulates pcre_exec(subject=window, startoffset=0): tries each
+        start position left to right; at the first position that matches,
+        the engine's first-preference extent is the answer.
+        """
+        if self._pike is not None:
+            return self._pike.search(data, lo, hi)
+        last_start = hi - min_len
+        pos = lo
+        while pos <= last_start:
+            end = self.match_at(data, pos, lo, hi)
+            if end is not None:
+                return (pos, end)
+            pos += 1
+        return None

@@ -1,0 +1,121 @@
+"""Top-level pattern compiler: pattern(s) → CompiledPattern.
+
+The analog of FileGrep::prepare (/root/reference/src/grab.cc:101-123),
+which does pcre_compile + pcre_study(JIT) + PCRE_INFO_MINLENGTH. Here
+"prepare" produces everything the TPU pipeline needs:
+
+  * dense DFA transition table + byte classes (device candidate scan),
+  * literal prefilter factors (device Teddy-style scan),
+  * exact backtracking program (host verify/replay),
+  * minlen (file-skip prune, grab.cc:133-135), maxlen (halo sizing),
+  * semantics flags (captures → PCRE1 ovector quirk, anchors → verify
+    required, backrefs → host-only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from grab_tpu.regex import ast as A
+from grab_tpu.regex.backtrack import Matcher, PatternTooLarge, compile_program
+from grab_tpu.regex.dfa import DFA, DFABlowup, build_dfa
+from grab_tpu.regex.nfa import NotAutomatable
+from grab_tpu.regex.parser import parse
+
+
+@dataclass
+class CompiledPattern:
+    patterns: List[bytes]  # source pattern(s)
+    asts: List[A.Node]
+    dfa: Optional[DFA]  # search DFA (match-end candidates); None if not automatable
+    matchers: List[Matcher]  # exact engine per pattern
+    min_len: int  # min over patterns (drives the file prune)
+    min_lens: List[int]
+    max_len: Optional[int]  # max over patterns; None if any unbounded
+    literals: Optional[List[bytes]]  # prefilter factors covering all patterns
+    has_captures: bool
+    needs_verify: bool  # device candidates are a superset → host must verify
+    literal_mode: bool  # compiled via -S (plain literals, no regex parse)
+
+    @property
+    def n_patterns(self) -> int:
+        return len(self.patterns)
+
+
+def _as_bytes(p) -> bytes:
+    return p.encode("utf-8") if isinstance(p, str) else bytes(p)
+
+
+def compile_multi(
+    patterns,
+    literal_mode: bool = False,
+    state_cap: int = 8192,
+) -> CompiledPattern:
+    """Compile one or more patterns into a single scan unit.
+
+    Multi-pattern batches compile into one union automaton with
+    per-pattern accept ids — the hyperscan-batch capability of the
+    greppin branch (/root/reference/README.md:63-92).
+    """
+    pats = [_as_bytes(p) for p in patterns]
+    if literal_mode:
+        asts = [A.literal_string(p) for p in pats]
+    else:
+        asts = [parse(p) for p in pats]
+
+    min_lens = [A.min_len(t) for t in asts]
+    mn = min(min_lens)
+    mx: Optional[int] = 0
+    for t in asts:
+        m = A.max_len(t)
+        mx = None if (m is None or mx is None) else max(mx, m)
+
+    dfa: Optional[DFA] = None
+    try:
+        dfa = build_dfa(asts, unanchored=True, state_cap=state_cap)
+    except (NotAutomatable, DFABlowup):
+        dfa = None
+
+    matchers = [Matcher(compile_program(t)) for t in asts]
+
+    # literal prefilter: need factors covering EVERY pattern
+    lits: Optional[List[bytes]] = []
+    for t in asts:
+        l = A.mandatory_literals(t)
+        if l is None:
+            lits = None
+            break
+        lits.extend(l)
+    if lits is not None:
+        lits = sorted(set(lits))
+        if len(lits) > 128:
+            lits = None
+
+    caps = any(A.has_captures(t) for t in asts)
+    anchors = any(A.has_anchors(t) for t in asts)
+    backrefs = any(A.has_backrefs(t) for t in asts)
+    # exact DFA offsets are only trusted when the automaton recognizes
+    # precisely the language: no assertions and no over-approximated
+    # constructs; otherwise every candidate goes through the host engine.
+    needs_verify = anchors or backrefs or dfa is None
+
+    return CompiledPattern(
+        patterns=pats,
+        asts=asts,
+        dfa=dfa,
+        matchers=matchers,
+        min_len=mn,
+        min_lens=min_lens,
+        max_len=mx,
+        literals=lits,
+        has_captures=caps,
+        needs_verify=needs_verify,
+        literal_mode=literal_mode,
+    )
+
+
+def compile_pattern(pattern, literal_mode: bool = False, **kw) -> CompiledPattern:
+    return compile_multi([pattern], literal_mode=literal_mode, **kw)

@@ -1,0 +1,239 @@
+"""Subset construction, byte-equivalence classes, Hopcroft minimization.
+
+Output is the TPU-consumable automaton: a dense ``[n_states, n_classes]``
+int32 transition table plus a ``uint8[256]`` byte→class map. Equivalence
+classes shrink the table to fit VMEM (256 states × 16 classes × 4 B is
+16 KiB; even 4096×64 is 1 MiB) so the Pallas scan kernel keeps the whole
+automaton on-chip, the analog of the reference keeping the JIT-compiled
+pattern in icache (/root/reference/src/grab.cc:115).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, FrozenSet, List, Optional, Tuple
+
+import numpy as np
+
+from grab_tpu.regex import ast as A
+from grab_tpu.regex.nfa import NFA, build_nfa, eps_closure
+
+
+class DFABlowup(ValueError):
+    """Subset construction exceeded the state cap."""
+
+
+DEFAULT_STATE_CAP = 8192
+
+
+@dataclass
+class DFA:
+    """Dense DFA over byte equivalence classes.
+
+    table[s, c]    -> next state
+    class_map[b]   -> class of byte b            (uint8[256] / int32[256])
+    accept_mask[s] -> True if s accepting (any pattern)
+    accept_pids[s] -> frozenset of accepting pattern ids (host side only)
+    """
+
+    table: np.ndarray  # int32 [n_states, n_classes]
+    class_map: np.ndarray  # int32 [256]
+    accept_mask: np.ndarray  # bool [n_states]
+    accept_pids: List[FrozenSet[int]]
+    start: int
+
+    @property
+    def n_states(self) -> int:
+        return self.table.shape[0]
+
+    @property
+    def n_classes(self) -> int:
+        return self.table.shape[1]
+
+    def byte_table(self) -> np.ndarray:
+        """Expanded [n_states, 256] table (for kernels that skip the
+        class indirection)."""
+        return self.table[:, self.class_map]
+
+
+def byte_classes(masks: List[int]) -> Tuple[np.ndarray, int]:
+    """Partition 0..255 into equivalence classes w.r.t. the given
+    byte-set masks: two bytes are equivalent iff they belong to exactly
+    the same subset of masks. Returns (class_map uint8-ish int32[256],
+    n_classes)."""
+    # signature of byte b = tuple of membership bits; do it vectorized
+    sig = np.zeros(256, dtype=np.int64)
+    classes: Dict[tuple, int] = {}
+    sigs = []
+    for m in masks:
+        bits = np.array([(m >> b) & 1 for b in range(256)], dtype=np.int8)
+        sigs.append(bits)
+    if sigs:
+        mat = np.stack(sigs, axis=1)  # [256, n_masks]
+    else:
+        mat = np.zeros((256, 0), dtype=np.int8)
+    class_map = np.zeros(256, dtype=np.int32)
+    for b in range(256):
+        key = mat[b].tobytes()
+        if key not in classes:
+            classes[key] = len(classes)
+        class_map[b] = classes[key]
+    return class_map, len(classes)
+
+
+def determinize(
+    nfa: NFA, state_cap: int = DEFAULT_STATE_CAP
+) -> Tuple[np.ndarray, np.ndarray, List[FrozenSet[int]], int, np.ndarray]:
+    """Subset construction over byte classes.
+
+    Returns (table, accept_mask, accept_pids, start, class_map).
+    """
+    # Gather all transition masks to build byte classes.
+    masks = []
+    for ts in nfa.trans:
+        for m, _ in ts:
+            masks.append(m)
+    class_map, n_classes = byte_classes(masks)
+    # one representative byte per class
+    reps = np.zeros(n_classes, dtype=np.int64)
+    for b in range(255, -1, -1):
+        reps[class_map[b]] = b
+
+    start_set = eps_closure(nfa, frozenset([nfa.start]))
+    ids: Dict[frozenset, int] = {start_set: 0}
+    order: List[frozenset] = [start_set]
+    rows: List[List[int]] = []
+    i = 0
+    while i < len(order):
+        cur = order[i]
+        i += 1
+        row = [0] * n_classes
+        # For each class, move on representative byte.
+        for c in range(n_classes):
+            rb = int(reps[c])
+            nxt = set()
+            for s in cur:
+                for m, t in nfa.trans[s]:
+                    if (m >> rb) & 1:
+                        nxt.add(t)
+            if nxt:
+                tgt = eps_closure(nfa, frozenset(nxt))
+            else:
+                tgt = frozenset()
+            if tgt not in ids:
+                if len(ids) >= state_cap:
+                    raise DFABlowup(
+                        f"DFA exceeded {state_cap} states; pattern too wild for "
+                        "device automaton"
+                    )
+                ids[tgt] = len(ids)
+                order.append(tgt)
+            row[c] = ids[tgt]
+        rows.append(row)
+
+    n_states = len(order)
+    table = np.asarray(rows, dtype=np.int32)
+    accept_mask = np.zeros(n_states, dtype=bool)
+    accept_pids: List[FrozenSet[int]] = [frozenset()] * n_states
+    for sset, sid in ids.items():
+        pids = set()
+        for s in sset:
+            if s in nfa.accepts:
+                pids |= nfa.accepts[s]
+        if pids:
+            accept_mask[sid] = True
+            accept_pids[sid] = frozenset(pids)
+    return table, accept_mask, accept_pids, 0, class_map
+
+
+def minimize(
+    table: np.ndarray,
+    accept_mask: np.ndarray,
+    accept_pids: List[FrozenSet[int]],
+    start: int,
+) -> Tuple[np.ndarray, np.ndarray, List[FrozenSet[int]], int]:
+    """Moore-style partition refinement (simpler than Hopcroft, same
+    result; tables here are small enough that O(n²·c) never bites)."""
+    n_states, n_classes = table.shape
+    # initial partition: by accept pid-set
+    block_of: Dict[FrozenSet[int], int] = {}
+    part = np.zeros(n_states, dtype=np.int64)
+    for s in range(n_states):
+        key = accept_pids[s]
+        if key not in block_of:
+            block_of[key] = len(block_of)
+        part[s] = block_of[key]
+    while True:
+        # signature: (current block, blocks of successors)
+        sig_ids: Dict[bytes, int] = {}
+        new_part = np.zeros(n_states, dtype=np.int64)
+        succ_blocks = part[table]  # [n_states, n_classes]
+        for s in range(n_states):
+            key = np.concatenate(([part[s]], succ_blocks[s])).tobytes()
+            if key not in sig_ids:
+                sig_ids[key] = len(sig_ids)
+            new_part[s] = sig_ids[key]
+        if len(sig_ids) == len(set(part.tolist())):
+            break
+        part = new_part
+    # rebuild with start-block first for determinism
+    n_blocks = len(set(part.tolist()))
+    remap = -np.ones(n_blocks, dtype=np.int64)
+    new_id = 0
+    bfs = [start]
+    seen = {int(part[start])}
+    remap[part[start]] = 0
+    new_id = 1
+    # BFS over block graph for stable numbering
+    queue = [int(part[start])]
+    block_rep = {}
+    for s in range(n_states):
+        b = int(part[s])
+        if b not in block_rep:
+            block_rep[b] = s
+    while queue:
+        b = queue.pop(0)
+        rep = block_rep[b]
+        for c in range(n_classes):
+            nb = int(part[table[rep, c]])
+            if nb not in seen:
+                seen.add(nb)
+                remap[nb] = new_id
+                new_id += 1
+                queue.append(nb)
+    # unreachable blocks (shouldn't exist) get trailing ids
+    for b in range(n_blocks):
+        if remap[b] < 0:
+            remap[b] = new_id
+            new_id += 1
+    m_states = new_id
+    new_table = np.zeros((m_states, n_classes), dtype=np.int32)
+    new_accept = np.zeros(m_states, dtype=bool)
+    new_pids: List[FrozenSet[int]] = [frozenset()] * m_states
+    for b, rep in block_rep.items():
+        nb = int(remap[b])
+        new_table[nb] = remap[part[table[rep]]]
+        new_accept[nb] = accept_mask[rep]
+        new_pids[nb] = accept_pids[rep]
+    return new_table, new_accept, new_pids, int(remap[part[start]])
+
+
+def build_dfa(
+    patterns: List[A.Node],
+    unanchored: bool = True,
+    state_cap: int = DEFAULT_STATE_CAP,
+    do_minimize: bool = True,
+) -> DFA:
+    nfa = build_nfa(patterns, unanchored=unanchored)
+    table, accept_mask, accept_pids, start, class_map = determinize(nfa, state_cap)
+    if do_minimize:
+        table, accept_mask, accept_pids, start = minimize(
+            table, accept_mask, accept_pids, start
+        )
+    return DFA(
+        table=table,
+        class_map=class_map.astype(np.int32),
+        accept_mask=accept_mask,
+        accept_pids=accept_pids,
+        start=start,
+    )

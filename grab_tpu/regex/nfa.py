@@ -1,0 +1,160 @@
+"""Thompson NFA construction over byte classes.
+
+Replaces the opaque pcre_compile bytecode of the reference
+(/root/reference/src/grab.cc:106) with an explicit automaton we can
+determinize into a dense TPU transition table.
+
+Zero-width assertions (``^ $ \\b`` …) are compiled as *epsilon* edges:
+the resulting automaton recognizes a superset of the true language,
+which is exactly what the device-side candidate generator needs — the
+host verifier re-checks assertions precisely. Backreferences cannot be
+approximated usefully and raise NotAutomatable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from grab_tpu.regex import ast as A
+
+
+class NotAutomatable(ValueError):
+    """Pattern contains constructs with no finite-automaton superset
+    approximation worth building (currently: backreferences)."""
+
+
+_REPEAT_EXPANSION_CAP = 1024  # max total expanded copies for {m,n}
+
+
+@dataclass
+class NFA:
+    """Epsilon-NFA. States are dense ints. ``trans[s]`` is a list of
+    (byte_mask, target); ``eps[s]`` a list of targets; ``accepts`` maps
+    accepting state -> set of pattern ids."""
+
+    n_states: int = 0
+    trans: List[List[Tuple[int, int]]] = field(default_factory=list)
+    eps: List[List[int]] = field(default_factory=list)
+    accepts: Dict[int, set] = field(default_factory=dict)
+    start: int = 0
+
+    def new_state(self) -> int:
+        self.trans.append([])
+        self.eps.append([])
+        self.n_states += 1
+        return self.n_states - 1
+
+    def add_trans(self, src: int, mask: int, dst: int):
+        if mask:
+            self.trans[src].append((mask, dst))
+
+    def add_eps(self, src: int, dst: int):
+        self.eps[src].append(dst)
+
+
+def _build(nfa: NFA, node: A.Node) -> Tuple[int, int]:
+    """Compile ``node`` into (entry, exit) states of ``nfa``."""
+    if isinstance(node, A.Empty) or isinstance(node, A.Anchor):
+        s = nfa.new_state()
+        e = nfa.new_state()
+        nfa.add_eps(s, e)
+        return s, e
+    if isinstance(node, A.Backref):
+        raise NotAutomatable("backreferences are not automatable")
+    if isinstance(node, A.CharClass):
+        s = nfa.new_state()
+        e = nfa.new_state()
+        nfa.add_trans(s, node.mask, e)
+        return s, e
+    if isinstance(node, A.Group):
+        return _build(nfa, node.node)
+    if isinstance(node, A.Concat):
+        entry = None
+        prev_exit = None
+        for p in node.parts:
+            ps, pe = _build(nfa, p)
+            if entry is None:
+                entry = ps
+            else:
+                nfa.add_eps(prev_exit, ps)
+            prev_exit = pe
+        return entry, prev_exit
+    if isinstance(node, A.Alt):
+        s = nfa.new_state()
+        e = nfa.new_state()
+        for b in node.branches:
+            bs, be = _build(nfa, b)
+            nfa.add_eps(s, bs)
+            nfa.add_eps(be, e)
+        return s, e
+    if isinstance(node, A.Repeat):
+        lo, hi = node.lo, node.hi
+        if hi is None:
+            # lo mandatory copies, then a star
+            s = nfa.new_state()
+            cur = s
+            for _ in range(min(lo, _REPEAT_EXPANSION_CAP)):
+                ps, pe = _build(nfa, node.node)
+                nfa.add_eps(cur, ps)
+                cur = pe
+            # star part
+            loop_s, loop_e = _build(nfa, node.node)
+            e = nfa.new_state()
+            nfa.add_eps(cur, loop_s)
+            nfa.add_eps(cur, e)
+            nfa.add_eps(loop_e, loop_s)
+            nfa.add_eps(loop_e, e)
+            return s, e
+        if hi > _REPEAT_EXPANSION_CAP:
+            # Over-approximate huge counted repeats as {lo,} for the
+            # candidate automaton (superset); host verify is exact.
+            return _build(nfa, A.Repeat(node.node, min(lo, _REPEAT_EXPANSION_CAP), None, node.lazy))
+        s = nfa.new_state()
+        cur = s
+        exits = []
+        for i in range(hi):
+            if i >= lo:
+                exits.append(cur)
+            ps, pe = _build(nfa, node.node)
+            nfa.add_eps(cur, ps)
+            cur = pe
+        exits.append(cur)
+        e = nfa.new_state()
+        for x in exits:
+            nfa.add_eps(x, e)
+        return s, e
+    raise TypeError(f"unknown node {node!r}")
+
+
+def build_nfa(patterns: List[A.Node], unanchored: bool = True) -> NFA:
+    """Build one union NFA over ``patterns`` (pattern id = list index).
+
+    With ``unanchored`` (the search automaton), a self-loop on every byte
+    is added at a fresh start state, so running the automaton over a
+    buffer flags *every position where some match ends* — the candidate
+    set the scan kernels report back (analog of the restartable
+    pcre_exec window walk at grab.cc:175-213).
+    """
+    nfa = NFA()
+    start = nfa.new_state()
+    nfa.start = start
+    if unanchored:
+        nfa.add_trans(start, A.ALL_BYTES_MASK, start)
+    for pid, node in enumerate(patterns):
+        s, e = _build(nfa, node)
+        nfa.add_eps(start, s)
+        nfa.accepts.setdefault(e, set()).add(pid)
+    return nfa
+
+
+def eps_closure(nfa: NFA, states: frozenset) -> frozenset:
+    stack = list(states)
+    seen = set(states)
+    while stack:
+        s = stack.pop()
+        for t in nfa.eps[s]:
+            if t not in seen:
+                seen.add(t)
+                stack.append(t)
+    return frozenset(seen)

@@ -1,0 +1,415 @@
+"""Recursive-descent parser for the PCRE subset grab exercises.
+
+The reference delegates parsing to pcre_compile with options=0 and
+C-locale tables (/root/reference/src/grab.cc:106): byte semantics, no
+UTF, no multiline — `^` matches only at subject start, `$` at end or
+before a final newline, `.` excludes \\n.
+
+Supported syntax:
+  literals, ``.``, ``[...]`` classes (ranges, negation, escapes, POSIX
+  ``[:alpha:]`` etc.), ``(...)`` capturing and ``(?:...)`` non-capturing
+  groups, alternation ``|``, quantifiers ``* + ? {m} {m,} {m,n}`` with
+  lazy ``?`` suffix, anchors ``^ $ \\A \\z \\Z \\b \\B``, escapes
+  ``\\d \\D \\w \\W \\s \\S \\h \\n \\r \\t \\f \\v \\0 \\a \\e
+  \\xHH \\x{...} \\cX \\Q...\\E`` and backreferences ``\\1``-``\\9``.
+
+Unsupported constructs (lookaround, subroutine calls, conditionals,
+script runs, \\p{...}) raise RegexSyntaxError; the engine surfaces that
+as the reference surfaces pcre_compile errors (grab.cc:107).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from grab_tpu.regex.ast import (
+    ALL_BYTES_MASK,
+    ALNUM_MASK,
+    ALPHA_MASK,
+    Alt,
+    Anchor,
+    Backref,
+    CharClass,
+    Concat,
+    CNTRL_MASK,
+    DIGIT_MASK,
+    DOT_MASK,
+    Empty,
+    GRAPH_MASK,
+    Group,
+    HSPACE_MASK,
+    LOWER_MASK,
+    Node,
+    PRINT_MASK,
+    PUNCT_MASK,
+    Repeat,
+    SPACE_MASK,
+    UPPER_MASK,
+    WORD_MASK,
+    XDIGIT_MASK,
+    literal,
+    mask_range,
+)
+
+
+class RegexSyntaxError(ValueError):
+    def __init__(self, msg: str, pos: int):
+        super().__init__(f"{msg} at offset {pos}")
+        self.pos = pos
+
+
+_POSIX_CLASSES = {
+    "alpha": ALPHA_MASK,
+    "digit": DIGIT_MASK,
+    "alnum": ALNUM_MASK,
+    "upper": UPPER_MASK,
+    "lower": LOWER_MASK,
+    "space": SPACE_MASK,
+    "blank": HSPACE_MASK,
+    "xdigit": XDIGIT_MASK,
+    "punct": PUNCT_MASK,
+    "print": PRINT_MASK,
+    "graph": GRAPH_MASK,
+    "cntrl": CNTRL_MASK,
+    "word": WORD_MASK,
+    "ascii": mask_range(0x00, 0x7F),
+}
+
+_SIMPLE_ESCAPES = {
+    ord("n"): 0x0A,
+    ord("r"): 0x0D,
+    ord("t"): 0x09,
+    ord("f"): 0x0C,
+    ord("v"): 0x0B,
+    ord("a"): 0x07,
+    ord("e"): 0x1B,
+    ord("0"): 0x00,
+}
+
+_CLASS_ESCAPES = {
+    ord("d"): DIGIT_MASK,
+    ord("D"): ALL_BYTES_MASK & ~DIGIT_MASK,
+    ord("w"): WORD_MASK,
+    ord("W"): ALL_BYTES_MASK & ~WORD_MASK,
+    ord("s"): SPACE_MASK,
+    ord("S"): ALL_BYTES_MASK & ~SPACE_MASK,
+    ord("h"): HSPACE_MASK,
+    ord("H"): ALL_BYTES_MASK & ~HSPACE_MASK,
+}
+
+
+class _Parser:
+    def __init__(self, pattern: bytes):
+        self.pat = pattern
+        self.pos = 0
+        self.ngroups = 0
+
+    # -- primitives -----------------------------------------------------
+
+    def _peek(self) -> int:
+        return self.pat[self.pos] if self.pos < len(self.pat) else -1
+
+    def _next(self) -> int:
+        c = self._peek()
+        if c < 0:
+            raise RegexSyntaxError("unexpected end of pattern", self.pos)
+        self.pos += 1
+        return c
+
+    def _error(self, msg: str):
+        raise RegexSyntaxError(msg, self.pos)
+
+    # -- grammar --------------------------------------------------------
+
+    def parse(self) -> Node:
+        node = self._alternation()
+        if self.pos != len(self.pat):
+            self._error(f"unexpected {chr(self._peek())!r}")
+        return node
+
+    def _alternation(self) -> Node:
+        branches = [self._concat()]
+        while self._peek() == ord("|"):
+            self.pos += 1
+            branches.append(self._concat())
+        if len(branches) == 1:
+            return branches[0]
+        return Alt(tuple(branches))
+
+    def _concat(self) -> Node:
+        parts: List[Node] = []
+        while True:
+            c = self._peek()
+            if c < 0 or c in (ord("|"), ord(")")):
+                break
+            parts.append(self._quantified())
+        if not parts:
+            return Empty()
+        if len(parts) == 1:
+            return parts[0]
+        return Concat(tuple(parts))
+
+    def _quantified(self) -> Node:
+        atom = self._atom()
+        for _ in range(1):  # at most one quantifier; a following one is
+            # caught by _atom ("nothing to repeat"), matching PCRE
+            c = self._peek()
+            lo = hi = None
+            if c == ord("*"):
+                lo, hi = 0, None
+                self.pos += 1
+            elif c == ord("+"):
+                lo, hi = 1, None
+                self.pos += 1
+            elif c == ord("?"):
+                lo, hi = 0, 1
+                self.pos += 1
+            elif c == ord("{"):
+                save = self.pos
+                parsed = self._try_brace()
+                if parsed is None:
+                    self.pos = save
+                    return atom
+                lo, hi = parsed
+            else:
+                return atom
+            lazy = possessive = False
+            nxt = self._peek()
+            if nxt == ord("?"):
+                lazy = True
+                self.pos += 1
+            elif nxt == ord("+"):
+                possessive = True
+                self.pos += 1
+            if isinstance(atom, Anchor):
+                # Quantified assertions: {0,n} on zero-width is just the
+                # assertion made optional; collapse sanely.
+                if lo == 0:
+                    atom = Alt((atom, Empty())) if hi != 0 else Empty()
+                atom = atom if lo <= 1 else atom
+            else:
+                atom = Repeat(atom, lo, hi, lazy, possessive)
+        return atom
+
+    def _try_brace(self) -> Optional[tuple]:
+        # at '{'; PCRE treats a malformed brace as a literal '{'
+        assert self._next() == ord("{")
+        start = self.pos
+        digits = b""
+        while ord("0") <= self._peek() <= ord("9"):
+            digits += bytes([self._next()])
+        if self._peek() == ord("}") and digits:
+            self.pos += 1
+            n = int(digits)
+            return (n, n)
+        if self._peek() == ord(","):
+            self.pos += 1
+            if not digits:
+                return None
+            lo = int(digits)
+            digits2 = b""
+            while ord("0") <= self._peek() <= ord("9"):
+                digits2 += bytes([self._next()])
+            if self._peek() == ord("}"):
+                self.pos += 1
+                hi = int(digits2) if digits2 else None
+                if hi is not None and hi < lo:
+                    self._error("quantifier range out of order")
+                return (lo, hi)
+        return None
+
+    def _atom(self) -> Node:
+        c = self._next()
+        if c == ord("("):
+            return self._group()
+        if c == ord("["):
+            return self._char_class()
+        if c == ord("."):
+            return CharClass(DOT_MASK)
+        if c == ord("^"):
+            return Anchor("bos")
+        if c == ord("$"):
+            return Anchor("eos")
+        if c == ord("\\"):
+            return self._escape(in_class=False)
+        if c in (ord("*"), ord("+"), ord("?")):
+            self._error(f"quantifier {chr(c)!r} with nothing to repeat")
+        return literal(c)
+
+    def _group(self) -> Node:
+        capturing = True
+        if self._peek() == ord("?"):
+            self.pos += 1
+            c = self._next()
+            if c == ord(":"):
+                capturing = False
+            elif c == ord("#"):
+                # comment group: skip to )
+                while self._peek() not in (ord(")"), -1):
+                    self.pos += 1
+                if self._next() != ord(")"):
+                    self._error("unterminated comment group")
+                return Empty()
+            else:
+                self._error(f"unsupported group construct (?{chr(c)}")
+        index = 0
+        if capturing:
+            self.ngroups += 1
+            index = self.ngroups
+        node = self._alternation()
+        if self._peek() != ord(")"):
+            self._error("missing )")
+        self.pos += 1
+        return Group(node, capturing, index)
+
+    def _escape(self, in_class: bool) -> Node:
+        c = self._next()
+        if c in _CLASS_ESCAPES:
+            return CharClass(_CLASS_ESCAPES[c])
+        if not in_class:
+            if c == ord("A"):
+                return Anchor("bos")
+            if c == ord("z"):
+                return Anchor("abs_eos")
+            if c == ord("Z"):
+                return Anchor("eos_nl")
+            if c == ord("b"):
+                return Anchor("wordb")
+            if c == ord("B"):
+                return Anchor("nwordb")
+            if ord("1") <= c <= ord("9"):
+                return Backref(c - ord("0"))
+            if c == ord("Q"):
+                # \Q ... \E literal span
+                parts = []
+                while True:
+                    if self.pos >= len(self.pat):
+                        break
+                    if (
+                        self.pat[self.pos] == ord("\\")
+                        and self.pos + 1 < len(self.pat)
+                        and self.pat[self.pos + 1] == ord("E")
+                    ):
+                        self.pos += 2
+                        break
+                    parts.append(literal(self._next()))
+                if not parts:
+                    return Empty()
+                if len(parts) == 1:
+                    return parts[0]
+                return Concat(tuple(parts))
+        b = self._escape_byte(c)
+        return literal(b)
+
+    def _escape_byte(self, c: int) -> int:
+        if c in _SIMPLE_ESCAPES:
+            return _SIMPLE_ESCAPES[c]
+        if c == ord("x"):
+            if self._peek() == ord("{"):
+                self.pos += 1
+                digits = b""
+                while self._peek() != ord("}"):
+                    digits += bytes([self._next()])
+                self.pos += 1
+                v = int(digits, 16) if digits else 0
+                if v > 0xFF:
+                    self._error("\\x{...} above 0xFF needs UTF mode")
+                return v
+            digits = b""
+            for _ in range(2):
+                p = self._peek()
+                if (
+                    ord("0") <= p <= ord("9")
+                    or ord("a") <= p <= ord("f")
+                    or ord("A") <= p <= ord("F")
+                ):
+                    digits += bytes([self._next()])
+                else:
+                    break
+            return int(digits, 16) if digits else 0
+        if c == ord("c"):
+            x = self._next()
+            if ord("a") <= x <= ord("z"):
+                x -= 0x20
+            return x ^ 0x40
+        if chr(c).isalnum():
+            self._error(f"unsupported escape \\{chr(c)}")
+        return c  # escaped punctuation is itself
+
+    def _char_class(self) -> Node:
+        negate = False
+        if self._peek() == ord("^"):
+            negate = True
+            self.pos += 1
+        mask = 0
+        first = True
+        while True:
+            c = self._peek()
+            if c < 0:
+                self._error("unterminated character class")
+            if c == ord("]") and not first:
+                self.pos += 1
+                break
+            first = False
+            self.pos += 1
+            if c == ord("[") and self._peek() == ord(":"):
+                # POSIX class [:name:]
+                end = self.pat.find(b":]", self.pos)
+                if end < 0:
+                    self._error("unterminated POSIX class")
+                name = self.pat[self.pos + 1 : end].decode("ascii", "replace")
+                neg = name.startswith("^")
+                if neg:
+                    name = name[1:]
+                if name not in _POSIX_CLASSES:
+                    self._error(f"unknown POSIX class [:{name}:]")
+                m = _POSIX_CLASSES[name]
+                mask |= (ALL_BYTES_MASK & ~m) if neg else m
+                self.pos = end + 2
+                continue
+            if c == ord("\\"):
+                e = self._peek()
+                if e in _CLASS_ESCAPES:
+                    self.pos += 1
+                    mask |= _CLASS_ESCAPES[e]
+                    continue
+                if e == ord("b"):
+                    self.pos += 1
+                    lo_b = 0x08  # \b inside a class is backspace
+                else:
+                    lo_b = self._escape_byte(self._next())
+            else:
+                lo_b = c
+            # possible range
+            if self._peek() == ord("-") and self.pos + 1 < len(self.pat) and self.pat[
+                self.pos + 1
+            ] != ord("]"):
+                self.pos += 1
+                hc = self._next()
+                if hc == ord("\\"):
+                    hi_b = self._escape_byte(self._next())
+                else:
+                    hi_b = hc
+                if hi_b < lo_b:
+                    self._error("character range out of order")
+                mask |= mask_range(lo_b, hi_b)
+            else:
+                mask |= 1 << lo_b
+        if negate:
+            mask = ALL_BYTES_MASK & ~mask
+        return CharClass(mask)
+
+
+def parse(pattern) -> Node:
+    """Parse ``pattern`` (str or bytes) into an AST."""
+    if isinstance(pattern, str):
+        pattern = pattern.encode("utf-8")
+    return _Parser(pattern).parse()
+
+
+def count_captures(pattern) -> int:
+    if isinstance(pattern, str):
+        pattern = pattern.encode("utf-8")
+    p = _Parser(pattern)
+    p.parse()
+    return p.ngroups

@@ -1,0 +1,132 @@
+"""ctypes binding to libpcre2-8 — the `-2` mode engine and a test oracle.
+
+The greppin branch offers PCRE2 semantics behind ``-2``
+(/root/reference/README.md:18). This environment ships the PCRE2
+*runtime* (libpcre2-8.so.0) but no headers, so we bind the handful of
+entry points we need directly. All prototypes follow the public PCRE2
+API documentation.
+
+Used for:
+  * the CLI ``-2`` flag (exact PCRE2 match extents on the host verify
+    path),
+  * differential tests: our backtracking engine and DFA candidate
+    generator are cross-checked against PCRE2 on random patterns/inputs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+from typing import List, Optional, Tuple
+
+_PCRE2_ERROR_NOMATCH = -1
+
+_lib = None
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    for name in ("libpcre2-8.so.0", "libpcre2-8.so", ctypes.util.find_library("pcre2-8")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            lib = None
+    else:
+        lib = None
+    if lib is None:
+        _load_failed = True
+        return None
+
+    lib.pcre2_compile_8.restype = ctypes.c_void_p
+    lib.pcre2_compile_8.argtypes = [
+        ctypes.c_char_p,  # pattern
+        ctypes.c_size_t,  # length
+        ctypes.c_uint32,  # options
+        ctypes.POINTER(ctypes.c_int),  # errorcode
+        ctypes.POINTER(ctypes.c_size_t),  # erroroffset
+        ctypes.c_void_p,  # compile context
+    ]
+    lib.pcre2_match_data_create_from_pattern_8.restype = ctypes.c_void_p
+    lib.pcre2_match_data_create_from_pattern_8.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.pcre2_match_8.restype = ctypes.c_int
+    lib.pcre2_match_8.argtypes = [
+        ctypes.c_void_p,  # code
+        ctypes.c_char_p,  # subject
+        ctypes.c_size_t,  # length
+        ctypes.c_size_t,  # startoffset
+        ctypes.c_uint32,  # options
+        ctypes.c_void_p,  # match data
+        ctypes.c_void_p,  # match context
+    ]
+    lib.pcre2_get_ovector_pointer_8.restype = ctypes.POINTER(ctypes.c_size_t)
+    lib.pcre2_get_ovector_pointer_8.argtypes = [ctypes.c_void_p]
+    lib.pcre2_match_data_free_8.argtypes = [ctypes.c_void_p]
+    lib.pcre2_code_free_8.argtypes = [ctypes.c_void_p]
+    lib.pcre2_jit_compile_8.restype = ctypes.c_int
+    lib.pcre2_jit_compile_8.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class PCRE2Error(ValueError):
+    pass
+
+
+class PCRE2Pattern:
+    """A compiled PCRE2 pattern (8-bit, no UTF — byte semantics, matching
+    the reference's pcre_compile options=0 at grab.cc:106)."""
+
+    _PCRE2_JIT_COMPLETE = 0x00000001
+
+    def __init__(self, pattern: bytes, options: int = 0, jit: bool = True):
+        lib = _load()
+        if lib is None:
+            raise PCRE2Error("libpcre2-8 not available")
+        self._lib = lib
+        err = ctypes.c_int(0)
+        erroff = ctypes.c_size_t(0)
+        self._code = lib.pcre2_compile_8(
+            pattern, len(pattern), options, ctypes.byref(err), ctypes.byref(erroff), None
+        )
+        if not self._code:
+            raise PCRE2Error(f"pcre2_compile error {err.value} at offset {erroff.value}")
+        if jit:
+            lib.pcre2_jit_compile_8(self._code, self._PCRE2_JIT_COMPLETE)
+        self._md = lib.pcre2_match_data_create_from_pattern_8(self._code, None)
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        if lib is None:
+            return
+        if getattr(self, "_md", None):
+            lib.pcre2_match_data_free_8(self._md)
+        if getattr(self, "_code", None):
+            lib.pcre2_code_free_8(self._code)
+
+    def search(self, data: bytes, lo: int = 0, hi: Optional[int] = None) -> Optional[Tuple[int, int]]:
+        """Leftmost match with subject = data[lo:hi]; offsets returned
+        relative to ``data`` (window-relative anchors, like the
+        reference's restarting pcre_exec window at grab.cc:178)."""
+        if hi is None:
+            hi = len(data)
+        window = data[lo:hi]
+        rc = self._lib.pcre2_match_8(self._code, window, len(window), 0, 0, self._md, None)
+        if rc == _PCRE2_ERROR_NOMATCH:
+            return None
+        if rc < 0:
+            raise PCRE2Error(f"pcre2_match error {rc}")
+        ov = self._lib.pcre2_get_ovector_pointer_8(self._md)
+        return (lo + ov[0], lo + ov[1])

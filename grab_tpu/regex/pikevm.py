@@ -1,0 +1,142 @@
+"""PikeVM: linear-time leftmost-first matcher over the backtrack Program.
+
+Replicates PCRE/pcre_exec observable semantics (leftmost start,
+first-alternative / greedy-quantifier preference for the extent) without
+exponential backtracking: priority-ordered Thompson simulation, O(n·m).
+Used as the default host exact engine; the backtracking VM remains only
+for backreference patterns, which no NFA simulation can express.
+
+Priority rules (the RE2 discipline):
+  * threads are kept in preference order; epsilon closure explores
+    SPLIT(x, y) x-first,
+  * when a thread reaches MATCH, the match is recorded and every
+    lower-priority thread is killed; surviving higher-priority threads
+    may later override with their own (preferred) match,
+  * new start positions are seeded at lowest priority, and only while
+    no match has been recorded → leftmost start wins.
+
+Assertions are evaluated during closure with window-relative semantics
+(subject = data[lo:hi]), matching the reference's restarting
+pcre_exec window at /root/reference/src/grab.cc:178.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from grab_tpu.regex import ast as A
+from grab_tpu.regex.backtrack import (
+    ASSERT,
+    BACKREF,
+    CHAR,
+    CHKREG,
+    JMP,
+    MATCH,
+    Program,
+    SAVE,
+    SETREG,
+    SPLIT,
+)
+
+
+def _is_word(b: int) -> bool:
+    return bool((A.WORD_MASK >> b) & 1)
+
+
+def _assert_ok(kind: str, data: bytes, pos: int, lo: int, hi: int) -> bool:
+    if kind == "bos":
+        return pos == lo
+    if kind == "eos" or kind == "eos_nl":
+        return pos == hi or (pos == hi - 1 and data[pos] == 0x0A)
+    if kind == "abs_eos":
+        return pos == hi
+    before = pos > lo and _is_word(data[pos - 1])
+    after = pos < hi and _is_word(data[pos])
+    if kind == "wordb":
+        return before != after
+    if kind == "nwordb":
+        return before == after
+    raise ValueError(f"unknown assertion {kind}")
+
+
+class PikeVM:
+    def __init__(self, program: Program):
+        if any(op[0] == BACKREF for op in program.code):
+            raise ValueError("PikeVM cannot run backreference programs")
+        self.prog = program
+
+    def _close(
+        self,
+        pc: int,
+        start: int,
+        data: bytes,
+        pos: int,
+        lo: int,
+        hi: int,
+        visited: set,
+        out: List[Tuple[int, int]],
+    ):
+        """Epsilon closure in priority order; terminal (CHAR/MATCH)
+        threads appended to ``out``."""
+        code = self.prog.code
+        stack = [pc]
+        while stack:
+            p = stack.pop()
+            if p in visited:
+                continue
+            visited.add(p)
+            op = code[p]
+            k = op[0]
+            if k == SPLIT:
+                # x first: push y below x
+                stack.append(op[2])
+                stack.append(op[1])
+            elif k == JMP:
+                stack.append(op[1])
+            elif k in (SAVE, SETREG, CHKREG):
+                # captures are not needed for extents; CHKREG's
+                # empty-loop protection is subsumed by the visited set
+                stack.append(p + 1)
+            elif k == ASSERT:
+                if _assert_ok(op[1], data, pos, lo, hi):
+                    stack.append(p + 1)
+            else:  # CHAR or MATCH
+                out.append((p, start))
+
+    def search(
+        self, data: bytes, lo: int, hi: int, earliest_start: Optional[int] = None
+    ) -> Optional[Tuple[int, int]]:
+        """Leftmost-first match with subject = data[lo:hi]."""
+        code = self.prog.code
+        masks = self.prog.masks
+        clist: List[Tuple[int, int]] = []
+        match: Optional[Tuple[int, int]] = None
+        visited: set = set()
+        pos = lo
+        # seed initial threads
+        self._close(0, lo, data, lo, lo, hi, visited, clist)
+        while True:
+            nlist: List[Tuple[int, int]] = []
+            nvisited: set = set()
+            for pc, start in clist:
+                op = code[pc]
+                if op[0] == CHAR:
+                    if pos < hi and (masks[op[1]] >> data[pos]) & 1:
+                        self._close(
+                            pc + 1, start, data, pos + 1, lo, hi, nvisited, nlist
+                        )
+                else:  # MATCH
+                    match = (start, pos)
+                    break  # kill all lower-priority threads
+            if pos >= hi:
+                break
+            pos += 1
+            if match is None:
+                # seed a new start at lowest priority
+                self._close(0, pos, data, pos, lo, hi, nvisited, nlist)
+            if not nlist and match is not None:
+                break
+            if not nlist and match is None and pos >= hi:
+                break
+            clist = nlist
+        return match

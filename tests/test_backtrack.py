@@ -1,0 +1,181 @@
+"""Exact-engine tests: unit cases + differential fuzz vs Python re and
+PCRE2 (the reference's own engine family — grab links libpcre,
+/root/reference/src/Makefile:14)."""
+
+import random
+import re
+
+import pytest
+
+from grab_tpu.regex.backtrack import Matcher
+from grab_tpu.regex.pcre2 import PCRE2Pattern, available as pcre2_available
+
+
+def bt_search(pattern, data, lo=0, hi=None):
+    m = Matcher.from_pattern(pattern)
+    return m.search(data, lo, len(data) if hi is None else hi)
+
+
+def py_search(pattern, data, lo=0, hi=None):
+    hi = len(data) if hi is None else hi
+    m = re.search(pattern, data[lo:hi])
+    if m is None:
+        return None
+    return (lo + m.start(), lo + m.end())
+
+
+CASES = [
+    (rb"abc", b"xxabcxx"),
+    (rb"abc", b"xxabx"),
+    (rb"a+", b"caaab"),
+    (rb"a+?", b"caaab"),
+    (rb"a*b", b"aaab"),
+    (rb"(?:ab)+", b"xababy"),
+    (rb"a|ab", b"zabz"),  # leftmost-first: picks 'a'
+    (rb"ab|a", b"zabz"),
+    (rb"[a-c]+x", b"ppabcaxq"),
+    (rb"a{2,3}", b"aaaa"),
+    (rb"a{2,3}?", b"aaaa"),
+    (rb"colou?r", b"my color!"),
+    (rb"colou?r", b"my colour!"),
+    (rb"\d+\.\d+", b"pi=3.14159."),
+    (rb"\w+", b"  hello_world  "),
+    (rb"\s", b"ab cd"),
+    (rb"foo[a-z]+bar", b"zzfooqqbarzz"),
+    (rb"(a*)*b", b"aaab"),
+    (rb"(a|b)*abb", b"zzabababbq"),
+    (rb"x?y?z?", b"abc"),  # empty match at 0
+    (rb"[^\n]+", b"line1\nline2"),
+]
+
+
+@pytest.mark.parametrize("pattern,data", CASES, ids=[repr(c[0]) for c in CASES])
+def test_vs_python_re(pattern, data):
+    assert bt_search(pattern, data) == py_search(pattern, data)
+
+
+def test_window_anchors():
+    # subject is the window: ^ matches at window start (grab restarts
+    # pcre_exec on the remaining window, SURVEY §3.5)
+    assert bt_search(rb"^b", b"abc", lo=1) == (1, 2)
+    assert bt_search(rb"^a", b"abc", lo=1) is None
+    # $ matches at window end or before trailing newline
+    assert bt_search(rb"c$", b"abc", hi=3) == (2, 3)
+    assert bt_search(rb"c$", b"abc\n") == (2, 3)
+    assert bt_search(rb"c$", b"abcx") is None
+    assert bt_search(rb"c\z", b"abc\n") is None
+    assert bt_search(rb"c\Z", b"abc\n") == (2, 3)
+
+
+def test_word_boundary_window():
+    assert bt_search(rb"\bfoo\b", b"a foo b") == (2, 5)
+    assert bt_search(rb"\bfoo\b", b"afoob") is None
+    # window edges count as non-word context
+    assert bt_search(rb"\bfoo", b"xfoo", lo=1) == (1, 4)
+
+
+def test_backref():
+    assert bt_search(rb"(ab)\1", b"zababq") == (1, 5)
+    assert bt_search(rb"(a+)\1", b"aaaa") == (0, 4)
+
+
+def test_empty_loop_protection():
+    # must terminate, not hang
+    assert bt_search(rb"(?:a*)*", b"b") == (0, 0)
+    assert bt_search(rb"(?:a*)+", b"aaa") == (0, 3)
+
+
+_ATOMS = [
+    rb"a", rb"b", rb"c", rb"\d", rb"\w", rb"[ab]", rb"[^a]", rb".", rb"[a-d]",
+]
+_QUANTS = [rb"", rb"*", rb"+", rb"?", rb"{2}", rb"{1,3}", rb"*?", rb"+?"]
+
+
+def _random_pattern(rng, depth=0):
+    n = rng.randint(1, 4)
+    parts = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.15 and depth < 2:
+            inner = _random_pattern(rng, depth + 1)
+            parts.append(b"(?:" + inner + b")" + rng.choice(_QUANTS))
+        elif r < 0.25 and depth < 2:
+            a = _random_pattern(rng, depth + 1)
+            b = _random_pattern(rng, depth + 1)
+            parts.append(b"(?:" + a + b"|" + b + b")")
+        else:
+            parts.append(rng.choice(_ATOMS) + rng.choice(_QUANTS))
+    return b"".join(parts)
+
+
+def _oracle_with_timeout(fn, seconds=2):
+    """Run an oracle call with SIGALRM timeout: Python re is itself a
+    backtracker and can explode on fuzz patterns our linear-time PikeVM
+    handles fine; skip those trials."""
+    import signal
+
+    class _TO(Exception):
+        pass
+
+    def handler(sig, frm):
+        raise _TO()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return True, fn()
+    except _TO:
+        return False, None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def test_fuzz_vs_python_re():
+    rng = random.Random(1234)
+    alphabet = b"abcd 01\n"
+    for trial in range(300):
+        pat = _random_pattern(rng)
+        data = bytes(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        try:
+            ok, exp = _oracle_with_timeout(lambda: py_search(pat, data))
+        except re.error:
+            continue
+        if not ok:
+            continue  # oracle exploded (catastrophic backtracking in re)
+        if exp is not None and exp[0] == exp[1]:
+            # Empty-match patterns are documented-deviation territory:
+            # the reference binary infinite-loops on them (SURVEY §3.5)
+            # and PCRE's empty-iteration loop rule differs from strict
+            # thread priority on degenerate loops like (?:a*?)*.
+            continue
+        got = bt_search(pat, data)
+        assert got == exp, f"pattern={pat!r} data={data!r} got={got} want={exp}"
+
+
+@pytest.mark.skipif(not pcre2_available(), reason="libpcre2-8 not present")
+def test_fuzz_vs_pcre2():
+    rng = random.Random(99)
+    alphabet = b"abcd 01\n"
+    for trial in range(300):
+        pat = _random_pattern(rng)
+        data = bytes(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        try:
+            p2 = PCRE2Pattern(pat)
+        except Exception:
+            continue
+        exp = p2.search(data)
+        if exp is not None and exp[0] == exp[1]:
+            continue  # empty-match degenerate (see test_fuzz_vs_python_re)
+        got = bt_search(pat, data)
+        assert got == exp, f"pattern={pat!r} data={data!r} got={got} want={exp}"
+
+
+@pytest.mark.skipif(not pcre2_available(), reason="libpcre2-8 not present")
+def test_pcre2_binding_basics():
+    p = PCRE2Pattern(rb"foo[a-z]+bar")
+    assert p.search(b"xxfooqqbarzz") == (2, 10)
+    assert p.search(b"nothing") is None
+    # windowed search: anchors are window-relative
+    p = PCRE2Pattern(rb"^b")
+    assert p.search(b"abc", lo=1) == (1, 2)

@@ -1,0 +1,140 @@
+"""DFA pipeline tests: candidate correctness against brute force and the
+exact engine, multi-pattern accepts, equivalence classes, minlength."""
+
+import random
+import re
+
+import numpy as np
+import pytest
+
+from grab_tpu.golden.scanner import block_counts, dfa_scan_ends, dfa_scan_ends_fast
+from grab_tpu.regex.compiler import compile_multi, compile_pattern
+from grab_tpu.regex.dfa import build_dfa
+from grab_tpu.regex.parser import parse
+
+
+def ends_bruteforce(pattern, data: bytes) -> np.ndarray:
+    """bool[N]: some match (re semantics, DOTALL off is wrong — our '.'
+    already excludes \\n at the AST level, so use DOTALL to make re's
+    dot behave only via explicit classes) ends at i+1."""
+    out = np.zeros(len(data), dtype=bool)
+    creg = re.compile(pattern)
+    for s in range(len(data)):
+        for e in range(s, len(data) + 1):
+            if creg.fullmatch(data, s, e):
+                if e >= 1:
+                    out[e - 1] = True
+    return out
+
+
+SIMPLE = [
+    (rb"abc", b"zabcabcz"),
+    (rb"a+b", b"aaab aab b"),
+    (rb"[ab]c", b"acbccc"),
+    (rb"foo|bar", b"xfooybarz"),
+    (rb"fo{2,3}d", b"food fooodx fod"),
+    (rb"a.c", b"abc a\nc axc"),
+]
+
+
+@pytest.mark.parametrize("pattern,data", SIMPLE, ids=[repr(c[0]) for c in SIMPLE])
+def test_ends_vs_bruteforce(pattern, data):
+    dfa = build_dfa([parse(pattern)])
+    got = dfa_scan_ends(dfa, np.frombuffer(data, dtype=np.uint8))
+    exp = ends_bruteforce(pattern, data)
+    assert (got == exp).all(), f"{got.nonzero()} vs {exp.nonzero()}"
+
+
+def test_fast_scanner_matches_slow():
+    dfa = build_dfa([parse(rb"ab+a")])
+    data = np.frombuffer(b"abba abbba aba" * 10, dtype=np.uint8)
+    a = dfa_scan_ends(dfa, data)
+    b = dfa_scan_ends_fast(dfa, data)
+    assert (a == b).all()
+
+
+def test_eq_classes_small():
+    dfa = build_dfa([parse(rb"foo[a-z]+bar")])
+    # alphabet partitions: f,o,b,a,r, [a-z]-rest, everything-else ≈ 7 classes
+    assert dfa.n_classes <= 10
+    assert dfa.class_map.shape == (256,)
+    assert dfa.table.dtype == np.int32
+
+
+def test_minimize_reduces():
+    # a|b|c|d as alternation of literals determinizes then minimizes to
+    # the same automaton as [a-d]
+    d1 = build_dfa([parse(rb"a|b|c|d")])
+    d2 = build_dfa([parse(rb"[a-d]")])
+    assert d1.n_states == d2.n_states
+
+
+def test_multipattern_accept_ids():
+    dfa = build_dfa([parse(rb"foo"), parse(rb"bar"), parse(rb"ba+z")])
+    data = np.frombuffer(b"foo baz bar baaz", dtype=np.uint8)
+    ends = dfa_scan_ends(dfa, data)
+    assert ends[2] and ends[6] and ends[10] and ends[15]
+    # check per-pattern attribution on accepting states
+    cls = dfa.class_map[data]
+    s = dfa.start
+    seen = set()
+    for i in range(len(data)):
+        s = dfa.table[s, cls[i]]
+        if dfa.accept_mask[s]:
+            seen |= dfa.accept_pids[s]
+    assert seen == {0, 1, 2}
+
+
+def test_unanchored_superset_for_anchors():
+    # ^-anchored: device automaton over-approximates (anchor dropped)
+    cp = compile_pattern(rb"^abc")
+    assert cp.needs_verify
+    data = np.frombuffer(b"zzabczz", dtype=np.uint8)
+    ends = dfa_scan_ends(cp.dfa, data)
+    assert ends[4]  # candidate found mid-buffer; host verify rejects later
+
+
+def test_compiled_pattern_fields():
+    cp = compile_pattern(rb"foo[a-z]+bar")
+    assert cp.min_len == 7
+    assert cp.max_len is None
+    assert cp.literals in ([b"bar"], [b"foo"])
+    assert not cp.needs_verify
+    cp2 = compile_pattern(rb"(a)b")
+    assert cp2.has_captures
+    cp3 = compile_multi([b"foo", b"bar"], literal_mode=True)
+    assert cp3.literal_mode and cp3.min_len == 3 and cp3.max_len == 3
+    assert sorted(cp3.literals) == [b"bar", b"foo"]
+
+
+def test_backref_pattern_no_dfa():
+    cp = compile_pattern(rb"(ab)\1")
+    assert cp.dfa is None and cp.needs_verify
+
+
+def test_block_counts():
+    bm = np.zeros(1000, dtype=bool)
+    bm[[5, 6, 255, 256, 999]] = True
+    bc = block_counts(bm, 256)
+    assert bc.tolist() == [3, 1, 0, 1]
+
+
+def test_fuzz_candidates_superset_of_matches():
+    """Every real match end must be flagged by the candidate DFA
+    (superset property — the core correctness contract)."""
+    rng = random.Random(7)
+    atoms = [rb"a", rb"b", rb"\d", rb"[ab]", rb"."]
+    quants = [rb"", rb"*", rb"+", rb"?", rb"{1,2}"]
+    for _ in range(200):
+        pat = b"".join(
+            rng.choice(atoms) + rng.choice(quants) for _ in range(rng.randint(1, 3))
+        )
+        data = bytes(rng.choice(b"ab1 \n") for _ in range(30))
+        try:
+            dfa = build_dfa([parse(pat)])
+        except Exception:
+            continue
+        got = dfa_scan_ends(dfa, np.frombuffer(data, dtype=np.uint8))
+        exp = ends_bruteforce(pat, data)
+        missing = exp & ~got
+        assert not missing.any(), f"pattern={pat!r} data={data!r}"

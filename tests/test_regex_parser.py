@@ -1,0 +1,124 @@
+"""Parser unit tests."""
+
+import pytest
+
+from grab_tpu.regex import ast as A
+from grab_tpu.regex.parser import RegexSyntaxError, parse
+
+
+def test_literal():
+    t = parse(b"abc")
+    assert isinstance(t, A.Concat)
+    assert [p.bytes() for p in t.parts] == [[97], [98], [99]]
+
+
+def test_dot_excludes_newline():
+    t = parse(b".")
+    assert isinstance(t, A.CharClass)
+    assert not t.contains(0x0A)
+    assert t.contains(0x00)
+    assert t.count() == 255
+
+
+def test_class_ranges_and_negation():
+    t = parse(b"[a-cx]")
+    assert sorted(t.bytes()) == [97, 98, 99, 120]
+    t = parse(b"[^a]")
+    assert not t.contains(97) and t.contains(98) and t.count() == 255
+
+
+def test_class_leading_bracket_and_dash():
+    t = parse(b"[]a]")  # ']' first is literal
+    assert sorted(t.bytes()) == [93, 97]
+    t = parse(b"[a-]")  # trailing '-' literal
+    assert sorted(t.bytes()) == [45, 97]
+
+
+def test_posix_class():
+    t = parse(b"[[:digit:]x]")
+    assert sorted(t.bytes()) == list(range(0x30, 0x3A)) + [120]
+
+
+def test_escapes():
+    assert parse(rb"\n").bytes() == [0x0A]
+    assert parse(rb"\x41").bytes() == [0x41]
+    assert parse(rb"\x{7f}").bytes() == [0x7F]
+    assert parse(rb"\.").bytes() == [ord(".")]
+    assert parse(rb"\d").mask == A.DIGIT_MASK
+    assert parse(rb"\W").mask == A.ALL_BYTES_MASK & ~A.WORD_MASK
+    assert parse(rb"\cA").bytes() == [1]
+
+
+def test_quantifiers():
+    t = parse(b"a{2,5}")
+    assert isinstance(t, A.Repeat) and t.lo == 2 and t.hi == 5
+    t = parse(b"a{3}")
+    assert t.lo == 3 and t.hi == 3
+    t = parse(b"a{2,}")
+    assert t.lo == 2 and t.hi is None
+    t = parse(b"a+?")
+    assert t.lazy
+    t = parse(b"a{,5}")  # malformed brace -> literal chars (PCRE behavior)
+    assert isinstance(t, A.Concat)
+
+
+def test_alternation_and_groups():
+    t = parse(b"ab|cd|(?:e)")
+    assert isinstance(t, A.Alt) and len(t.branches) == 3
+    t = parse(b"(a)(b)")
+    assert t.parts[0].index == 1 and t.parts[1].index == 2
+
+
+def test_anchors():
+    t = parse(b"^foo$")
+    assert isinstance(t.parts[0], A.Anchor) and t.parts[0].kind == "bos"
+    assert isinstance(t.parts[-1], A.Anchor) and t.parts[-1].kind == "eos"
+    assert parse(rb"\bx").parts[0].kind == "wordb"
+
+
+def test_errors():
+    with pytest.raises(RegexSyntaxError):
+        parse(b"(a")
+    with pytest.raises(RegexSyntaxError):
+        parse(b"a**")  # quantifier after quantifier -> possessive a*+ is ok; ** is error
+    with pytest.raises(RegexSyntaxError):
+        parse(b"[a")
+    with pytest.raises(RegexSyntaxError):
+        parse(b"(?<x>a)")  # unsupported construct
+
+
+def test_quoted_literal():
+    t = parse(rb"\Qa.c\E!")
+    flat = []
+
+    def walk(n):
+        if isinstance(n, A.Concat):
+            for p in n.parts:
+                walk(p)
+        else:
+            flat.append(n)
+
+    walk(t)
+    assert [f.bytes()[0] for f in flat] == [97, 46, 99, 33]
+
+
+def test_analyses():
+    assert A.min_len(parse(b"foo[a-z]+bar")) == 7
+    assert A.min_len(parse(b"a|bc")) == 1
+    assert A.min_len(parse(b"^x?$")) == 0
+    assert A.max_len(parse(b"a{2,5}b")) == 6
+    assert A.max_len(parse(b"a+")) is None
+    assert A.has_captures(parse(b"a(b)c"))
+    assert not A.has_captures(parse(b"a(?:b)c"))
+    assert A.has_backrefs(parse(rb"(a)\1"))
+
+
+def test_mandatory_literals():
+    assert A.mandatory_literals(parse(b"foobar")) == [b"foobar"]
+    assert A.mandatory_literals(parse(b"foo[a-z]+bar")) in ([b"bar"], [b"foo"])
+    assert A.mandatory_literals(parse(b"abc|xyz")) == [b"abc", b"xyz"]
+    assert A.mandatory_literals(parse(b"[a-z]+")) is None
+    assert A.mandatory_literals(parse(b"ab(cd)+ef")) is not None
+    assert A.mandatory_literals(parse(b"colou?r")) is not None
+    # optional-everything has no mandatory literal
+    assert A.mandatory_literals(parse(b"a*b*")) is None
