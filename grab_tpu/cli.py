@@ -1,0 +1,186 @@
+"""tpugrep — grab-compatible CLI front end.
+
+Flag surface mirrors the reference exactly
+(/root/reference/src/main.cc:103-161 + greppin extensions,
+README.md:16-31):
+
+  -r/-R   recursive
+  -I      ANSI reverse-video highlight (only if stdout is a tty)
+  -O      print "Match at offset N" lines
+  -L      low-memory: halve chunk size (floor 32 MiB, main.cc:131-135)
+  -l      no line printing ("matches" per chunk unless -O)
+  -s      single match per file
+  -n N    parallel scan over N workers (reference: cores; here: device
+          shards — requires -r, main.cc:167-170; chunk quartered,
+          main.cc:172-173)
+  -2      PCRE2 semantics (greppin, README.md:18)
+  -S      literal (fixed-string) mode (greppin, README.md:25-26)
+  -H      multi-pattern batch mode: the pattern argument is a file with
+          one pattern per line (hyperscan batch, README.md:63-92)
+  --stats print scan statistics to stderr (off the parity path)
+
+Exit codes follow the reference: 0 on success regardless of matches,
+255 on setup errors (SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+
+USAGE = "Usage: {p} [-rR] [-I] [-O] [-L] [-l] [-s] [-n <cores>] [-2] [-S] [-H] <regex> <path>\n"
+
+MIN_CHUNK = 1 << 25  # 32 MiB floor (main.cc:134-135)
+
+
+def parse_args(argv: List[str]):
+    """getopt-style parser for 'Rrn:IOlsL2SH' plus --stats."""
+    opts = {
+        "recursive": False,
+        "color": False,
+        "offsets": False,
+        "noline": False,
+        "single": False,
+        "low_mem": False,
+        "cores": 0,
+        "pcre2": False,
+        "literal": False,
+        "multi": False,
+        "stats": False,
+    }
+    chunk_size = 1 << 30
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--stats":
+            opts["stats"] = True
+        elif a == "--":
+            args.extend(argv[i + 1 :])
+            break
+        elif a.startswith("-") and len(a) > 1 and not args:
+            j = 1
+            while j < len(a):
+                c = a[j]
+                if c in "rR":
+                    opts["recursive"] = True
+                elif c == "I":
+                    opts["color"] = True
+                elif c == "O":
+                    opts["offsets"] = True
+                elif c == "l":
+                    opts["noline"] = True
+                elif c == "s":
+                    opts["single"] = True
+                elif c == "L":
+                    opts["low_mem"] = True
+                    chunk_size >>= 1
+                    if chunk_size < MIN_CHUNK:
+                        chunk_size = MIN_CHUNK
+                elif c == "2":
+                    opts["pcre2"] = True
+                elif c == "S":
+                    opts["literal"] = True
+                elif c == "H":
+                    opts["multi"] = True
+                elif c == "n":
+                    if j + 1 < len(a):
+                        opts["cores"] = int(a[j + 1 :])
+                        j = len(a)
+                    else:
+                        i += 1
+                        opts["cores"] = int(argv[i])
+                else:
+                    return None, None, None
+                j += 1
+        else:
+            args.append(a)
+        i += 1
+    return opts, chunk_size, args
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    prog = "tpugrep"
+    opts, chunk_size, args = parse_args(argv)
+    if opts is None or len(args) < 2:
+        sys.stdout.write(USAGE.format(p=prog))
+        return 1
+
+    pattern_arg, paths = args[0], args[1:]
+
+    if opts["cores"] > 1 and not opts["recursive"]:
+        print("Multicore support only for recursive grabs.", file=sys.stderr)
+        return 255
+    if opts["cores"] > 1:
+        chunk_size >>= 2  # main.cc:172-173
+
+    out_cfg = OutputConfig(
+        colored=opts["color"] and sys.stdout.isatty(),
+        print_line=not opts["noline"],
+        print_offset=opts["offsets"],
+        single_match=opts["single"],
+        recursive=opts["recursive"],
+        print_path=len(paths) > 1,
+        chunk_size=chunk_size,
+    )
+    mode = "literal" if opts["literal"] else ("pcre2" if opts["pcre2"] else "pcre1")
+    cfg = EngineConfig(output=out_cfg, mode=mode)
+
+    if opts["multi"]:
+        # -H: pattern argument is a file of patterns, one per line
+        try:
+            with open(pattern_arg, "rb") as f:
+                patterns = [ln for ln in f.read().splitlines() if ln]
+        except OSError as e:
+            print(f"{pattern_arg}: {e.strerror}", file=sys.stderr)
+            return 255
+    else:
+        patterns = [pattern_arg.encode("utf-8", "surrogateescape")]
+
+    try:
+        engine = Engine(patterns, cfg)
+    except Exception as e:
+        print(f"tpugrep: pattern compile error: {e}", file=sys.stderr)
+        return 255
+
+    stdout = sys.stdout.buffer
+
+    def emit(buf: bytes):
+        stdout.write(buf)
+
+    import time
+
+    t0 = time.time()
+    nbytes = 0
+
+    if opts["recursive"]:
+        if opts["cores"] > 1:
+            from grab_tpu.parallel.runner import run_parallel
+
+            nbytes = run_parallel(engine, paths[0], emit, opts["cores"])
+        else:
+            engine.find_recursive(paths[0], emit)
+    else:
+        for p in paths:
+            if engine.scan_file(p, emit) < 0:
+                print(f"{engine.err}", file=sys.stderr)
+                return 255
+    stdout.flush()
+
+    if opts["stats"]:
+        dt = time.time() - t0
+        print(
+            f"tpugrep: {dt:.3f}s"
+            + (f", {nbytes / dt / 1e9:.2f} GB/s" if nbytes else ""),
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,298 @@
+"""Engine: the FileGrep equivalent, orchestrating compile → scan → emit.
+
+Pipeline per file (the TPU restructuring of FileGrep::find,
+/root/reference/src/grab.cc:131-239):
+
+  1. minlength file prune (grab.cc:133-135) — host, no I/O beyond stat;
+  2. candidate generation — device scan kernels produce a per-block
+     candidate count vector (superset of true match positions);
+     zero counts let whole chunks/files be skipped with no host work
+     (the dominant path for miss-heavy benchmarks, README.md:125-127);
+  3. exact replay — the host formatter walks the reference's chunk/match
+     loop, with exact searches narrowed to candidate lines;
+  4. emit — per-chunk buffers, reference grammar, deterministic order.
+
+Engine modes:
+  * ``pcre1``  (default): PikeVM/backtracker exact engine + PCRE1 quirks
+    (a pattern with capturing groups produces no output, because grab
+    passes a 3-slot ovector — grab.cc:171-179);
+  * ``pcre2``  (-2): libpcre2 exact engine, no ovector quirk;
+  * ``literal`` (-S): fixed-string patterns, literal kernel only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from grab_tpu.format.emitter import ChunkReplayer, OutputConfig
+from grab_tpu.ingest.walker import walk_files
+from grab_tpu.regex import ast as A
+from grab_tpu.regex.compiler import CompiledPattern, compile_multi
+
+CANDIDATE_BLOCK = 512  # bytes per candidate block shipped to host
+DEVICE_SEGMENT = 8 << 20  # device scan segment for big files
+SEGMENT_HALO = 0x1000
+
+
+class CandidateIndex:
+    """Per-file candidate structure: block-granular superset flags of
+    match positions (ends or starts — the line-narrowed replay treats
+    both identically)."""
+
+    def __init__(self, counts: Optional[np.ndarray], block: int):
+        self.counts = counts  # int32 [ceil(n/block)] or None (= unknown)
+        self.block = block
+
+    def any_in(self, lo: int, hi: int) -> bool:
+        if self.counts is None:
+            return True
+        b0 = lo // self.block
+        b1 = -(-hi // self.block)
+        return bool(self.counts[b0:b1].any())
+
+    def flagged_blocks(self, lo: int, hi: int):
+        """Yield (block_lo, block_hi) byte ranges of flagged blocks
+        intersecting [lo, hi), in order."""
+        if self.counts is None:
+            yield (lo, hi)
+            return
+        b0 = lo // self.block
+        b1 = min(-(-hi // self.block), len(self.counts))
+        nz = np.nonzero(self.counts[b0:b1])[0]
+        for k in nz:
+            b = (b0 + int(k)) * self.block
+            yield (b, b + self.block)
+
+
+class CandidateSearcher:
+    """Exact searcher accelerated by candidate blocks.
+
+    Contract: same result as ``matcher.search(data, lo, hi, alo, ahi)``,
+    assuming the candidate index covers every true match position
+    (superset property, enforced by kernel tests)."""
+
+    def __init__(
+        self,
+        matcher,
+        index: CandidateIndex,
+        line_narrow: bool,
+    ):
+        self.matcher = matcher
+        self.index = index
+        self.line_narrow = line_narrow  # pattern cannot match \n
+
+    def __call__(self, data: bytes, lo: int, hi: int, alo: int, ahi: int):
+        if self.index.counts is None:
+            return self.matcher.search(data, lo, hi, alo=alo, ahi=ahi)
+        if not self.line_narrow:
+            # cannot narrow to lines; any candidate → full window scan
+            if not self.index.any_in(lo, hi):
+                return None
+            return self.matcher.search(data, lo, hi, alo=alo, ahi=ahi)
+        pos = lo
+        for b_lo, b_hi in self.index.flagged_blocks(lo, hi):
+            if b_hi <= pos:
+                continue
+            # expand to enclosing lines (matches cannot cross \n)
+            nl = data.rfind(b"\n", 0, max(b_lo, pos))
+            win_lo = max(pos, nl + 1)
+            nl = data.find(b"\n", min(b_hi, hi))
+            win_hi = hi if nl < 0 else min(nl, hi)
+            if win_lo >= win_hi:
+                continue
+            m = self.matcher.search(data, win_lo, win_hi, alo=alo, ahi=ahi)
+            if m is not None:
+                return m
+            pos = max(pos, win_hi)  # whole line(s) cleared
+        return None
+
+
+class _NeverMatch:
+    """PCRE1 capture-group quirk: grab's 3-slot ovector makes pcre_exec
+    return 0 for any pattern with a capturing group, which grab treats
+    as no-match (grab.cc:171-179) → zero output, exit 0."""
+
+    def search(self, data, lo, hi, alo=None, ahi=None):
+        return None
+
+
+@dataclass
+class EngineConfig:
+    output: OutputConfig = field(default_factory=OutputConfig)
+    mode: str = "pcre1"  # pcre1 | pcre2 | literal
+    device: str = "auto"  # auto | jnp | none  (none = pure host scan)
+    pcre1_quirks: bool = True  # replicate the ovector[3] capture quirk
+    n_streams: int = 512
+
+
+class Engine:
+    def __init__(self, patterns, config: Optional[EngineConfig] = None):
+        self.cfg = config or EngineConfig()
+        if isinstance(patterns, (str, bytes)):
+            patterns = [patterns]
+        self.compiled: CompiledPattern = compile_multi(
+            patterns, literal_mode=(self.cfg.mode == "literal")
+        )
+        self.err: str = ""
+        self._exact = self._make_exact_matcher()
+        self._line_narrow = not any(
+            A.may_match_newline(t) for t in self.compiled.asts
+        )
+        self._scan_fn = None  # lazy jnp/pallas scan closure
+
+    # -- exact engine selection ----------------------------------------
+
+    def _make_exact_matcher(self):
+        cp = self.compiled
+        if self.cfg.mode == "pcre2":
+            from grab_tpu.regex import pcre2
+
+            if pcre2.available():
+                if cp.n_patterns == 1:
+                    return pcre2.PCRE2Pattern(cp.patterns[0])
+                return _MultiMatcher(
+                    [pcre2.PCRE2Pattern(p) for p in cp.patterns]
+                )
+            # fall through to our engine (semantics match on the subset)
+        if self.cfg.mode == "pcre1" and self.cfg.pcre1_quirks and cp.has_captures:
+            return _NeverMatch()
+        if cp.n_patterns == 1:
+            return cp.matchers[0]
+        return _MultiMatcher(cp.matchers)
+
+    # -- candidate generation ------------------------------------------
+
+    def _candidates(self, data: bytes) -> CandidateIndex:
+        cp = self.compiled
+        if (
+            self.cfg.device == "none"
+            or cp.min_len == 0
+            or (cp.dfa is None and not cp.literals)
+            or isinstance(self._exact, _NeverMatch)
+        ):
+            return CandidateIndex(None, CANDIDATE_BLOCK)
+        n = len(data)
+        if n == 0:
+            return CandidateIndex(np.zeros(0, dtype=np.int32), CANDIDATE_BLOCK)
+        counts = self._device_scan(data)
+        return CandidateIndex(counts, CANDIDATE_BLOCK)
+
+    def _device_scan(self, data: bytes) -> np.ndarray:
+        """Run the device candidate scan over a file's bytes, segmenting
+        large files with a halo (same missed->long-span caveat as the
+        reference's 4 KiB chunk overlap, README.md:116-119)."""
+        import jax.numpy as jnp
+
+        from grab_tpu.ops.dfa_scan import dfa_scan_bitmap, bitmap_block_counts
+        from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
+
+        cp = self.compiled
+        n = len(data)
+        nblocks = -(-n // CANDIDATE_BLOCK)
+        counts = np.zeros(nblocks, dtype=np.int32)
+        use_dfa = cp.dfa is not None and cp.dfa.n_states <= 4096
+        if use_dfa:
+            table = jnp.asarray(cp.dfa.table)
+            cmap = jnp.asarray(cp.dfa.class_map)
+            acc = jnp.asarray(cp.dfa.accept_mask)
+            start = jnp.int32(cp.dfa.start)
+        else:
+            mat, lens = literal_matrix(cp.literals)
+            mat = jnp.asarray(mat)
+            lens = jnp.asarray(lens)
+        seg = DEVICE_SEGMENT
+        off = 0
+        while off < n:
+            end = min(off + seg + SEGMENT_HALO, n)
+            raw = np.frombuffer(data[off:end], dtype=np.uint8)
+            S = min(self.cfg.n_streams, max(1, raw.shape[0] // 4096))
+            padded = -(-raw.shape[0] // S) * S
+            buf = np.zeros(padded, dtype=np.uint8)
+            buf[: raw.shape[0]] = raw
+            if use_dfa:
+                bitmap = dfa_scan_bitmap(
+                    table, cmap, acc, start, jnp.asarray(buf), n_streams=S
+                )
+            else:
+                bitmap = literal_scan_bitmap(mat, lens, jnp.asarray(buf))
+            # pad bitmap to block multiple, reduce, OR into global counts
+            blk = CANDIDATE_BLOCK
+            nb = -(-padded // blk)
+            bm = np.asarray(bitmap)[: raw.shape[0]]
+            pad = np.zeros(nb * blk, dtype=bool)
+            pad[: bm.shape[0]] = bm
+            seg_counts = pad.reshape(nb, blk).sum(axis=1).astype(np.int32)
+            b0 = off // blk  # off is a multiple of seg (and of blk)
+            hi_b = min(b0 + nb, nblocks)
+            counts[b0:hi_b] = np.maximum(counts[b0:hi_b], seg_counts[: hi_b - b0])
+            off += seg
+        return counts
+
+    # -- scanning ------------------------------------------------------
+
+    def scan_data(
+        self, path: str, data: bytes, emit: Callable[[bytes], None]
+    ) -> int:
+        """Scan one in-memory buffer, emitting reference-grammar output."""
+        cp = self.compiled
+        if cp.min_len > len(data):
+            return 0
+        index = self._candidates(data)
+        searcher = CandidateSearcher(self._exact, index, self._line_narrow)
+        replayer = ChunkReplayer(self.cfg.output, searcher, cp.min_len)
+        replayer.scan_buffer(path, data, emit)
+        return 0
+
+    def scan_file(self, path: str, emit: Callable[[bytes], None]) -> int:
+        try:
+            st = os.stat(path)
+        except OSError as e:
+            self.err = f"Engine::scan_file::stat: {e.strerror}"
+            return -1
+        import stat as stat_mod
+
+        if stat_mod.S_ISDIR(st.st_mode):
+            # grab.cc:254
+            print("Clever boy! Want recursion? Add -R!", file=sys.stderr)
+            return 0
+        if not stat_mod.S_ISREG(st.st_mode):
+            return 0
+        if self.compiled.min_len > st.st_size:
+            return 0  # prune without opening (grab.cc:133-135)
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError as e:
+            self.err = f"Engine::scan_file::open: {e.strerror}"
+            return -1
+        return self.scan_data(path, data, emit)
+
+    def find_recursive(self, root: str, emit: Callable[[bytes], None]) -> int:
+        self.cfg.output.recursive = True
+        for entry in walk_files(root):
+            if self.compiled.min_len > entry.size:
+                continue
+            if self.scan_file(entry.path, emit) < 0:
+                print(f"{entry.path}: {self.err}", file=sys.stderr)
+        return 0
+
+
+class _MultiMatcher:
+    """Leftmost-across-patterns search: earliest start wins; ties broken
+    by pattern order (hyperscan-batch semantics for reporting)."""
+
+    def __init__(self, matchers):
+        self.matchers = matchers
+
+    def search(self, data, lo, hi, alo=None, ahi=None):
+        best = None
+        for m in self.matchers:
+            r = m.search(data, lo, hi, alo=alo, ahi=ahi)
+            if r is not None and (best is None or r[0] < best[0]):
+                best = r
+        return best

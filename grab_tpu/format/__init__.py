@@ -1,0 +1,5 @@
+"""Reference-exact output formatting (the stdout grammar of grab)."""
+
+from grab_tpu.format.emitter import ChunkReplayer, OutputConfig
+
+__all__ = ["ChunkReplayer", "OutputConfig"]

@@ -1,0 +1,150 @@
+"""Byte-for-byte replay of the reference's output grammar.
+
+The scan kernels find *where* matches are at memory bandwidth; this
+module reproduces *what grab prints* by replaying the match/emit loop of
+FileGrep::find (/root/reference/src/grab.cc:131-239) over the original
+bytes. Every quirk documented in SURVEY §3.5 is implemented:
+
+  * restart rule ``start += ovector[1] + a`` (grab.cc:209): with line
+    printing on, scanning resumes after the consumed after-context, so
+    only the first match per line is reported — unless the line tail
+    exceeds 511 bytes;
+  * 511-byte before/after context caps, stopping at ``\\n``
+    (grab.cc:173, 188-196);
+  * before-context bounded by the *current window start*, not the line
+    or chunk start (``ptr >= start``, grab.cc:192);
+  * ``path:`` prefix iff recursive or multi-path (grab.cc:182-183),
+    offset lines iff -O (grab.cc:185-186), ANSI reverse video iff -I on
+    a tty (grab.cc:66-67, 198-202), ``matches\\n`` + per-chunk break for
+    -l without -O (grab.cc:204-207);
+  * -s single-match breaks both loops (grab.cc:211-212, 232-233);
+  * 1 GiB chunk stride with 4 KiB overlap → duplicate reports for
+    matches inside the overlap (grab.cc:151-154, README.md:116-119);
+  * per-chunk output buffering (flush boundaries define interleave
+    granularity in parallel mode, grab.cc:217-234).
+
+Documented deviation: a pattern matching the empty string makes the
+reference spin forever (no PCRE_NOTEMPTY, SURVEY §3.5); we advance one
+byte instead of hanging.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Tuple
+
+# ANSI reverse video, matching FileGrep::start_inv/stop_inv (grab.cc:66-67)
+START_INV = b"\33[7m"
+STOP_INV = b"\33[27m"
+
+CONTEXT_CAP = 511  # before[512]/after[512] walked to at most 511 bytes
+OVERLAP = 0x1000  # 4 KiB chunk-boundary overlap (grab.cc:151)
+
+
+@dataclass
+class OutputConfig:
+    colored: bool = False  # -I (only if stdout is a tty)
+    print_line: bool = True  # cleared by -l
+    print_offset: bool = False  # -O
+    single_match: bool = False  # -s
+    recursive: bool = False  # -r/-R
+    print_path: bool = False  # multiple path args (main.cc:249-250)
+    chunk_size: int = 1 << 30  # -L halves, multicore quarters
+
+
+# A searcher finds the leftmost match scanning data[lo:hi] with anchors
+# relative to the subject window data[alo:ahi]; returns (start, end) or
+# None. The engine supplies either a plain exact matcher or a
+# kernel-candidate-accelerated one.
+Searcher = Callable[[bytes, int, int, int, int], Optional[Tuple[int, int]]]
+
+
+class ChunkReplayer:
+    def __init__(self, config: OutputConfig, searcher: Searcher, min_len: int):
+        self.cfg = config
+        self.search = searcher
+        self.min_len = max(min_len, 0)
+
+    def scan_buffer(self, path: str, data: bytes, emit: Callable[[bytes], None]) -> None:
+        """Replay the full chunked scan of one file's bytes.
+
+        ``emit`` is called once per non-empty chunk buffer — the flush
+        unit the reference serializes under stdout_lock (grab.cc:217-226).
+        """
+        cfg = self.cfg
+        size = len(data)
+        if self.min_len > size:
+            return  # whole-file prune (grab.cc:133-135)
+        path_b = path.encode("utf-8", "surrogateescape")
+        stride = cfg.chunk_size - OVERLAP
+        off = 0
+        while off < size:
+            clen = min(cfg.chunk_size, size - off)
+            buf = self._scan_chunk(path_b, data, off, clen)
+            if buf:
+                emit(bytes(buf))
+                if cfg.single_match:
+                    break
+            off += stride
+
+    def _scan_chunk(
+        self, path_b: bytes, data: bytes, off: int, clen: int
+    ) -> bytearray:
+        """One iteration of the mmap chunk loop (grab.cc:154-235).
+
+        ``off`` is the chunk's file offset, the window is
+        data[off : off+clen]; all searcher positions are absolute in
+        ``data``.
+        """
+        cfg = self.cfg
+        out = bytearray()
+        lo = off  # current window start ("start" pointer in grab)
+        end = off + clen
+        while lo + self.min_len < end:
+            m = self.search(data, lo, end, lo, end)
+            if m is None:
+                break
+            ms, me = m
+            if cfg.recursive or cfg.print_path:
+                out += path_b + b":"
+            if cfg.print_offset:
+                # off + (start - content) + ovector[0] (grab.cc:186)
+                # collapses to the absolute file offset of the match
+                out += b"Match at offset %d\n" % (ms,)
+            a = 0
+            if cfg.print_line:
+                # before-context: back from match start to \n, window
+                # start, or 511 bytes (grab.cc:188-197)
+                b_start = ms
+                while (
+                    b_start > lo
+                    and data[b_start - 1] != 0x0A
+                    and ms - b_start < CONTEXT_CAP
+                ):
+                    b_start -= 1
+                # after-context: forward from match end to \n, chunk
+                # end, or 511 bytes; does not consume the \n
+                a_end = me
+                while a_end < end and data[a_end] != 0x0A and a < CONTEXT_CAP:
+                    a_end += 1
+                    a += 1
+                out += data[b_start:ms]
+                if cfg.colored:
+                    out += START_INV
+                out += data[ms:me]
+                if cfg.colored:
+                    out += STOP_INV
+                out += data[me:a_end] + b"\n"
+            elif not cfg.print_offset:
+                out += b"matches\n"
+                break
+            new_lo = me + a
+            if new_lo == lo:
+                # empty match at the window start, no progress: the
+                # reference hangs here (SURVEY §3.5); we advance one
+                # byte instead.
+                new_lo = lo + 1
+            lo = new_lo
+            if cfg.single_match:
+                break
+        return out

@@ -1,0 +1,11 @@
+"""Corpus ingest: directory walking, file reading, chunk packing.
+
+The host-side replacement for the reference's nftw walker + mmap loop
+(/root/reference/src/grab.cc:137-169, 260-279, main.cc:74-83). A C++
+native library provides the production walker/packer; the pure-Python
+fallback keeps everything runnable without the native build.
+"""
+
+from grab_tpu.ingest.walker import walk_files, WalkEntry
+
+__all__ = ["walk_files", "WalkEntry"]

@@ -1,0 +1,77 @@
+"""Corpus walker with nftw(FTW_PHYS) semantics.
+
+Mirrors the reference walk (/root/reference/src/grab.cc:263-279,
+main.cc:74-83):
+  * physical traversal — symlinks are never followed (FTW_PHYS),
+  * only regular files are visited (FTW_F && S_ISREG),
+  * per-file/per-dir error containment: unreadable entries report to
+    stderr and the walk continues (grab.cc:267-268).
+
+Deviation (documented): nftw visits entries in readdir order, which is
+filesystem-dependent; we sort entries so corpus enumeration — and hence
+our deterministic merged output — is stable across runs and hosts. The
+reference's own conformance methodology compares sorted output
+(README.md:209-216), so this strictly strengthens reproducibility.
+"""
+
+from __future__ import annotations
+
+import os
+import stat as stat_mod
+import sys
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional
+
+
+@dataclass(frozen=True)
+class WalkEntry:
+    path: str
+    size: int
+
+
+def walk_files(
+    root: str,
+    on_error: Optional[Callable[[str, str], None]] = None,
+) -> Iterator[WalkEntry]:
+    """Yield regular files under ``root`` (or ``root`` itself), physical
+    traversal, sorted order, errors contained per entry."""
+
+    def report(path: str, msg: str):
+        if on_error is not None:
+            on_error(path, msg)
+        else:
+            print(f"{path}: {msg}", file=sys.stderr)
+
+    try:
+        st = os.lstat(root)
+    except OSError as e:
+        report(root, e.strerror or str(e))
+        return
+    if stat_mod.S_ISREG(st.st_mode):
+        yield WalkEntry(root, st.st_size)
+        return
+    if not stat_mod.S_ISDIR(st.st_mode):
+        return
+
+    stack = [root]
+    while stack:
+        d = stack.pop()
+        try:
+            entries = sorted(os.scandir(d), key=lambda e: e.name)
+        except OSError as e:
+            report(d, e.strerror or str(e))
+            continue
+        subdirs = []
+        for ent in entries:
+            try:
+                est = ent.stat(follow_symlinks=False)
+            except OSError as e:
+                report(ent.path, e.strerror or str(e))
+                continue
+            if stat_mod.S_ISREG(est.st_mode):
+                yield WalkEntry(ent.path, est.st_size)
+            elif stat_mod.S_ISDIR(est.st_mode):
+                subdirs.append(ent.path)
+        # LIFO stack: push reversed so traversal is depth-first in
+        # sorted order
+        stack.extend(reversed(subdirs))

@@ -1,0 +1,13 @@
+"""Device scan operations.
+
+Each op has two implementations with one contract, oracled by
+``grab_tpu.golden``:
+
+  * a jnp reference (runs anywhere, including the CPU test mesh),
+  * a Pallas TPU kernel (the production hot path).
+
+The contract: consume a padded uint8 chunk batch, emit a per-byte
+candidate bitmap / per-block candidate counts with fixed shapes —
+variable-size match lists never leave the device (SURVEY §7 "fixed-size
+match buffers + overflow flag").
+"""

@@ -1,0 +1,104 @@
+"""Multi-stream DFA candidate scan (jnp reference implementation).
+
+Parallelizes the inherently sequential DFA walk the same way the
+reference parallelizes files across cores and chunks across the mmap
+loop (/root/reference/src/grab.cc:154, main.cc:94): the chunk is split
+into S independent streams, each scanned from the automaton start state
+with an H-byte halo extension past its segment end. A match (end) at
+global position p is detected by the stream whose extended window covers
+p from a start position at or before the match start — exactly the
+4 KiB-overlap chunk trick of the reference (grab.cc:151-154) pushed down
+to the stream level. Matches longer than H spanning a stream boundary
+are missed, the same documented limitation as the reference's chunk
+overlap (README.md:116-119); H defaults to the reference's 4 KiB.
+
+The scan state is int32[S]; each step is a vectorized 2-D table gather —
+XLA keeps the table resident and the byte stream flowing; the Pallas
+kernel (dfa_kernel.py) owns the memory movement explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_HALO = 0x1000  # 4 KiB, matching the reference overlap (grab.cc:151)
+
+
+def pad_to_streams(n: int, n_streams: int) -> int:
+    """Padded chunk length: multiple of n_streams."""
+    return -(-n // n_streams) * n_streams
+
+
+@partial(jax.jit, static_argnames=("n_streams", "halo"))
+def dfa_scan_bitmap(
+    table: jax.Array,  # int32 [n_states, n_classes]
+    class_map: jax.Array,  # int32 [256]
+    accept: jax.Array,  # bool  [n_states]
+    start_state: jax.Array,  # int32 scalar
+    data: jax.Array,  # uint8 [N], N % n_streams == 0
+    n_streams: int = 512,
+    halo: int = DEFAULT_HALO,
+) -> jax.Array:
+    """bool[N]: candidate match-end bitmap (superset of true ends)."""
+    n = data.shape[0]
+    seg = n // n_streams
+    h = min(halo, seg)
+    win_len = seg + h
+    # window index matrix, clamped at the last byte (clamped tail reads
+    # can only add false candidates — superset stays valid)
+    starts = jnp.arange(n_streams, dtype=jnp.int32) * seg
+    idx = starts[:, None] + jnp.arange(win_len, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, n - 1)
+    win = data[idx]  # [S, win_len]
+    cls = class_map[win.astype(jnp.int32)]  # [S, win_len]
+
+    def step(state, c):
+        ns = table[state, c]
+        return ns, accept[ns]
+
+    init = jnp.full((n_streams,), start_state, dtype=jnp.int32)
+    _, bits = jax.lax.scan(step, init, cls.T)  # bits: [win_len, S]
+    bits = bits.T  # [S, win_len]
+    main = bits[:, :seg]
+    if h > 0:
+        # a stream's tail covers the first h positions of the next
+        # stream's segment; OR it in (stream boundaries overlap like the
+        # reference's chunk boundaries)
+        tails = bits[:, seg:]  # [S, h]
+        prev_tails = jnp.concatenate(
+            [jnp.zeros((1, h), dtype=bits.dtype), tails[:-1]], axis=0
+        )
+        main = main.at[:, :h].set(main[:, :h] | prev_tails)
+    return main.reshape(n)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def bitmap_block_counts(bitmap: jax.Array, block: int) -> jax.Array:
+    """int32[N/block]: candidate count per block (fixed-shape result the
+    host pulls; a zero count lets the host skip the block entirely)."""
+    n = bitmap.shape[0]
+    nb = n // block
+    return bitmap.reshape(nb, block).sum(axis=1, dtype=jnp.int32)
+
+
+def np_dfa_scan_bitmap(dfa, data: np.ndarray, n_streams=8, halo=DEFAULT_HALO):
+    """Convenience wrapper for tests: numpy in, numpy out."""
+    n = data.shape[0]
+    padded = pad_to_streams(n, n_streams)
+    buf = np.zeros(padded, dtype=np.uint8)
+    buf[:n] = data
+    out = dfa_scan_bitmap(
+        jnp.asarray(dfa.table),
+        jnp.asarray(dfa.class_map),
+        jnp.asarray(dfa.accept_mask),
+        jnp.int32(dfa.start),
+        jnp.asarray(buf),
+        n_streams=n_streams,
+        halo=halo,
+    )
+    return np.asarray(out)[:n]

@@ -1,0 +1,62 @@
+"""Multi-literal prefilter scan (jnp reference implementation).
+
+The TPU analog of hyperscan's literal engines (greppin's -S/-H modes,
+/root/reference/README.md:25-31, 46-50): find every position where one
+of K literal factors begins, using shifted byte-plane compares — pure
+VPU elementwise work that runs at memory bandwidth, no sequential state.
+
+For each literal, position i matches iff data[i+j] == lit[j] for all j.
+We compare up to the first PREFIX_CAP bytes on device (longer literals
+are confirmed host-side / by the DFA stage; a prefix hit is already a
+candidate, and candidates are a superset by design).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PREFIX_CAP = 8
+
+
+def literal_matrix(literals: List[bytes]) -> np.ndarray:
+    """Pack literals into a [K, PREFIX_CAP] byte matrix plus length
+    vector; bytes past a literal's length are wildcards."""
+    k = len(literals)
+    mat = np.zeros((k, PREFIX_CAP), dtype=np.uint8)
+    lens = np.zeros((k,), dtype=np.int32)
+    for i, lit in enumerate(literals):
+        p = lit[:PREFIX_CAP]
+        mat[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        lens[i] = len(p)
+    return mat, lens
+
+
+@jax.jit
+def literal_scan_bitmap(
+    lit_mat: jax.Array,  # uint8 [K, PREFIX_CAP]
+    lit_len: jax.Array,  # int32 [K]
+    data: jax.Array,  # uint8 [N]
+) -> jax.Array:
+    """bool[N]: out[i] == True iff some literal's (capped) prefix starts
+    at i. Positions within PREFIX_CAP of the end use clamped reads; the
+    host re-checks tails, so clamp-induced extras are harmless."""
+    n = data.shape[0]
+    k, cap = lit_mat.shape
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    windows = data[jnp.minimum(idx, n - 1)]  # [N, cap]
+    # [K, N, cap] compare; wildcard where j >= lit_len[k]
+    eq = windows[None, :, :] == lit_mat[:, None, :]
+    wild = jnp.arange(cap, dtype=jnp.int32)[None, None, :] >= lit_len[:, None, None]
+    hit = jnp.all(eq | wild, axis=-1)  # [K, N]
+    return jnp.any(hit, axis=0)
+
+
+def np_literal_scan_bitmap(literals: List[bytes], data: np.ndarray) -> np.ndarray:
+    mat, lens = literal_matrix(literals)
+    out = literal_scan_bitmap(jnp.asarray(mat), jnp.asarray(lens), jnp.asarray(data))
+    return np.asarray(out)

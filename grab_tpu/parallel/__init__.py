@@ -1,0 +1,11 @@
+"""Parallel scan orchestration: corpus sharding, device mesh scan step,
+collective reduction, deterministic merge.
+
+Replaces the reference's pthread pool + stdout mutex
+(/root/reference/src/main.cc:163-230, grab.cc:56) with data-parallel
+sharding over a jax.sharding.Mesh: the compiled automaton is replicated
+per device, corpus chunks are the sharded axis, match counts ride
+jax.lax.psum, and output is merged deterministically by
+(file_index, offset) — the order the reference only achieves modulo
+`sort` (README.md:209-216).
+"""

@@ -278,6 +278,27 @@ def has_anchors(node: Node) -> bool:
     return False
 
 
+def may_match_newline(node: Node) -> bool:
+    """Conservative: True if any matchable byte class contains ``\\n``.
+
+    When False, every match lies within one line, so the host replay can
+    narrow exact scans to the lines overlapping kernel candidate blocks.
+    """
+    if isinstance(node, CharClass):
+        return node.contains(0x0A)
+    if isinstance(node, Group):
+        return may_match_newline(node.node)
+    if isinstance(node, Concat):
+        return any(may_match_newline(p) for p in node.parts)
+    if isinstance(node, Alt):
+        return any(may_match_newline(b) for b in node.branches)
+    if isinstance(node, Repeat):
+        return may_match_newline(node.node)
+    if isinstance(node, Backref):
+        return True  # unknown content
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Mandatory-literal extraction (prefilter factors)
 # ---------------------------------------------------------------------------

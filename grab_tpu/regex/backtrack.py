@@ -194,8 +194,9 @@ class Matcher:
     def match_at(
         self, data: bytes, pos: int, lo: int, hi: int
     ) -> Optional[int]:
-        """Try to match with the subject being data[lo:hi], starting
-        exactly at ``pos``. Returns match end or None."""
+        """Try to match with the subject being data[lo:hi] (anchors are
+        evaluated against lo/hi), starting exactly at ``pos``. Returns
+        match end or None."""
         code = self.prog.code
         masks = self.prog.masks
         groups = [-1] * (2 * (self.prog.n_groups + 1))
@@ -300,20 +301,30 @@ class Matcher:
             pc, cur = bt
 
     def search(
-        self, data: bytes, lo: int, hi: int, min_len: int = 0
+        self,
+        data: bytes,
+        lo: int,
+        hi: int,
+        min_len: int = 0,
+        alo: Optional[int] = None,
+        ahi: Optional[int] = None,
     ) -> Optional[Tuple[int, int]]:
-        """Leftmost match with subject = data[lo:hi].
+        """Leftmost match scanning data[lo:hi]; anchors evaluated
+        against the subject window data[alo:ahi] (defaults to scan
+        window).
 
         Emulates pcre_exec(subject=window, startoffset=0): tries each
         start position left to right; at the first position that matches,
         the engine's first-preference extent is the answer.
         """
+        alo = lo if alo is None else alo
+        ahi = hi if ahi is None else ahi
         if self._pike is not None:
-            return self._pike.search(data, lo, hi)
+            return self._pike.search(data, lo, hi, alo=alo, ahi=ahi)
         last_start = hi - min_len
         pos = lo
         while pos <= last_start:
-            end = self.match_at(data, pos, lo, hi)
+            end = self.match_at(data, pos, alo, ahi)
             if end is not None:
                 return (pos, end)
             pos += 1

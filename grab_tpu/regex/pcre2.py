@@ -116,17 +116,30 @@ class PCRE2Pattern:
         if getattr(self, "_code", None):
             lib.pcre2_code_free_8(self._code)
 
-    def search(self, data: bytes, lo: int = 0, hi: Optional[int] = None) -> Optional[Tuple[int, int]]:
-        """Leftmost match with subject = data[lo:hi]; offsets returned
-        relative to ``data`` (window-relative anchors, like the
-        reference's restarting pcre_exec window at grab.cc:178)."""
+    def search(
+        self,
+        data: bytes,
+        lo: int = 0,
+        hi: Optional[int] = None,
+        alo: Optional[int] = None,
+        ahi: Optional[int] = None,
+    ) -> Optional[Tuple[int, int]]:
+        """Leftmost match scanning data[lo:hi]; anchors relative to the
+        subject window data[alo:ahi] (defaults to the scan window), like
+        the reference's restarting pcre_exec window at grab.cc:178.
+        Implemented via pcre2_match's startoffset: subject=data[alo:ahi],
+        startoffset=lo-alo."""
         if hi is None:
             hi = len(data)
-        window = data[lo:hi]
-        rc = self._lib.pcre2_match_8(self._code, window, len(window), 0, 0, self._md, None)
+        alo = lo if alo is None else alo
+        ahi = hi if ahi is None else ahi
+        window = data[alo:ahi]
+        rc = self._lib.pcre2_match_8(
+            self._code, window, len(window), lo - alo, 0, self._md, None
+        )
         if rc == _PCRE2_ERROR_NOMATCH:
             return None
         if rc < 0:
             raise PCRE2Error(f"pcre2_match error {rc}")
         ov = self._lib.pcre2_get_ovector_pointer_8(self._md)
-        return (lo + ov[0], lo + ov[1])
+        return (alo + ov[0], alo + ov[1])

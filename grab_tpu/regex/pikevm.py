@@ -104,9 +104,22 @@ class PikeVM:
                 out.append((p, start))
 
     def search(
-        self, data: bytes, lo: int, hi: int, earliest_start: Optional[int] = None
+        self,
+        data: bytes,
+        lo: int,
+        hi: int,
+        alo: Optional[int] = None,
+        ahi: Optional[int] = None,
     ) -> Optional[Tuple[int, int]]:
-        """Leftmost-first match with subject = data[lo:hi]."""
+        """Leftmost-first match scanning data[lo:hi].
+
+        ``alo``/``ahi`` override the *assertion* window (default: the
+        scan window): the engine narrows the scan to candidate lines
+        while anchors stay relative to the reference's restart window
+        (subject = remaining chunk window, grab.cc:178).
+        """
+        alo = lo if alo is None else alo
+        ahi = hi if ahi is None else ahi
         code = self.prog.code
         masks = self.prog.masks
         clist: List[Tuple[int, int]] = []
@@ -114,7 +127,7 @@ class PikeVM:
         visited: set = set()
         pos = lo
         # seed initial threads
-        self._close(0, lo, data, lo, lo, hi, visited, clist)
+        self._close(0, lo, data, lo, alo, ahi, visited, clist)
         while True:
             nlist: List[Tuple[int, int]] = []
             nvisited: set = set()
@@ -123,7 +136,7 @@ class PikeVM:
                 if op[0] == CHAR:
                     if pos < hi and (masks[op[1]] >> data[pos]) & 1:
                         self._close(
-                            pc + 1, start, data, pos + 1, lo, hi, nvisited, nlist
+                            pc + 1, start, data, pos + 1, alo, ahi, nvisited, nlist
                         )
                 else:  # MATCH
                     match = (start, pos)
@@ -133,7 +146,7 @@ class PikeVM:
             pos += 1
             if match is None:
                 # seed a new start at lowest priority
-                self._close(0, pos, data, pos, lo, hi, nvisited, nlist)
+                self._close(0, pos, data, pos, alo, ahi, nvisited, nlist)
             if not nlist and match is not None:
                 break
             if not nlist and match is None and pos >= hi:

@@ -2,17 +2,24 @@
 
 Tests run on CPU with 8 virtual devices so mesh/sharding paths are
 exercised without TPU hardware (the standard JAX substitute — SURVEY §4).
-Must set env vars before jax is imported anywhere.
+
+Note: this environment's sitecustomize pre-imports jax and registers
+the axon TPU plugin before conftest runs, so JAX_PLATFORMS in os.environ
+is too late — use jax.config.update instead (works until the first
+backend client is created).
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,102 @@
+"""CLI surface tests (flag parsing, exit codes, output grammar)."""
+
+import io
+import sys
+
+import pytest
+
+from grab_tpu import cli
+
+
+def run_cli(argv, tmp_path=None):
+    buf = io.BytesIO()
+
+    class FakeStdout:
+        buffer = buf
+
+        @staticmethod
+        def isatty():
+            return False
+
+        @staticmethod
+        def write(s):
+            pass
+
+        @staticmethod
+        def flush():
+            pass
+
+    old = sys.stdout
+    sys.stdout = FakeStdout()
+    try:
+        rc = cli.main(argv)
+    finally:
+        sys.stdout = old
+    return rc, buf.getvalue()
+
+
+@pytest.fixture
+def tree(tmp_path):
+    (tmp_path / "d").mkdir()
+    (tmp_path / "d" / "a.txt").write_bytes(b"first needle line\nsecond line\n")
+    (tmp_path / "b.txt").write_bytes(b"needle at zero\nagain a needle\n")
+    return tmp_path
+
+
+def test_single_file(tree):
+    rc, out = run_cli([r"needle", str(tree / "b.txt")])
+    assert rc == 0
+    assert out == b"needle at zero\nagain a needle\n"
+
+
+def test_multi_path_prefix(tree):
+    rc, out = run_cli(["needle", str(tree / "b.txt"), str(tree / "d" / "a.txt")])
+    assert rc == 0
+    # path: prefix because >1 path args (main.cc:249-250)
+    assert out.startswith(str(tree / "b.txt").encode() + b":")
+
+
+def test_recursive_offsets(tree):
+    rc, out = run_cli(["-r", "-O", "-l", "needle", str(tree)])
+    assert rc == 0
+    lines = out.splitlines()
+    assert all(b"Match at offset" in l for l in lines)
+    assert len(lines) == 3
+
+
+def test_usage_and_errors(tree):
+    rc, _ = run_cli([])
+    assert rc == 1
+    rc, _ = run_cli(["-n", "4", "pattern", str(tree)])  # -n without -r
+    assert rc == 255
+    rc, _ = run_cli(["(unclosed", str(tree / "b.txt")])
+    assert rc == 255
+
+
+def test_literal_mode_flag(tree):
+    rc, out = run_cli(["-S", "-l", "-O", "need.e", str(tree / "b.txt")])
+    assert rc == 0
+    assert out == b""  # literal mode: '.' is not a wildcard
+    rc, out = run_cli(["-S", "-l", "-O", "needle", str(tree / "b.txt")])
+    assert out.count(b"Match") == 2
+
+
+def test_parallel_flag(tree):
+    rc, out = run_cli(["-n", "2", "-r", "-l", "-O", "needle", str(tree)])
+    assert rc == 0
+    assert out.count(b"Match at offset") == 3
+
+
+def test_multi_pattern_file(tree, tmp_path_factory):
+    # pattern file must live outside the scanned tree
+    pf = tmp_path_factory.mktemp("pats") / "patterns.txt"
+    pf.write_bytes(b"needle\nsecond\n")
+    rc, out = run_cli(["-H", "-r", "-l", "-O", str(pf), str(tree)])
+    assert rc == 0
+    assert out.count(b"Match at offset") == 4
+
+
+def test_single_match_flag(tree):
+    rc, out = run_cli(["-s", "needle", str(tree / "b.txt")])
+    assert rc == 0
+    assert out == b"needle at zero\n"

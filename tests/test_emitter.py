@@ -1,0 +1,179 @@
+"""Formatter conformance tests.
+
+Oracle: a direct, independent transliteration of the grab.cc:131-239
+output semantics using Python re as the match engine (kept deliberately
+separate from the product code so bugs can't cancel out)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from grab_tpu.format.emitter import ChunkReplayer, OutputConfig
+from grab_tpu.regex.backtrack import Matcher
+
+CAP = 511
+
+
+def oracle_scan(pattern, data, cfg: OutputConfig, path="f"):
+    """Independent oracle for the reference output grammar, driven by
+    Python re (PCRE-equivalent on the test subset)."""
+    creg = re.compile(pattern)
+    out = b""
+    size = len(data)
+    # minlen mirrors pcre_fullinfo(PCRE_INFO_MINLENGTH); re does not
+    # expose it, so reuse the analyzer (itself unit-tested separately)
+    from grab_tpu.regex import ast as A
+    from grab_tpu.regex.parser import parse
+
+    minlen = A.min_len(parse(pattern))
+    if minlen > size:
+        return b""
+    stride = cfg.chunk_size - 0x1000
+    off = 0
+    while off < size:
+        clen = min(cfg.chunk_size, size - off)
+        buf = b""
+        start = off
+        end = off + clen
+        while start + minlen < end:
+            m = creg.search(data[start:end])
+            if m is None:
+                break
+            ms, me = start + m.start(), start + m.end()
+            if cfg.recursive or cfg.print_path:
+                buf += path.encode() + b":"
+            if cfg.print_offset:
+                buf += b"Match at offset %d\n" % ms
+            a = 0
+            if cfg.print_line:
+                b0 = ms
+                while b0 > start and data[b0 - 1] != 0x0A and ms - b0 < CAP:
+                    b0 -= 1
+                ae = me
+                while ae < end and data[ae] != 0x0A and a < CAP:
+                    ae += 1
+                    a += 1
+                line = data[b0:ms]
+                if cfg.colored:
+                    line += b"\33[7m"
+                line += data[ms:me]
+                if cfg.colored:
+                    line += b"\33[27m"
+                line += data[me:ae] + b"\n"
+                buf += line
+            elif not cfg.print_offset:
+                buf += b"matches\n"
+                break
+            new_start = me + a
+            if new_start == start:
+                new_start += 1  # deviation: reference would hang
+            start = new_start
+            if cfg.single_match:
+                break
+        out += buf
+        if buf and cfg.single_match:
+            break
+        off += stride
+    return out
+
+
+def product_scan(pattern, data, cfg: OutputConfig, path="f"):
+    from grab_tpu.regex import ast as A
+    from grab_tpu.regex.parser import parse
+
+    matcher = Matcher.from_pattern(pattern)
+    minlen = A.min_len(parse(pattern))
+
+    def searcher(d, lo, hi, alo, ahi):
+        return matcher.search(d, lo, hi, alo=alo, ahi=ahi)
+
+    chunks = []
+    ChunkReplayer(cfg, searcher, minlen).scan_buffer(path, data, chunks.append)
+    return b"".join(chunks)
+
+
+TEXT = b"""alpha beta gamma
+second line with beta inside
+no match here
+beta at start
+trailing beta"""
+
+
+CONFIGS = [
+    OutputConfig(),
+    OutputConfig(print_offset=True),
+    OutputConfig(print_line=False),  # -l
+    OutputConfig(print_line=False, print_offset=True),  # -l -O
+    OutputConfig(single_match=True),  # -s
+    OutputConfig(recursive=True),
+    OutputConfig(colored=True),
+    OutputConfig(print_offset=True, recursive=True, colored=True),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[str(i) for i in range(len(CONFIGS))])
+@pytest.mark.parametrize("pattern", [rb"beta", rb"b[a-z]+a", rb"\bbeta\b", rb"x+"])
+def test_output_grammar(cfg, pattern):
+    got = product_scan(pattern, TEXT, cfg)
+    want = oracle_scan(pattern, TEXT, cfg)
+    assert got == want
+
+
+def test_first_match_per_line_restart():
+    # restart rule: with line printing, the consumed after-context skips
+    # the rest of the line → only first match per line (README.md:21-22)
+    data = b"one foo two foo three\nfoo again foo\n"
+    got = product_scan(rb"foo", data, OutputConfig())
+    assert got == b"one foo two foo three\nfoo again foo\n"
+    # with -l (noline) every match counts -> 'matches' printed once then break
+    got_l = product_scan(rb"foo", data, OutputConfig(print_line=False))
+    assert got_l == b"matches\n"
+    # with -l -O every match gets an offset line
+    got_lo = product_scan(
+        rb"foo", data, OutputConfig(print_line=False, print_offset=True)
+    )
+    assert got_lo == b"".join(
+        b"Match at offset %d\n" % i for i in [4, 12, 22, 32]
+    )
+
+
+def test_line_longer_than_511_bytes():
+    # a second match >511 bytes after the first on the same line IS
+    # reported (context cap truncation, SURVEY §3.5)
+    data = b"foo" + b"x" * 600 + b"foo" + b"y" * 10 + b"\n"
+    got = product_scan(rb"foo", data, OutputConfig(print_offset=True, print_line=True))
+    offsets = [int(l.split()[-1]) for l in got.splitlines() if l.startswith(b"Match")]
+    assert offsets == [0, 603]
+    want = oracle_scan(rb"foo", data, OutputConfig(print_offset=True, print_line=True))
+    assert got == want
+
+
+def test_chunk_overlap_duplicates():
+    # matches fully inside the 4 KiB overlap are reported twice at the
+    # same offset (README.md:116-119)
+    chunk = 1 << 16  # use a small chunk size to exercise the loop
+    cfg = OutputConfig(print_offset=True, print_line=False, chunk_size=chunk)
+    stride = chunk - 0x1000
+    data = bytearray(b"." * (chunk + 5000))
+    pos = stride + 100  # inside the second chunk's head overlap region
+    data[pos : pos + 3] = b"foo"
+    got = product_scan(rb"foo", bytes(data), cfg)
+    assert got == b"Match at offset %d\nMatch at offset %d\n" % (pos, pos)
+    want = oracle_scan(rb"foo", bytes(data), cfg)
+    assert got == want
+
+
+def test_minlen_eq_remaining_window_not_scanned():
+    # strict '<' in the match loop bound (grab.cc:175): a file whose
+    # size equals minlen is opened but never scanned
+    got = product_scan(rb"xyz", b"xyz", OutputConfig())
+    assert got == b""
+    # one byte more and it matches
+    got = product_scan(rb"xyz", b"xyzq", OutputConfig())
+    assert got == b"xyzq\n"
+
+
+def test_empty_file_and_prune():
+    assert product_scan(rb"a", b"", OutputConfig()) == b""
+    assert product_scan(rb"abcdef", b"abc", OutputConfig()) == b""

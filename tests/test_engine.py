@@ -1,0 +1,139 @@
+"""Engine end-to-end tests: candidate acceleration must be output-
+invariant vs pure host scanning, on files and directory trees."""
+
+import os
+
+import numpy as np
+import pytest
+
+from grab_tpu.engine import CandidateIndex, CandidateSearcher, Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+
+
+def run_engine(patterns, data=None, path=None, mode="pcre1", device="auto", **out_kw):
+    cfg = EngineConfig(output=OutputConfig(**out_kw), mode=mode, device=device)
+    eng = Engine(patterns, cfg)
+    chunks = []
+    if data is not None:
+        assert eng.scan_data("f", data, chunks.append) == 0
+    else:
+        assert eng.scan_file(path, chunks.append) == 0
+    return b"".join(chunks)
+
+
+TEXT = (
+    b"int main() {\n"
+    b"    printf(\"hello world\");\n"
+    b"    return 0;\n"
+    b"}\n"
+    b"// trailing comment with mainframe\n"
+)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [rb"main", rb"ma[a-z]+e", rb"hello|return", rb"\bmain\b", rb"^int", rb"zzz"],
+)
+def test_device_vs_host_output_identical(pattern):
+    a = run_engine(pattern, data=TEXT, device="auto")
+    b = run_engine(pattern, data=TEXT, device="none")
+    assert a == b
+
+
+def test_device_path_on_larger_corpus():
+    rng = np.random.default_rng(3)
+    blob = rng.integers(97, 123, size=300_000, dtype=np.uint8)
+    blob[blob == 0x0A] = 97
+    # sprinkle newlines and needles
+    for pos in range(5000, 300_000, 7919):
+        blob[pos] = 0x0A
+    data = bytearray(blob.tobytes())
+    for pos in [1234, 150_001, 299_900]:
+        data[pos : pos + 6] = b"needle"
+    data = bytes(data)
+    for pattern in [rb"needle", rb"need[a-z]+", rb"ne+dle"]:
+        a = run_engine(pattern, data=data, device="auto", print_offset=True)
+        b = run_engine(pattern, data=data, device="none", print_offset=True)
+        assert a == b
+        assert b"Match at offset 1234\n" in a
+
+
+def test_pcre1_capture_quirk():
+    # capturing group + 3-slot ovector -> no output (grab.cc:171-179)
+    assert run_engine(rb"(main)", data=TEXT) == b""
+    # non-capturing group unaffected
+    assert run_engine(rb"(?:main)", data=TEXT) != b""
+    # pcre2 mode has no such quirk
+    assert run_engine(rb"(main)", data=TEXT, mode="pcre2") != b""
+
+
+def test_literal_mode():
+    out = run_engine([b"hello", b"return"], data=TEXT, mode="literal")
+    assert out.count(b"\n") == 2
+
+
+def test_multi_pattern_regex():
+    out = run_engine([rb"hello", rb"ret[a-z]+"], data=TEXT, print_offset=True)
+    assert b"Match at offset" in out
+
+
+def test_recursive_tree(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "one.txt").write_bytes(b"alpha needle beta\n")
+    (tmp_path / "b").mkdir()
+    (tmp_path / "b" / "two.txt").write_bytes(b"no hits here\n")
+    (tmp_path / "three.txt").write_bytes(b"another needle\n")
+    (tmp_path / "sym").symlink_to(tmp_path / "a")  # must not be followed twice
+
+    cfg = EngineConfig(output=OutputConfig(recursive=True))
+    eng = Engine(rb"needle", cfg)
+    chunks = []
+    eng.find_recursive(str(tmp_path), chunks.append)
+    out = b"".join(chunks)
+    assert out.count(b"needle") == 2
+    assert str(tmp_path / "a" / "one.txt").encode() + b":" in out
+    assert b"two.txt" not in out
+
+
+def test_unreadable_file_contained(tmp_path, capsys):
+    p = tmp_path / "x.txt"
+    p.write_bytes(b"needle\n" * 2)
+    os.chmod(p, 0)
+    (tmp_path / "y.txt").write_bytes(b"needle here\n")
+    cfg = EngineConfig(output=OutputConfig(recursive=True))
+    eng = Engine(rb"needle", cfg)
+    chunks = []
+    eng.find_recursive(str(tmp_path), chunks.append)
+    os.chmod(p, 0o644)
+    if os.geteuid() != 0:
+        # error printed to stderr, walk continued (grab.cc:267-268)
+        assert "x.txt" in capsys.readouterr().err
+    assert b"y.txt" in b"".join(chunks)
+
+
+def test_candidate_searcher_equivalence():
+    """CandidateSearcher with arbitrary (superset) flags must equal the
+    plain matcher."""
+    from grab_tpu.regex.backtrack import Matcher
+
+    data = (b"x" * 100 + b"needle" + b"y" * 500 + b"\n") * 20
+    m = Matcher.from_pattern(rb"ne+dle")
+    block = 64
+    nblocks = -(-len(data) // block)
+    counts = np.zeros(nblocks, dtype=np.int32)
+    # flag the true positions (ends) plus noise
+    import re as _re
+
+    for mm in _re.finditer(rb"needle", data):
+        counts[(mm.end() - 1) // block] += 1
+    counts[0] += 1  # false positive block
+    idx = CandidateIndex(counts, block)
+    cs = CandidateSearcher(m, idx, line_narrow=True)
+    lo = 0
+    while True:
+        a = cs(data, lo, len(data), 0, len(data))
+        b = m.search(data, lo, len(data))
+        assert a == b
+        if a is None:
+            break
+        lo = a[1] + 1

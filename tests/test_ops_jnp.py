@@ -1,0 +1,83 @@
+"""jnp op contract tests against the golden numpy scanners."""
+
+import numpy as np
+import pytest
+
+from grab_tpu.golden.scanner import dfa_scan_ends_fast, literal_scan_starts
+from grab_tpu.ops.dfa_scan import np_dfa_scan_bitmap
+from grab_tpu.ops.literal_scan import np_literal_scan_bitmap
+from grab_tpu.regex.compiler import compile_pattern
+from grab_tpu.regex.dfa import build_dfa
+from grab_tpu.regex.parser import parse
+
+
+def random_text(n, seed, needles=()):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(32, 127, size=n, dtype=np.uint8)
+    data[rng.random(n) < 0.02] = 0x0A
+    buf = bytearray(data.tobytes())
+    for pos, s in needles:
+        buf[pos : pos + len(s)] = s
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("pattern", [rb"needle", rb"ne+dle", rb"n[a-f]+le", rb"foo|needle"])
+@pytest.mark.parametrize("n_streams", [1, 4, 8])
+def test_dfa_bitmap_matches_golden(pattern, n_streams):
+    data = random_text(
+        20_000, 5, [(100, b"needle"), (9_999, b"needle"), (19_990, b"needle")]
+    )
+    arr = np.frombuffer(data, dtype=np.uint8)
+    dfa = build_dfa([parse(pattern)])
+    got = np_dfa_scan_bitmap(dfa, arr, n_streams=n_streams, halo=4096)
+    want = dfa_scan_ends_fast(dfa, arr)
+    # superset property always; equality when halo >= longest match
+    assert not (want & ~got).any()
+    assert (got == want).all()
+
+
+def test_dfa_bitmap_stream_boundary():
+    # needle straddling a stream boundary must still be found (halo)
+    n_streams = 4
+    n = 8192
+    seg = n // n_streams
+    data = bytearray(b"." * n)
+    pos = seg - 3  # straddles boundary between stream 0 and 1
+    data[pos : pos + 6] = b"needle"
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    dfa = build_dfa([parse(rb"needle")])
+    got = np_dfa_scan_bitmap(dfa, arr, n_streams=n_streams, halo=4096)
+    assert got[pos + 5]  # end flagged
+
+
+def test_dfa_bitmap_long_span_beyond_halo_missed_documented():
+    # a match longer than the halo crossing a stream boundary is missed —
+    # the documented reference limitation at chunk scale (README.md:116-119)
+    n_streams = 2
+    n = 4096
+    seg = n // n_streams
+    halo = 16
+    data = bytearray(b"." * n)
+    start = seg - 30
+    data[start] = ord(b"A")
+    data[start + 1 : start + 59] = b"b" * 58
+    data[start + 59] = ord(b"Z")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    dfa = build_dfa([parse(rb"Ab+Z")])
+    got = np_dfa_scan_bitmap(dfa, arr, n_streams=n_streams, halo=halo)
+    assert not got[start + 59]  # documented miss
+    # with a big enough halo it is found
+    got2 = np_dfa_scan_bitmap(dfa, arr, n_streams=n_streams, halo=128)
+    assert got2[start + 59]
+
+
+@pytest.mark.parametrize("lits", [[b"foo"], [b"foo", b"barbar"], [b"a", b"longliteral9"]])
+def test_literal_bitmap_matches_golden(lits):
+    data = random_text(5_000, 9, [(50, b"foo"), (1000, b"barbar"), (4987, b"longliteral9")])
+    got = np_literal_scan_bitmap(lits, np.frombuffer(data, dtype=np.uint8))
+    want = literal_scan_starts(lits, data)
+    # device checks only the first 8 bytes (PREFIX_CAP) — superset
+    assert not (want & ~got).any()
+    for i in np.nonzero(got)[0]:
+        # every flagged position really matches some literal's capped prefix
+        assert any(data[i : i + min(len(l), 8)] == l[:8] for l in lits)
