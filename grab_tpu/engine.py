@@ -1,13 +1,15 @@
 """Engine: the FileGrep equivalent, orchestrating compile → scan → emit.
 
-Pipeline per file (the TPU restructuring of FileGrep::find,
+Pipeline (the TPU restructuring of FileGrep::find,
 /root/reference/src/grab.cc:131-239):
 
   1. minlength file prune (grab.cc:133-135) — host, no I/O beyond stat;
-  2. candidate generation — device scan kernels produce a per-block
-     candidate count vector (superset of true match positions);
-     zero counts let whole chunks/files be skipped with no host work
-     (the dominant path for miss-heavy benchmarks, README.md:125-127);
+  2. candidate generation — files are packed into FIXED-SHAPE scan
+     buffers (one XLA compile per engine, ever) and the device scan
+     produces per-512B-block candidate counts (superset of true match
+     positions); zero counts let whole files/chunks be skipped with no
+     host work — the dominant path for miss-heavy benchmarks
+     (README.md:125-127);
   3. exact replay — the host formatter walks the reference's chunk/match
      loop, with exact searches narrowed to candidate lines;
   4. emit — per-chunk buffers, reference grammar, deterministic order.
@@ -22,10 +24,11 @@ Engine modes:
 
 from __future__ import annotations
 
+import mmap
 import os
 import sys
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -34,9 +37,8 @@ from grab_tpu.ingest.walker import walk_files
 from grab_tpu.regex import ast as A
 from grab_tpu.regex.compiler import CompiledPattern, compile_multi
 
-CANDIDATE_BLOCK = 512  # bytes per candidate block shipped to host
-DEVICE_SEGMENT = 8 << 20  # device scan segment for big files
-SEGMENT_HALO = 0x1000
+CANDIDATE_BLOCK = 512
+MMAP_THRESHOLD = 8 << 20  # mmap instead of read() above this size
 
 
 class CandidateIndex:
@@ -76,12 +78,7 @@ class CandidateSearcher:
     assuming the candidate index covers every true match position
     (superset property, enforced by kernel tests)."""
 
-    def __init__(
-        self,
-        matcher,
-        index: CandidateIndex,
-        line_narrow: bool,
-    ):
+    def __init__(self, matcher, index: CandidateIndex, line_narrow: bool):
         self.matcher = matcher
         self.index = index
         self.line_narrow = line_narrow  # pattern cannot match \n
@@ -125,9 +122,9 @@ class _NeverMatch:
 class EngineConfig:
     output: OutputConfig = field(default_factory=OutputConfig)
     mode: str = "pcre1"  # pcre1 | pcre2 | literal
-    device: str = "auto"  # auto | jnp | none  (none = pure host scan)
+    device: str = "auto"  # auto | none  (none = pure host scan)
     pcre1_quirks: bool = True  # replicate the ovector[3] capture quirk
-    n_streams: int = 512
+    scan_buf_size: Optional[int] = None  # fixed device buffer (None = auto)
 
 
 class Engine:
@@ -143,7 +140,7 @@ class Engine:
         self._line_narrow = not any(
             A.may_match_newline(t) for t in self.compiled.asts
         )
-        self._scan_fn = None  # lazy jnp/pallas scan closure
+        self._scanner = None  # lazy DeviceScanner (one XLA compile)
 
     # -- exact engine selection ----------------------------------------
 
@@ -155,9 +152,7 @@ class Engine:
             if pcre2.available():
                 if cp.n_patterns == 1:
                     return pcre2.PCRE2Pattern(cp.patterns[0])
-                return _MultiMatcher(
-                    [pcre2.PCRE2Pattern(p) for p in cp.patterns]
-                )
+                return _MultiMatcher([pcre2.PCRE2Pattern(p) for p in cp.patterns])
             # fall through to our engine (semantics match on the subset)
         if self.cfg.mode == "pcre1" and self.cfg.pcre1_quirks and cp.has_captures:
             return _NeverMatch()
@@ -165,121 +160,123 @@ class Engine:
             return cp.matchers[0]
         return _MultiMatcher(cp.matchers)
 
-    # -- candidate generation ------------------------------------------
+    # -- device availability -------------------------------------------
 
-    def _candidates(self, data: bytes) -> CandidateIndex:
+    def _device_usable(self) -> bool:
         cp = self.compiled
-        if (
-            self.cfg.device == "none"
-            or cp.min_len == 0
-            or (cp.dfa is None and not cp.literals)
-            or isinstance(self._exact, _NeverMatch)
-        ):
-            return CandidateIndex(None, CANDIDATE_BLOCK)
-        n = len(data)
-        if n == 0:
-            return CandidateIndex(np.zeros(0, dtype=np.int32), CANDIDATE_BLOCK)
-        counts = self._device_scan(data)
-        return CandidateIndex(counts, CANDIDATE_BLOCK)
+        if self.cfg.device == "none":
+            return False
+        if cp.min_len == 0:
+            return False  # empty-match degenerate: host replays directly
+        if isinstance(self._exact, _NeverMatch):
+            return False  # no output possible; skip all device work
+        if cp.dfa is None and not cp.literals:
+            return False  # not automatable (backrefs) and no literals
+        return True
 
-    def _device_scan(self, data: bytes) -> np.ndarray:
-        """Run the device candidate scan over a file's bytes, segmenting
-        large files with a halo (same missed->long-span caveat as the
-        reference's 4 KiB chunk overlap, README.md:116-119)."""
-        import jax.numpy as jnp
+    def _get_scanner(self):
+        if self._scanner is None:
+            from grab_tpu.scan_pipeline import DeviceScanner
 
-        from grab_tpu.ops.dfa_scan import dfa_scan_bitmap, bitmap_block_counts
-        from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
-
-        cp = self.compiled
-        n = len(data)
-        nblocks = -(-n // CANDIDATE_BLOCK)
-        counts = np.zeros(nblocks, dtype=np.int32)
-        use_dfa = cp.dfa is not None and cp.dfa.n_states <= 4096
-        if use_dfa:
-            table = jnp.asarray(cp.dfa.table)
-            cmap = jnp.asarray(cp.dfa.class_map)
-            acc = jnp.asarray(cp.dfa.accept_mask)
-            start = jnp.int32(cp.dfa.start)
-        else:
-            mat, lens = literal_matrix(cp.literals)
-            mat = jnp.asarray(mat)
-            lens = jnp.asarray(lens)
-        seg = DEVICE_SEGMENT
-        off = 0
-        while off < n:
-            end = min(off + seg + SEGMENT_HALO, n)
-            raw = np.frombuffer(data[off:end], dtype=np.uint8)
-            S = min(self.cfg.n_streams, max(1, raw.shape[0] // 4096))
-            padded = -(-raw.shape[0] // S) * S
-            buf = np.zeros(padded, dtype=np.uint8)
-            buf[: raw.shape[0]] = raw
-            if use_dfa:
-                bitmap = dfa_scan_bitmap(
-                    table, cmap, acc, start, jnp.asarray(buf), n_streams=S
-                )
-            else:
-                bitmap = literal_scan_bitmap(mat, lens, jnp.asarray(buf))
-            # pad bitmap to block multiple, reduce, OR into global counts
-            blk = CANDIDATE_BLOCK
-            nb = -(-padded // blk)
-            bm = np.asarray(bitmap)[: raw.shape[0]]
-            pad = np.zeros(nb * blk, dtype=bool)
-            pad[: bm.shape[0]] = bm
-            seg_counts = pad.reshape(nb, blk).sum(axis=1).astype(np.int32)
-            b0 = off // blk  # off is a multiple of seg (and of blk)
-            hi_b = min(b0 + nb, nblocks)
-            counts[b0:hi_b] = np.maximum(counts[b0:hi_b], seg_counts[: hi_b - b0])
-            off += seg
-        return counts
+            self._scanner = DeviceScanner(
+                self.compiled, buf_size=self.cfg.scan_buf_size
+            )
+        return self._scanner
 
     # -- scanning ------------------------------------------------------
 
-    def scan_data(
-        self, path: str, data: bytes, emit: Callable[[bytes], None]
-    ) -> int:
-        """Scan one in-memory buffer, emitting reference-grammar output."""
-        cp = self.compiled
-        if cp.min_len > len(data):
-            return 0
-        index = self._candidates(data)
+    def _replay(
+        self,
+        path: str,
+        data,
+        counts: Optional[np.ndarray],
+        emit: Callable[[bytes], None],
+    ):
+        index = CandidateIndex(counts, CANDIDATE_BLOCK)
         searcher = CandidateSearcher(self._exact, index, self._line_narrow)
-        replayer = ChunkReplayer(self.cfg.output, searcher, cp.min_len)
+        replayer = ChunkReplayer(self.cfg.output, searcher, self.compiled.min_len)
         replayer.scan_buffer(path, data, emit)
+
+    def scan_corpus(
+        self,
+        files: Iterable[Tuple[str, object]],
+        emit: Callable[[bytes], None],
+    ) -> int:
+        """Scan (path, data) pairs in order through one fixed-shape
+        device pipeline; emit reference-grammar output per file."""
+        if not self._device_usable():
+            for path, data in files:
+                self._replay(path, data, None, emit)
+            return 0
+        from grab_tpu.scan_pipeline import CorpusPipeline
+
+        pipeline = CorpusPipeline(self._get_scanner())
+        for path, data, counts in pipeline.run(files):
+            if counts.any():
+                self._replay(path, data, counts, emit)
+            _close_quietly(data)
         return 0
 
+    def scan_data(self, path: str, data: bytes, emit: Callable[[bytes], None]) -> int:
+        """Scan one in-memory buffer."""
+        if self.compiled.min_len > len(data):
+            return 0
+        return self.scan_corpus([(path, data)], emit)
+
+    def _open_data(self, path: str, size: int):
+        f = open(path, "rb")
+        try:
+            if size >= MMAP_THRESHOLD:
+                return mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+            return f.read()
+        finally:
+            f.close()
+
     def scan_file(self, path: str, emit: Callable[[bytes], None]) -> int:
+        import stat as stat_mod
+
         try:
             st = os.stat(path)
         except OSError as e:
             self.err = f"Engine::scan_file::stat: {e.strerror}"
             return -1
-        import stat as stat_mod
-
         if stat_mod.S_ISDIR(st.st_mode):
-            # grab.cc:254
-            print("Clever boy! Want recursion? Add -R!", file=sys.stderr)
+            print("Clever boy! Want recursion? Add -R!", file=sys.stderr)  # grab.cc:254
             return 0
         if not stat_mod.S_ISREG(st.st_mode):
             return 0
         if self.compiled.min_len > st.st_size:
             return 0  # prune without opening (grab.cc:133-135)
         try:
-            with open(path, "rb") as f:
-                data = f.read()
+            data = self._open_data(path, st.st_size)
         except OSError as e:
             self.err = f"Engine::scan_file::open: {e.strerror}"
             return -1
-        return self.scan_data(path, data, emit)
+        return self.scan_corpus([(path, data)], emit)
 
-    def find_recursive(self, root: str, emit: Callable[[bytes], None]) -> int:
-        self.cfg.output.recursive = True
+    def _walk_data_iter(self, root: str) -> Iterator[Tuple[str, object]]:
         for entry in walk_files(root):
             if self.compiled.min_len > entry.size:
                 continue
-            if self.scan_file(entry.path, emit) < 0:
-                print(f"{entry.path}: {self.err}", file=sys.stderr)
-        return 0
+            try:
+                yield entry.path, self._open_data(entry.path, entry.size)
+            except OSError as e:
+                print(
+                    f"{entry.path}: Engine::scan_file::open: {e.strerror}",
+                    file=sys.stderr,
+                )
+
+    def find_recursive(self, root: str, emit: Callable[[bytes], None]) -> int:
+        self.cfg.output.recursive = True
+        return self.scan_corpus(self._walk_data_iter(root), emit)
+
+
+def _close_quietly(data):
+    if isinstance(data, mmap.mmap):
+        try:
+            data.close()
+        except Exception:
+            pass
 
 
 class _MultiMatcher:

@@ -1,0 +1,103 @@
+"""Fixed-shape scan-buffer packing.
+
+The device kernels are compiled ONCE for a fixed buffer shape; files of
+arbitrary sizes are packed into that buffer as 512-aligned segments:
+
+  buffer: [ seg(fileA) | seg(fileB) | seg(fileB cont.) | ... | zeros ]
+
+Rules:
+  * segment starts are aligned to the candidate block size so every
+    candidate block maps to exactly one file;
+  * consecutive segments of one file overlap by ``halo`` bytes, so
+    matches spanning a segment boundary (≤ halo) are found — the same
+    4 KiB-overlap scheme as the reference's chunked mmap loop
+    (/root/reference/src/grab.cc:151-154) one level up;
+  * the search automaton's state always contains the unanchored start
+    state (self-loop), so scanning straight across a file boundary into
+    the next segment can only create false candidates in the first
+    bytes of a segment, never miss matches — false candidates are
+    discarded by host verification.
+
+This replaces the reference's one-mmap-per-chunk I/O (grab.cc:161) with
+batch uploads the TPU can stream; the C++ native packer (ingest/native)
+fills the same layout without the GIL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Segment:
+    file_idx: int  # index into the pipeline's file order
+    file_off: int  # offset of segment start within the file
+    buf_off: int  # offset within the scan buffer (block-aligned)
+    length: int  # bytes of real data
+
+
+@dataclass
+class Batch:
+    buf: np.ndarray  # uint8 [buf_size]
+    segments: List[Segment]
+
+
+class BatchPacker:
+    """Packs a sequence of (file_idx, data) into fixed-size buffers."""
+
+    def __init__(self, buf_size: int, block: int = 512, halo: int = 0x1000):
+        assert buf_size % block == 0
+        assert halo % block == 0
+        self.buf_size = buf_size
+        self.block = block
+        self.halo = halo
+        self.min_seg = halo + block  # smallest useful continuation segment
+        self._buf = np.zeros(buf_size, dtype=np.uint8)
+        self._used = 0  # block-aligned fill pointer
+        self._segments: List[Segment] = []
+
+    def _flush(self) -> Optional[Batch]:
+        if not self._segments:
+            return None
+        batch = Batch(self._buf, self._segments)
+        self._buf = np.zeros(self.buf_size, dtype=np.uint8)
+        self._used = 0
+        self._segments = []
+        return batch
+
+    def feed(self, file_idx: int, data) -> Iterator[Batch]:
+        """Pack one file's bytes; yields full batches as they close.
+
+        ``data`` is anything with len() and the buffer protocol
+        (bytes, mmap, np array)."""
+        size = len(data)
+        pos = 0
+        if size == 0:
+            return
+        while True:
+            free = self.buf_size - self._used
+            remaining = size - pos
+            if free < min(self.min_seg, remaining + (-remaining % self.block)):
+                b = self._flush()
+                if b:
+                    yield b
+                continue
+            if remaining <= free:
+                seg_len = remaining
+            else:
+                # continuation: keep the next segment's file offset
+                # block-aligned (halo is a block multiple)
+                seg_len = (free // self.block) * self.block
+            view = np.frombuffer(data, dtype=np.uint8, count=seg_len, offset=pos)
+            self._buf[self._used : self._used + seg_len] = view
+            self._segments.append(Segment(file_idx, pos, self._used, seg_len))
+            self._used += seg_len + (-seg_len % self.block)
+            if pos + seg_len >= size:
+                return
+            pos += seg_len - self.halo  # overlap: spans ≤ halo never lost
+
+    def finish(self) -> Optional[Batch]:
+        return self._flush()

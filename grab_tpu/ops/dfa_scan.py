@@ -34,47 +34,61 @@ def pad_to_streams(n: int, n_streams: int) -> int:
     return -(-n // n_streams) * n_streams
 
 
+def expand_byte_table(table: np.ndarray, class_map: np.ndarray) -> np.ndarray:
+    """[n_states, n_classes] + byte→class map → [n_states, 256] table.
+
+    Folding the class indirection into the table trades a little memory
+    (≤4 MiB at the 4096-state cap) for removing one 256-entry gather per
+    byte — the scan step then gathers only table[state, byte]."""
+    return np.ascontiguousarray(table[:, class_map])
+
+
 @partial(jax.jit, static_argnames=("n_streams", "halo"))
 def dfa_scan_bitmap(
-    table: jax.Array,  # int32 [n_states, n_classes]
-    class_map: jax.Array,  # int32 [256]
+    byte_table: jax.Array,  # int32 [n_states, 256]
     accept: jax.Array,  # bool  [n_states]
     start_state: jax.Array,  # int32 scalar
     data: jax.Array,  # uint8 [N], N % n_streams == 0
     n_streams: int = 512,
     halo: int = DEFAULT_HALO,
 ) -> jax.Array:
-    """bool[N]: candidate match-end bitmap (superset of true ends)."""
+    """bool[N]: candidate match-end bitmap (superset of true ends).
+
+    Built from reshapes and static slices only — no large gathers
+    outside the scan step (the per-step [S]-wide table gather is the
+    whole point of the multi-stream layout)."""
     n = data.shape[0]
     seg = n // n_streams
     h = min(halo, seg)
-    win_len = seg + h
-    # window index matrix, clamped at the last byte (clamped tail reads
-    # can only add false candidates — superset stays valid)
-    starts = jnp.arange(n_streams, dtype=jnp.int32) * seg
-    idx = starts[:, None] + jnp.arange(win_len, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(idx, n - 1)
-    win = data[idx]  # [S, win_len]
-    cls = class_map[win.astype(jnp.int32)]  # [S, win_len]
+    main = data.reshape(n_streams, seg)
+    if h > 0:
+        # halo: each stream continues into the next stream's head; the
+        # final stream pads with zeros (can only add false candidates)
+        nxt_head = jnp.concatenate(
+            [main[1:, :h], jnp.zeros((1, h), dtype=data.dtype)], axis=0
+        )
+        win = jnp.concatenate([main, nxt_head], axis=1)  # [S, seg+h]
+    else:
+        win = main
 
-    def step(state, c):
-        ns = table[state, c]
+    def step(state, col):
+        ns = byte_table[state, col.astype(jnp.int32)]
         return ns, accept[ns]
 
     init = jnp.full((n_streams,), start_state, dtype=jnp.int32)
-    _, bits = jax.lax.scan(step, init, cls.T)  # bits: [win_len, S]
-    bits = bits.T  # [S, win_len]
-    main = bits[:, :seg]
+    _, bits = jax.lax.scan(step, init, win.T)  # bits: [seg+h, S]
+    bits = bits.T  # [S, seg+h]
+    out = bits[:, :seg]
     if h > 0:
         # a stream's tail covers the first h positions of the next
         # stream's segment; OR it in (stream boundaries overlap like the
-        # reference's chunk boundaries)
+        # reference's chunk boundaries, grab.cc:151-154)
         tails = bits[:, seg:]  # [S, h]
         prev_tails = jnp.concatenate(
             [jnp.zeros((1, h), dtype=bits.dtype), tails[:-1]], axis=0
         )
-        main = main.at[:, :h].set(main[:, :h] | prev_tails)
-    return main.reshape(n)
+        out = out.at[:, :h].set(out[:, :h] | prev_tails)
+    return out.reshape(n)
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -93,8 +107,7 @@ def np_dfa_scan_bitmap(dfa, data: np.ndarray, n_streams=8, halo=DEFAULT_HALO):
     buf = np.zeros(padded, dtype=np.uint8)
     buf[:n] = data
     out = dfa_scan_bitmap(
-        jnp.asarray(dfa.table),
-        jnp.asarray(dfa.class_map),
+        jnp.asarray(expand_byte_table(dfa.table, dfa.class_map)),
         jnp.asarray(dfa.accept_mask),
         jnp.int32(dfa.start),
         jnp.asarray(buf),

@@ -36,27 +36,38 @@ def literal_matrix(literals: List[bytes]) -> np.ndarray:
     return mat, lens
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("lengths",))
 def literal_scan_bitmap(
     lit_mat: jax.Array,  # uint8 [K, PREFIX_CAP]
-    lit_len: jax.Array,  # int32 [K]
+    lengths: tuple,  # static per-literal (capped) lengths
     data: jax.Array,  # uint8 [N]
 ) -> jax.Array:
     """bool[N]: out[i] == True iff some literal's (capped) prefix starts
-    at i. Positions within PREFIX_CAP of the end use clamped reads; the
-    host re-checks tails, so clamp-induced extras are harmless."""
+    at i.
+
+    Built from static shifted slices — shifted_j[i] = data[i+j] with a
+    zero tail — so the graph is K·L elementwise compares, no gathers.
+    Zero-padding can only suppress matches that would run past the end
+    of the buffer, which are not real matches of in-buffer data."""
     n = data.shape[0]
-    k, cap = lit_mat.shape
-    idx = jnp.arange(n, dtype=jnp.int32)[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    windows = data[jnp.minimum(idx, n - 1)]  # [N, cap]
-    # [K, N, cap] compare; wildcard where j >= lit_len[k]
-    eq = windows[None, :, :] == lit_mat[:, None, :]
-    wild = jnp.arange(cap, dtype=jnp.int32)[None, None, :] >= lit_len[:, None, None]
-    hit = jnp.all(eq | wild, axis=-1)  # [K, N]
-    return jnp.any(hit, axis=0)
+    cap = max(lengths)
+    shifted = [data]
+    for j in range(1, cap):
+        shifted.append(
+            jnp.concatenate([data[j:], jnp.zeros((j,), dtype=data.dtype)])
+        )
+    hit = jnp.zeros((n,), dtype=bool)
+    for k, length in enumerate(lengths):
+        eq = shifted[0] == lit_mat[k, 0]
+        for j in range(1, length):
+            eq = eq & (shifted[j] == lit_mat[k, j])
+        hit = hit | eq
+    return hit
 
 
 def np_literal_scan_bitmap(literals: List[bytes], data: np.ndarray) -> np.ndarray:
     mat, lens = literal_matrix(literals)
-    out = literal_scan_bitmap(jnp.asarray(mat), jnp.asarray(lens), jnp.asarray(data))
+    out = literal_scan_bitmap(
+        jnp.asarray(mat), tuple(int(x) for x in lens), jnp.asarray(data)
+    )
     return np.asarray(out)

@@ -5,18 +5,17 @@ then round-robin assigns files to N pinned threads, each with a private
 compiled pattern; output interleaves nondeterministically at chunk
 granularity under a mutex (grab.cc:218-226).
 
-Here the walk feeds a shard plan instead: files are round-robin
-assigned to N logical shards (parity with main.cc:94's ``i += nthreads``
-striding), every shard is scanned through the same device engine (the
-automaton is already resident), and per-file output buffers are emitted
-in walk order — deterministic, a strict strengthening of the
-reference's sorted-output conformance methodology (README.md:209-216).
+Here -n maps to device-level data parallelism instead of host threads:
+the corpus streams through the engine's fixed-shape scan pipeline (the
+automaton is already resident on every device; see parallel/scan_step
+for the sharded mesh step), and per-file output is emitted in walk
+order — deterministic, a strict strengthening of the reference's
+sorted-output conformance methodology (README.md:209-216).
 """
 
 from __future__ import annotations
 
-import sys
-from typing import Callable, Dict, List
+from typing import Callable
 
 from grab_tpu.ingest.walker import walk_files
 
@@ -27,33 +26,17 @@ def run_parallel(
     emit: Callable[[bytes], None],
     n_shards: int,
 ) -> int:
-    """Scan ``root`` recursively with round-robin file sharding.
+    """Scan ``root`` recursively through the batched device pipeline.
 
     Returns total bytes scanned (for --stats)."""
     engine.cfg.output.recursive = True
-    entries = [
-        e for e in walk_files(root) if engine.compiled.min_len <= e.size
-    ]
-    # round-robin strided assignment (main.cc:94): shard s gets files
-    # s, s+N, s+2N, ... — kept for behavioral parity even though shards
-    # share one device engine here.
-    order: List[int] = []
-    for s in range(max(1, n_shards)):
-        order.extend(range(s, len(entries), max(1, n_shards)))
-
-    outputs: Dict[int, bytes] = {}
     total = 0
-    for idx in order:
-        e = entries[idx]
-        parts: List[bytes] = []
-        if engine.scan_file(e.path, parts.append) < 0:
-            print(f"{e.path}: {engine.err}", file=sys.stderr)
-            continue
-        outputs[idx] = b"".join(parts)
-        total += e.size
-    # deterministic merge in walk order
-    for idx in range(len(entries)):
-        buf = outputs.get(idx)
-        if buf:
-            emit(buf)
+
+    def files():
+        nonlocal total
+        for path, data in engine._walk_data_iter(root):
+            total += len(data)
+            yield path, data
+
+    engine.scan_corpus(files(), emit)
     return total

@@ -1,0 +1,165 @@
+"""Device scan pipeline: fixed-shape batched candidate generation.
+
+One jitted scan function per engine instance, compiled once for a fixed
+buffer shape; every file flows through it via the BatchPacker. This is
+the TPU restructuring of the reference's per-file mmap+pcre loop
+(/root/reference/src/grab.cc:154-213): instead of the kernel walking
+one file at a time, files are packed into scan buffers and the
+automaton walks all of them in one shot; only block-level candidate
+counts (0.8% of the data) come back to the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+CANDIDATE_BLOCK = 512
+HALO = 0x1000  # reference overlap (grab.cc:151)
+
+
+class DeviceScanner:
+    """Wraps the jitted fixed-shape candidate scan."""
+
+    def __init__(
+        self,
+        compiled,
+        buf_size: Optional[int] = None,
+        block: int = CANDIDATE_BLOCK,
+        stream_seg: int = 32768,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.block = block
+        if buf_size is None:
+            # one compile for everything: big buffers on accelerators,
+            # small on the CPU test platform
+            buf_size = (2 << 20) if jax.default_backend() == "cpu" else (32 << 20)
+        self.buf_size = buf_size
+        self.n_streams = max(1, buf_size // stream_seg)
+        self._jnp = jnp
+        cp = compiled
+        # Literal prefilter wins when available: elementwise compares run
+        # at memory bandwidth, while the sequential DFA walk is
+        # latency-bound (hyperscan's architecture for the same reason,
+        # README.md:46-50). The DFA path serves literal-free patterns.
+        self.use_dfa = not cp.literals and cp.dfa is not None and cp.dfa.n_states <= 4096
+        if self.use_dfa:
+            from grab_tpu.ops.dfa_scan import expand_byte_table
+
+            self._table = jnp.asarray(
+                expand_byte_table(cp.dfa.table, cp.dfa.class_map)
+            )
+            self._accept = jnp.asarray(cp.dfa.accept_mask)
+            self._start = jnp.int32(cp.dfa.start)
+        else:
+            from grab_tpu.ops.literal_scan import literal_matrix
+
+            mat, lens = literal_matrix(cp.literals)
+            self._lit_mat = jnp.asarray(mat)
+            self._lit_len = tuple(int(x) for x in lens)
+        self._fn = self._build()
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        from grab_tpu.ops.dfa_scan import bitmap_block_counts, dfa_scan_bitmap
+        from grab_tpu.ops.literal_scan import literal_scan_bitmap
+
+        block = self.block
+        n_streams = self.n_streams
+
+        if self.use_dfa:
+
+            @jax.jit
+            def fn(table, accept, start, data):
+                bm = dfa_scan_bitmap(
+                    table, accept, start, data, n_streams=n_streams, halo=HALO
+                )
+                return bitmap_block_counts(bm, block)
+
+            return lambda data: fn(self._table, self._accept, self._start, data)
+
+        lengths = self._lit_len
+
+        @jax.jit
+        def fn(mat, data):
+            bm = literal_scan_bitmap(mat, lengths, data)
+            return bitmap_block_counts(bm, block)
+
+        return lambda data: fn(self._lit_mat, data)
+
+    def scan(self, buf: np.ndarray) -> np.ndarray:
+        """buf: uint8 [buf_size] → int32 [buf_size/block] counts."""
+        out = self._fn(self._jnp.asarray(buf))
+        return np.asarray(out)
+
+
+class CorpusPipeline:
+    """Streams (path, data) pairs through the packer + device scanner,
+    yielding (path, data, counts) in input order with bounded memory."""
+
+    def __init__(self, scanner: DeviceScanner, halo: int = HALO):
+        self.scanner = scanner
+        self.halo = halo
+
+    def run(
+        self, files: Iterable[Tuple[str, object]]
+    ) -> Iterator[Tuple[str, object, np.ndarray]]:
+        from grab_tpu.ingest.packer import BatchPacker
+
+        block = self.scanner.block
+        packer = BatchPacker(self.scanner.buf_size, block, self.halo)
+        # in-flight bookkeeping, keyed by file index
+        inflight: Dict[int, list] = {}  # idx -> [path, data, counts, final]
+        packed_done: set = set()  # fully packed, awaiting their last flush
+        emitted = 0
+        total = 0
+
+        def apply_batch(batch):
+            """Scan a flushed batch and fold counts into the owning
+            files. Everything previously buffered is now scanned, so
+            every fully-packed file becomes final."""
+            counts = self.scanner.scan(batch.buf)
+            for seg in batch.segments:
+                st = inflight[seg.file_idx]
+                b0 = seg.buf_off // block
+                nb = -(-seg.length // block)
+                f0 = seg.file_off // block
+                fc = st[2]
+                lim = min(f0 + nb, fc.shape[0])
+                np.maximum(
+                    fc[f0:lim], counts[b0 : b0 + (lim - f0)], out=fc[f0:lim]
+                )
+            for i in packed_done:
+                inflight[i][3] = True
+            packed_done.clear()
+
+        def drain():
+            nonlocal emitted
+            while emitted < total and emitted in inflight and inflight[emitted][3]:
+                st = inflight.pop(emitted)
+                yield (st[0], st[1], st[2])
+                emitted += 1
+
+        for path, data in files:
+            idx = total
+            total += 1
+            nblocks = -(-len(data) // block)
+            inflight[idx] = [path, data, np.zeros(nblocks, dtype=np.int32), False]
+            for batch in packer.feed(idx, data):
+                apply_batch(batch)
+                yield from drain()
+            packed_done.add(idx)
+        final = packer.finish()
+        if final is not None:
+            apply_batch(final)
+        else:
+            for i in packed_done:
+                inflight[i][3] = True
+            packed_done.clear()
+        yield from drain()
