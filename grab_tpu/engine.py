@@ -170,8 +170,10 @@ class Engine:
             return False  # empty-match degenerate: host replays directly
         if isinstance(self._exact, _NeverMatch):
             return False  # no output possible; skip all device work
-        if cp.dfa is None and not cp.literals:
-            return False  # not automatable (backrefs) and no literals
+        if not cp.literals and (cp.dfa is None or cp.dfa.n_states > 2048):
+            # no prefilter factors and no device-sized automaton
+            # (backrefs or state blowup) → host-only scan
+            return False
         return True
 
     def _get_scanner(self):

@@ -1,0 +1,170 @@
+"""Pallas TPU DFA scan kernel (multi-stream, VMEM-resident table).
+
+Serves literal-free patterns (``[a-z]+``-class), where no prefilter
+factor exists and the automaton itself must walk every byte. The flat
+scan buffer is split into S = 1024 streams (8 sublanes × 128 lanes, the
+native VPU shape); each stream walks its segment with the transition
+table resident in VMEM — the analog of the reference keeping the
+JIT-compiled pattern hot in icache while the kernel loop streams bytes
+(/root/reference/src/grab.cc:115, 175-213).
+
+Byte layout: the kernel consumes the buffer transposed to
+``[seg + halo, 8, 128]`` (step-major), so each scan step reads one
+naturally-tiled (8, 128) byte plane. The transpose runs as one XLA pass
+at memory bandwidth before the kernel.
+
+Accept states are folded into the table's sign bit, so each step is a
+single VMEM gather: ``raw = table[state * 256 + byte]; accept = raw < 0;
+state = raw & 0x7fffffff``.
+
+Outputs are per-(stream, 512-byte-block) candidate counts; halo-step
+counts are folded into the next stream's head blocks by the wrapper
+(over-counting in overlap regions is harmless — the host only tests
+count > 0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SUBLANES = 8
+LANES = 128
+N_STREAMS = SUBLANES * LANES  # 1024
+BLOCK = 512  # bytes per host-facing candidate block
+DEFAULT_TILE_STEPS = 2048
+MAX_STATES = 2048  # table VMEM cap: 2048 * 256 * 4B = 2 MiB
+
+
+def fold_accept_table(byte_table: np.ndarray, accept: np.ndarray) -> np.ndarray:
+    """[n_states, 256] int32 + accept bool[n_states] → flat int32 table
+    with the accept flag of the *target* state in the sign bit."""
+    t = byte_table.astype(np.int64)
+    flag = accept[byte_table].astype(np.int64) << 31
+    folded = (t | flag).astype(np.uint32).view(np.int32)
+    return np.ascontiguousarray(folded.reshape(-1))
+
+
+def _kernel_factory(tile_steps: int, start_state: int):
+    from jax.experimental import pallas as pl
+
+    n_blocks = tile_steps // BLOCK
+
+    def kernel(bytes_ref, table_ref, out_ref, state_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            state_ref[:] = jnp.full(
+                (SUBLANES, LANES), start_state, dtype=jnp.int32
+            )
+
+        def block_body(b, _):
+            def step_body(t, carry):
+                state, cnt = carry
+                byte = bytes_ref[b * BLOCK + t].astype(jnp.int32)
+                raw = table_ref[state * 256 + byte]
+                cnt = cnt + (raw < 0).astype(jnp.int32)
+                state = jnp.bitwise_and(raw, 0x7FFFFFFF)
+                return state, cnt
+
+            init = (state_ref[:], jnp.zeros((SUBLANES, LANES), jnp.int32))
+            state, cnt = jax.lax.fori_loop(0, BLOCK, step_body, init)
+            state_ref[:] = state
+            out_ref[b] = cnt
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, block_body, 0)
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("start_state", "tile_steps", "interpret")
+)
+def pallas_dfa_stream_counts(
+    tbytes: jax.Array,  # uint8 [n_steps, 8, 128], n_steps % tile_steps == 0
+    table_flat: jax.Array,  # int32 [n_states * 256], accept in sign bit
+    start_state: int,
+    tile_steps: int = DEFAULT_TILE_STEPS,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32 [n_steps/512, 8, 128]: per-(step-block, stream) accept
+    counts."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_steps = tbytes.shape[0]
+    assert n_steps % tile_steps == 0
+    grid = (n_steps // tile_steps,)
+    kernel = _kernel_factory(tile_steps, start_state)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_steps // BLOCK, SUBLANES, LANES), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_steps, SUBLANES, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole table resident
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_steps // BLOCK, SUBLANES, LANES),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((SUBLANES, LANES), jnp.int32)],
+        interpret=interpret,
+    )(tbytes, table_flat)
+
+
+@partial(jax.jit, static_argnames=("start_state", "halo", "tile_steps", "interpret"))
+def dfa_block_counts_pallas(
+    data: jax.Array,  # uint8 [N]; N % (N_STREAMS * BLOCK) == 0
+    table_flat: jax.Array,
+    start_state: int,
+    halo: int = 0x1000,
+    tile_steps: int = DEFAULT_TILE_STEPS,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32 [N/512]: per-block candidate counts (superset semantics,
+    same contract as ops.dfa_scan.dfa_scan_bitmap + block reduction)."""
+    n = data.shape[0]
+    seg = n // N_STREAMS
+    h = min(halo, seg)
+    # round halo steps up to a tile multiple for the grid
+    h_steps = -(-h // tile_steps) * tile_steps if h else 0
+    main = data.reshape(N_STREAMS, seg)
+    main_t = main.T  # [seg, S] — one XLA transpose pass
+    if h_steps:
+        # halo rows: step t of stream s reads stream s+1's byte t
+        shifted = jnp.concatenate(
+            [main[1:, :h_steps], jnp.zeros((1, h_steps), dtype=data.dtype)], axis=0
+        )
+        scan_in = jnp.concatenate([main_t, shifted.T], axis=0)
+    else:
+        scan_in = main_t
+    n_steps = scan_in.shape[0]
+    tb = scan_in.reshape(n_steps, SUBLANES, LANES)
+    counts3 = pallas_dfa_stream_counts(
+        tb, table_flat, start_state, tile_steps=tile_steps, interpret=interpret
+    )  # [n_steps/512, 8, 128]
+    nb_main = seg // BLOCK
+    # stream-major flat block index: block b of stream s = s*nb_main + b
+    counts_sm = jnp.transpose(counts3, (1, 2, 0)).reshape(N_STREAMS, n_steps // BLOCK)
+    main_counts = counts_sm[:, :nb_main]
+    if h_steps:
+        # halo counts of stream s flag the head blocks of stream s+1
+        halo_counts = counts_sm[:, nb_main:]  # [S, h_steps/512]
+        shifted_back = jnp.concatenate(
+            [jnp.zeros((1, h_steps // BLOCK), jnp.int32), halo_counts[:-1]], axis=0
+        )
+        nhb = min(h_steps // BLOCK, nb_main)
+        main_counts = main_counts.at[:, :nhb].add(shifted_back[:, :nhb])
+    return main_counts.reshape(-1)

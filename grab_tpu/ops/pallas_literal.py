@@ -1,0 +1,127 @@
+"""Pallas TPU literal prefilter kernel.
+
+The production hot path for literal-bearing patterns: every byte of the
+corpus flows through shifted-plane equality compares on the VPU —
+elementwise work with no sequential state, the op class that runs at
+memory bandwidth on TPU. The TPU counterpart of greppin's
+hyperscan/AVX literal engines (/root/reference/README.md:46-50, 104-107).
+
+Layout: the flat scan buffer is viewed as rows of 128 bytes
+(lane dimension). A tile of TR rows is loaded per grid step, plus the
+first 8 rows of the next tile (halo) so matches spanning a tile edge
+are never lost; shifted planes y_j[i] = data[i+j] are built with static
+slices of the (TR+8)-row extended tile. Literal bytes are baked into
+the kernel as constants (one kernel compile per pattern set — the
+moral equivalent of pcre JIT, grab.cc:115).
+
+Output: per-128B-row candidate counts; the caller folds rows into the
+host-facing 512 B block counts. Only counts leave the device (~0.8% of
+input traffic).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+PAD_ROWS = 8  # halo rows appended to the buffer (>= max literal span)
+DEFAULT_TILE_ROWS = 1024  # 128 KiB per tile
+
+
+def _build_kernel(literals: Tuple[bytes, ...], tile_rows: int):
+    cap = max(len(l) for l in literals)
+    assert 1 <= cap <= PAD_ROWS * 1  # shifted planes stay within +1 row
+
+    def kernel(a_ref, b_ref, out_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0).astype(jnp.int32)
+        # shifted planes y_j[r, c] = flat[(r*128 + c) + j], built from
+        # lane rolls (Mosaic rejects unaligned lane-slice concats):
+        #   roll(xx, -j, lanes)[r, c]      = xx[r, (c+j)%128]
+        #   roll(rows-shifted, -j, lanes)  supplies the next-row wrap
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+        n_rows = tile_rows + PAD_ROWS
+        # pltpu.roll requires non-negative shifts: roll(x, n-j) == shift
+        # left by j (y[i] = x[(i+j) % n])
+        xn = pltpu.roll(xx, n_rows - 1, 0)  # xn[r] = xx[r+1] (wrap unused)
+        planes = [xx[0:tile_rows, :]]
+        for j in range(1, cap):
+            same = pltpu.roll(xx, LANES - j, 1)[0:tile_rows, :]
+            nxt = pltpu.roll(xn, LANES - j, 1)[0:tile_rows, :]
+            planes.append(jnp.where(col < LANES - j, same, nxt))
+        hit = None
+        for lit in literals:
+            eq = planes[0] == lit[0]
+            for j in range(1, len(lit)):
+                eq = jnp.logical_and(eq, planes[j] == lit[j])
+            hit = eq if hit is None else jnp.logical_or(hit, eq)
+        out_ref[:] = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("literals", "tile_rows", "interpret"))
+def pallas_literal_row_counts(
+    data2d: jax.Array,  # uint8 [R + PAD_ROWS, 128]; trailing rows zero
+    literals: Tuple[bytes, ...],
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32 [R, 1]: per-128B-row candidate start counts."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = data2d.shape[0] - PAD_ROWS
+    assert rows % tile_rows == 0, (rows, tile_rows)
+    grid = (rows // tile_rows,)
+    kernel = _build_kernel(literals, tile_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            # halo: first PAD_ROWS rows of the next tile (exists thanks
+            # to the zero pad rows at the end of the buffer)
+            pl.BlockSpec(
+                (PAD_ROWS, LANES),
+                lambda i: ((i + 1) * (tile_rows // PAD_ROWS), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(data2d, data2d)
+
+
+def literal_block_counts_pallas(
+    data: jax.Array,  # uint8 [N]; N % (tile_rows*128) == 0
+    literals: List[bytes],
+    block: int = 512,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32 [N/block] candidate counts via the pallas kernel."""
+    n = data.shape[0]
+    rows = n // LANES
+    data2d = jnp.concatenate(
+        [
+            data.reshape(rows, LANES),
+            jnp.zeros((PAD_ROWS, LANES), dtype=data.dtype),
+        ],
+        axis=0,
+    )
+    lits = tuple(bytes(l[: PAD_ROWS]) for l in literals)
+    rc = pallas_literal_row_counts(
+        data2d, lits, tile_rows=tile_rows, interpret=interpret
+    )  # [rows, 1]
+    per_block_rows = block // LANES
+    return rc.reshape(n // block, per_block_rows).sum(axis=1, dtype=jnp.int32)

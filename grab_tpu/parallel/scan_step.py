@@ -1,0 +1,120 @@
+"""Sharded device scan step: data parallelism over a jax.sharding.Mesh.
+
+The reference's only multi-worker axis is data parallelism over files
+with one compiled pattern per worker (/root/reference/src/main.cc:86-100,
+195-216: round-robin file striding + a private FileGrep per pinned
+thread). The TPU equivalent, built here:
+
+  * a 1-D mesh over chips (``shards`` axis); multi-host pods extend the
+    same axis across processes via jax.distributed,
+  * the compiled automaton (transition table / literal masks) is
+    REPLICATED on every chip — the analog of each thread compiling its
+    own pattern copy,
+  * the scan buffer is SHARDED along the chunk axis: each chip scans its
+    slice with the same fixed-shape kernel,
+  * per-chip block counts stay device-local (device-to-host pull per
+    shard), while the global match count rides jax.lax.psum over ICI —
+    the collective replacing the reference's stdout mutex
+    (grab.cc:56, 218-226),
+  * ordering is restored host-side by the deterministic
+    (file_index, offset) merge, defining the output order the reference
+    only achieves modulo `sort` (README.md:209-216).
+
+Intra-chunk stream decomposition (the sequence-parallel analog, with
+4 KiB halos — grab.cc:151-154) lives inside the kernels; this module
+owns the inter-chip axis only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def make_mesh(n_devices: Optional[int] = None):
+    """1-D scan mesh over the first n_devices devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("shards",))
+
+
+def make_sharded_scan(compiled, mesh, shard_bytes: int):
+    """Build the jitted sharded scan step.
+
+    Returns ``fn(data)`` where data is uint8 [n_shards * shard_bytes];
+    result is (block_counts [n_blocks] gathered, total_candidates
+    scalar via psum). The per-shard body is the same fixed-shape scan
+    the single-chip pipeline uses.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grab_tpu.ops.dfa_scan import (
+        bitmap_block_counts,
+        dfa_scan_bitmap,
+        expand_byte_table,
+    )
+    from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
+    from grab_tpu.scan_pipeline import CANDIDATE_BLOCK, HALO
+
+    n_shards = mesh.devices.size
+    use_dfa = not compiled.literals and compiled.dfa is not None
+    n_streams = max(1, shard_bytes // 32768)
+
+    if use_dfa:
+        table = jnp.asarray(
+            expand_byte_table(compiled.dfa.table, compiled.dfa.class_map)
+        )
+        accept = jnp.asarray(compiled.dfa.accept_mask)
+        start = jnp.int32(compiled.dfa.start)
+
+        def shard_body(table, accept, start, data_shard):
+            bm = dfa_scan_bitmap(
+                table, accept, start, data_shard, n_streams=n_streams, halo=HALO
+            )
+            counts = bitmap_block_counts(bm, CANDIDATE_BLOCK)
+            total = jax.lax.psum(counts.sum(), "shards")
+            return counts, total
+
+        sharded = shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("shards")),
+            out_specs=(P("shards"), P()),
+        )
+
+        @jax.jit
+        def fn(data):
+            return sharded(table, accept, start, data)
+
+        return fn
+
+    mat, lens = literal_matrix(compiled.literals)
+    lit_mat = jnp.asarray(mat)
+    lengths = tuple(int(x) for x in lens)
+
+    def shard_body(lit_mat, data_shard):
+        bm = literal_scan_bitmap(lit_mat, lengths, data_shard)
+        counts = bitmap_block_counts(bm, CANDIDATE_BLOCK)
+        total = jax.lax.psum(counts.sum(), "shards")
+        return counts, total
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P("shards")),
+        out_specs=(P("shards"), P()),
+    )
+
+    @jax.jit
+    def fn(data):
+        return sharded(lit_mat, data)
+
+    return fn

@@ -46,7 +46,7 @@ class DeviceScanner:
         # at memory bandwidth, while the sequential DFA walk is
         # latency-bound (hyperscan's architecture for the same reason,
         # README.md:46-50). The DFA path serves literal-free patterns.
-        self.use_dfa = not cp.literals and cp.dfa is not None and cp.dfa.n_states <= 4096
+        self.use_dfa = not cp.literals and cp.dfa is not None and cp.dfa.n_states <= 2048
         if self.use_dfa:
             from grab_tpu.ops.dfa_scan import expand_byte_table
 
@@ -58,12 +58,51 @@ class DeviceScanner:
         else:
             from grab_tpu.ops.literal_scan import literal_matrix
 
+            self._literals = [bytes(l) for l in cp.literals]
             mat, lens = literal_matrix(cp.literals)
             self._lit_mat = jnp.asarray(mat)
             self._lit_len = tuple(int(x) for x in lens)
         self._fn = self._build()
 
     def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        # On real accelerators the Pallas kernels are the hot path
+        # (2-D tiled VPU work at HBM bandwidth); the jnp references
+        # serve the CPU test platform (Pallas interpret mode is too
+        # slow for whole-corpus scans there).
+        use_pallas = jax.default_backend() != "cpu"
+
+        if use_pallas:
+            return self._build_pallas()
+        return self._build_jnp()
+
+    def _build_pallas(self):
+        import jax
+        import jax.numpy as jnp
+
+        block = self.block
+        if self.use_dfa:
+            from grab_tpu.ops.pallas_dfa import (
+                dfa_block_counts_pallas,
+                fold_accept_table,
+            )
+
+            folded = jnp.asarray(
+                fold_accept_table(
+                    np.asarray(self._table), np.asarray(self._accept)
+                )
+            )
+            start = int(np.asarray(self._start))
+            return lambda data: dfa_block_counts_pallas(data, folded, start, halo=HALO)
+
+        from grab_tpu.ops.pallas_literal import literal_block_counts_pallas
+
+        lits = [bytes(l) for l in self._literals]
+        return lambda data: literal_block_counts_pallas(data, lits, block=block)
+
+    def _build_jnp(self):
         import jax
         import jax.numpy as jnp
 

@@ -1,0 +1,121 @@
+"""Pallas kernel contract tests (interpret mode on the CPU platform).
+
+Each kernel must reproduce its jnp reference / golden contract exactly
+(literal) or up to overlap over-counting (DFA halo fold: count>0 flags
+must match)."""
+
+import numpy as np
+import pytest
+
+from grab_tpu.golden.scanner import literal_scan_starts
+from grab_tpu.ops.dfa_scan import expand_byte_table, np_dfa_scan_bitmap
+from grab_tpu.ops.pallas_dfa import (
+    BLOCK,
+    N_STREAMS,
+    dfa_block_counts_pallas,
+    fold_accept_table,
+)
+from grab_tpu.ops.pallas_literal import literal_block_counts_pallas
+from grab_tpu.regex.dfa import build_dfa
+from grab_tpu.regex.parser import parse
+
+import jax.numpy as jnp
+
+
+def random_text(n, seed, needles=()):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(32, 127, size=n, dtype=np.uint8)
+    data[rng.random(n) < 0.02] = 0x0A
+    buf = bytearray(data.tobytes())
+    for pos, s in needles:
+        buf[pos : pos + len(s)] = s
+    return bytes(buf)
+
+
+N_LIT = 256 * 1024  # tile_rows=512 → 64KiB tiles; 4 tiles
+
+
+@pytest.mark.parametrize(
+    "lits",
+    [[b"needle"], [b"foo", b"barbaz"], [b"a"], [b"needle", b"ne", b"xyzzy42"]],
+)
+def test_pallas_literal_matches_golden(lits):
+    data = random_text(
+        N_LIT,
+        11,
+        [(0, b"needle"), (70_000, b"barbaz"), (131_071, b"foo"), (N_LIT - 7, b"xyzzy42")],
+    )
+    arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    got = np.asarray(
+        literal_block_counts_pallas(arr, lits, tile_rows=512, interpret=True)
+    )
+    want_bitmap = literal_scan_starts([l[:8] for l in lits], data)
+    want = want_bitmap.reshape(-1, BLOCK).sum(axis=1).astype(np.int32)
+    assert (got == want).all(), (np.nonzero(got != want), got.sum(), want.sum())
+
+
+def test_pallas_literal_tile_boundary():
+    # literal straddling the 64KiB tile boundary must be counted
+    data = bytearray(b"." * N_LIT)
+    pos = 64 * 1024 - 3
+    data[pos : pos + 6] = b"needle"
+    arr = jnp.asarray(np.frombuffer(bytes(data), dtype=np.uint8))
+    got = np.asarray(
+        literal_block_counts_pallas(arr, [b"needle"], tile_rows=512, interpret=True)
+    )
+    assert got[pos // BLOCK] == 1 and got.sum() == 1
+
+
+N_DFA = N_STREAMS * BLOCK * 2  # 1MiB, seg=1024, two 512-blocks per stream
+
+
+@pytest.mark.parametrize("pattern", [rb"needle", rb"ne+dle", rb"n[a-f]+le"])
+def test_pallas_dfa_flags_match_jnp(pattern):
+    data = random_text(
+        N_DFA,
+        13,
+        [(5000, b"needle"), (N_DFA // 2 + 3, b"needle"), (N_DFA - 10, b"needle")],
+    )
+    arr = np.frombuffer(data, dtype=np.uint8)
+    dfa = build_dfa([parse(pattern)])
+    bt = expand_byte_table(dfa.table, dfa.class_map)
+    folded = fold_accept_table(bt, dfa.accept_mask)
+    got = np.asarray(
+        dfa_block_counts_pallas(
+            jnp.asarray(arr),
+            jnp.asarray(folded),
+            int(dfa.start),
+            halo=512,
+            tile_steps=512,
+            interpret=True,
+        )
+    )
+    want_bitmap = np_dfa_scan_bitmap(dfa, arr, n_streams=N_STREAMS, halo=512)
+    want = want_bitmap.reshape(-1, BLOCK).sum(axis=1).astype(np.int32)
+    # flags (count>0) must agree; counts may exceed in overlap regions
+    assert ((got > 0) == (want > 0)).all(), np.nonzero((got > 0) != (want > 0))
+    assert (got >= want).all()
+
+
+def test_pallas_dfa_stream_boundary():
+    # needle straddling a stream segment boundary caught via halo steps
+    seg = N_DFA // N_STREAMS
+    data = bytearray(b"." * N_DFA)
+    pos = seg - 3  # straddles stream 0 → 1
+    data[pos : pos + 6] = b"needle"
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    dfa = build_dfa([parse(rb"needle")])
+    bt = expand_byte_table(dfa.table, dfa.class_map)
+    folded = fold_accept_table(bt, dfa.accept_mask)
+    got = np.asarray(
+        dfa_block_counts_pallas(
+            jnp.asarray(arr),
+            jnp.asarray(folded),
+            int(dfa.start),
+            halo=512,
+            tile_steps=512,
+            interpret=True,
+        )
+    )
+    end_block = (pos + 5) // BLOCK
+    assert got[end_block] > 0
