@@ -170,9 +170,13 @@ class Engine:
             return False  # empty-match degenerate: host replays directly
         if isinstance(self._exact, _NeverMatch):
             return False  # no output possible; skip all device work
-        if not cp.literals and (cp.dfa is None or cp.dfa.n_states > 2048):
-            # no prefilter factors and no device-sized automaton
-            # (backrefs or state blowup) → host-only scan
+        if (
+            not cp.literals
+            and not cp.class_seqs
+            and (cp.dfa is None or cp.dfa.n_states > 2048)
+        ):
+            # no literal factors, no class sequences, no device-sized
+            # automaton (backrefs or state blowup) → host-only scan
             return False
         return True
 

@@ -1,0 +1,120 @@
+"""ctypes loader for the native ingest library (libgtingest.so).
+
+Builds on demand with the repo's Makefile if the shared object is
+missing; every entry point has a pure-Python fallback so the framework
+runs without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Callable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libgtingest.so")
+
+_lib = None
+_load_attempted = False
+
+
+class _Seg(ctypes.Structure):
+    _fields_ = [
+        ("path", ctypes.c_char_p),
+        ("file_off", ctypes.c_int64),
+        ("buf_off", ctypes.c_int64),
+        ("length", ctypes.c_int64),
+    ]
+
+
+_WALK_CB = ctypes.CFUNCTYPE(None, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p)
+_ERR_CB = ctypes.CFUNCTYPE(None, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p)
+
+
+def _load():
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.gt_abi_version.restype = ctypes.c_int
+    if lib.gt_abi_version() != 1:
+        return None
+    lib.gt_walk.restype = ctypes.c_int
+    lib.gt_walk.argtypes = [ctypes.c_char_p, _WALK_CB, _ERR_CB, ctypes.c_void_p]
+    lib.gt_fill.restype = ctypes.c_int
+    lib.gt_fill.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(_Seg),
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def walk_native(
+    root: str, on_error: Optional[Callable[[str, str], None]] = None
+) -> Optional[List[Tuple[str, int]]]:
+    """Native walk; returns None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out: List[Tuple[str, int]] = []
+
+    @_WALK_CB
+    def cb(path, size, _ud):
+        out.append((path.decode("utf-8", "surrogateescape"), int(size)))
+
+    @_ERR_CB
+    def err(path, msg, _ud):
+        p = path.decode("utf-8", "surrogateescape")
+        m = msg.decode("utf-8", "replace")
+        if on_error:
+            on_error(p, m)
+        else:
+            print(f"{p}: {m}", file=sys.stderr)
+
+    lib.gt_walk(root.encode("utf-8", "surrogateescape"), cb, err, None)
+    return out
+
+
+def fill_native(
+    buf: np.ndarray, segments: List[Tuple[bytes, int, int, int]], nthreads: int = 8
+) -> Optional[int]:
+    """Fill ``buf`` (uint8, C-contiguous) from (path, file_off, buf_off,
+    length) segments with the native thread pool. Returns failure count,
+    or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(segments)
+    arr = (_Seg * n)()
+    for i, (path, foff, boff, length) in enumerate(segments):
+        arr[i].path = path
+        arr[i].file_off = foff
+        arr[i].buf_off = boff
+        arr[i].length = length
+    ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return int(lib.gt_fill(ptr, arr, n, nthreads))

@@ -1,0 +1,152 @@
+// grab_tpu native ingest library.
+//
+// Host-side C++ for the two I/O-bound stages the reference implements
+// with nftw + chunked mmap (/root/reference/src/grab.cc:137-169,
+// 260-279, main.cc:74-83):
+//
+//   gt_walk      — physical recursive walk (symlinks not followed,
+//                  regular files only, per-entry error containment,
+//                  sorted traversal for deterministic output order).
+//   gt_fill      — fill a fixed scan buffer from file segments with a
+//                  thread pool of pread()s (the GIL-free replacement
+//                  for Python's copy loop; keeps N chips fed).
+//
+// C ABI for ctypes; no Python headers needed.
+
+#include <algorithm>
+#include <atomic>
+#include <cerrno>
+#include <cstdint>
+#include <cstring>
+#include <dirent.h>
+#include <fcntl.h>
+#include <string>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+extern "C" {
+
+typedef void (*gt_walk_cb)(const char *path, int64_t size, void *ud);
+typedef void (*gt_err_cb)(const char *path, const char *msg, void *ud);
+
+// Physical (lstat) recursive walk; regular files only; sorted entries;
+// errors reported per entry and the walk continues (parity with
+// grab.cc:267-268). Returns 0.
+int gt_walk(const char *root, gt_walk_cb cb, gt_err_cb err_cb, void *ud) {
+  struct stat st;
+  if (lstat(root, &st) < 0) {
+    if (err_cb) err_cb(root, strerror(errno), ud);
+    return 0;
+  }
+  if (S_ISREG(st.st_mode)) {
+    cb(root, (int64_t)st.st_size, ud);
+    return 0;
+  }
+  if (!S_ISDIR(st.st_mode)) return 0;
+
+  std::vector<std::string> stack{root};
+  std::vector<std::string> names;
+  while (!stack.empty()) {
+    std::string dir = std::move(stack.back());
+    stack.pop_back();
+    DIR *d = opendir(dir.c_str());
+    if (!d) {
+      if (err_cb) err_cb(dir.c_str(), strerror(errno), ud);
+      continue;
+    }
+    names.clear();
+    struct dirent *ent;
+    while ((ent = readdir(d)) != nullptr) {
+      if (strcmp(ent->d_name, ".") == 0 || strcmp(ent->d_name, "..") == 0)
+        continue;
+      names.emplace_back(ent->d_name);
+    }
+    closedir(d);
+    std::sort(names.begin(), names.end());
+    std::vector<std::string> subdirs;
+    for (const auto &n : names) {
+      std::string p = dir + "/" + n;
+      if (lstat(p.c_str(), &st) < 0) {
+        if (err_cb) err_cb(p.c_str(), strerror(errno), ud);
+        continue;
+      }
+      if (S_ISREG(st.st_mode)) {
+        cb(p.c_str(), (int64_t)st.st_size, ud);
+      } else if (S_ISDIR(st.st_mode)) {
+        subdirs.push_back(std::move(p));
+      }
+    }
+    // LIFO stack: push reversed for depth-first sorted traversal
+    for (auto it = subdirs.rbegin(); it != subdirs.rend(); ++it)
+      stack.push_back(std::move(*it));
+  }
+  return 0;
+}
+
+typedef struct {
+  const char *path;   // file to read
+  int64_t file_off;   // offset within the file
+  int64_t buf_off;    // offset within the destination buffer
+  int64_t length;     // bytes to copy
+} gt_seg;
+
+// Fill buf from segments using up to nthreads preading workers.
+// O_NOATIME is attempted like the reference (grab.cc:139-143) and
+// silently dropped on EPERM. Returns number of failed segments
+// (failed segments leave zeros; the caller treats missing bytes as
+// scan misses and reports the file error from its own stat pass).
+int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
+            int32_t nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  std::atomic<int32_t> next{0};
+  std::atomic<int32_t> failures{0};
+
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= nsegs) return;
+      const gt_seg &s = segs[i];
+      int flags = O_RDONLY | O_NOCTTY;
+#ifdef O_NOATIME
+      int fd = open(s.path, flags | O_NOATIME);
+      if (fd < 0 && errno == EPERM) fd = open(s.path, flags);
+#else
+      int fd = open(s.path, flags);
+#endif
+      if (fd < 0) {
+        failures.fetch_add(1);
+        continue;
+      }
+      int64_t done = 0;
+      while (done < s.length) {
+        ssize_t r = pread(fd, buf + s.buf_off + done, s.length - done,
+                          s.file_off + done);
+        if (r <= 0) {
+          failures.fetch_add(1);
+          break;
+        }
+        done += r;
+      }
+      close(fd);
+    }
+  };
+
+  if (nthreads == 1 || nsegs <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    int nt = std::min<int32_t>(nthreads, nsegs);
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+  return failures.load();
+}
+
+// Simple self-description for the loader's version handshake.
+int gt_abi_version(void) { return 1; }
+
+}  // extern "C"

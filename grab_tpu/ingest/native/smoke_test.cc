@@ -1,0 +1,80 @@
+// C++ smoke test for the native ingest library (run under ASan/UBSan
+// via `make test` — the sanitizer CI target from SURVEY §5).
+
+#include <cassert>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fcntl.h>
+#include <string>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <vector>
+
+extern "C" {
+typedef void (*gt_walk_cb)(const char *, int64_t, void *);
+typedef void (*gt_err_cb)(const char *, const char *, void *);
+typedef struct {
+  const char *path;
+  int64_t file_off;
+  int64_t buf_off;
+  int64_t length;
+} gt_seg;
+int gt_walk(const char *, gt_walk_cb, gt_err_cb, void *);
+int gt_fill(uint8_t *, const gt_seg *, int32_t, int32_t);
+int gt_abi_version(void);
+}
+
+static std::vector<std::string> g_files;
+
+static void collect(const char *path, int64_t size, void *) {
+  g_files.push_back(std::string(path) + ":" + std::to_string(size));
+}
+
+int main() {
+  assert(gt_abi_version() == 1);
+
+  char tmpl[] = "/tmp/gtingest_test_XXXXXX";
+  char *dir = mkdtemp(tmpl);
+  assert(dir);
+  std::string d(dir);
+  mkdir((d + "/sub").c_str(), 0755);
+
+  auto write_file = [](const std::string &p, const std::string &content) {
+    int fd = open(p.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    assert(fd >= 0);
+    assert(write(fd, content.data(), content.size()) ==
+           (ssize_t)content.size());
+    close(fd);
+  };
+  write_file(d + "/b.txt", "hello needle world");
+  write_file(d + "/a.txt", "alpha");
+  write_file(d + "/sub/c.txt", "ccc");
+  symlink((d + "/a.txt").c_str(), (d + "/link").c_str());
+
+  gt_walk(d.c_str(), collect, nullptr, nullptr);
+  assert(g_files.size() == 3);  // symlink not followed
+  // sorted traversal: a.txt, b.txt, then sub/c.txt
+  assert(g_files[0].find("a.txt") != std::string::npos);
+  assert(g_files[1].find("b.txt") != std::string::npos);
+  assert(g_files[2].find("c.txt") != std::string::npos);
+
+  uint8_t buf[64];
+  memset(buf, 0, sizeof buf);
+  std::string bpath = d + "/b.txt";
+  gt_seg segs[2] = {
+      {bpath.c_str(), 6, 0, 6},   // "needle"
+      {bpath.c_str(), 0, 32, 5},  // "hello"
+  };
+  int failures = gt_fill(buf, segs, 2, 4);
+  assert(failures == 0);
+  assert(memcmp(buf, "needle", 6) == 0);
+  assert(memcmp(buf + 32, "hello", 5) == 0);
+
+  // error containment: nonexistent file fails without crashing
+  gt_seg bad = {"/nonexistent/x", 0, 0, 4};
+  assert(gt_fill(buf, &bad, 1, 1) == 1);
+
+  printf("smoke_test OK\n");
+  return 0;
+}

@@ -1,0 +1,105 @@
+"""Class-sequence prefilter — jnp reference implementation.
+
+Generalizes the literal prefilter: a pattern's matches must begin with
+one of a small set of byte-class sequences (extracted by
+ast.prefix_class_sequences). Position i is a candidate iff for some
+sequence, byte i+j lies in class j for all j. Class membership is
+computed as range tests (pure arithmetic — no tables, no gathers), so
+the device work stays elementwise at memory bandwidth even for patterns
+with no literal factor (e.g. ``\\d+\\.\\d+`` → [0-9],[0-9.]…).
+
+This is the TPU answer to hyperscan's shufti (nibble-mask class
+matching) given that the VPU has no PSHUFB: shufti approximates classes
+with nibble masks, we approximate them with range unions; both produce
+supersets refined by exact verification.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grab_tpu.regex.ast import mask_to_ranges
+
+PREFIX_CAP = 8
+
+# A compiled sequence set: tuple of sequences; each sequence is a tuple
+# of atoms; each atom is a tuple of (lo, hi) inclusive byte ranges.
+CompiledSeqs = Tuple[Tuple[Tuple[Tuple[int, int], ...], ...], ...]
+
+
+def compile_sequences(mask_seqs: Sequence[Sequence[int]]) -> CompiledSeqs:
+    """256-bit mask sequences → hashable range-test structure (capped at
+    PREFIX_CAP atoms)."""
+    out = []
+    for seq in mask_seqs:
+        atoms = []
+        for mask in list(seq)[:PREFIX_CAP]:
+            atoms.append(tuple(mask_to_ranges(mask)))
+        out.append(tuple(atoms))
+    return tuple(out)
+
+
+def _membership(plane, ranges):
+    hit = None
+    for lo, hi in ranges:
+        if lo == hi:
+            t = plane == lo
+        elif lo == 0 and hi == 255:
+            t = None  # always true: skip the test entirely
+            return jnp.ones_like(plane, dtype=bool)
+        else:
+            t = jnp.logical_and(plane >= lo, plane <= hi)
+        hit = t if hit is None else jnp.logical_or(hit, t)
+    return hit
+
+
+@partial(jax.jit, static_argnames=("seqs",))
+def class_prefilter_bitmap(
+    seqs: CompiledSeqs,
+    data: jax.Array,  # uint8 [N]
+) -> jax.Array:
+    """bool[N]: candidate start positions (superset)."""
+    n = data.shape[0]
+    x = data.astype(jnp.int32)
+    cap = max(len(s) for s in seqs)
+    shifted = [x]
+    for j in range(1, cap):
+        shifted.append(
+            jnp.concatenate([x[j:], jnp.zeros((j,), dtype=x.dtype)])
+        )
+    hit = jnp.zeros((n,), dtype=bool)
+    for seq in seqs:
+        eq = _membership(shifted[0], seq[0])
+        for j in range(1, len(seq)):
+            eq = jnp.logical_and(eq, _membership(shifted[j], seq[j]))
+        hit = jnp.logical_or(hit, eq)
+    return hit
+
+
+def np_class_prefilter_bitmap(mask_seqs, data: np.ndarray) -> np.ndarray:
+    seqs = compile_sequences(mask_seqs)
+    out = class_prefilter_bitmap(seqs, jnp.asarray(data))
+    return np.asarray(out)
+
+
+def golden_class_prefilter(mask_seqs, data: bytes) -> np.ndarray:
+    """Slow oracle: direct mask membership per position."""
+    n = len(data)
+    out = np.zeros(n, dtype=bool)
+    seqs = [[m for m in seq] for seq in mask_seqs]
+    for i in range(n):
+        for seq in seqs:
+            ok = True
+            for j, mask in enumerate(seq[:PREFIX_CAP]):
+                if i + j >= n or not ((mask >> data[i + j]) & 1):
+                    ok = False
+                    break
+            if ok:
+                out[i] = True
+                break
+    return out

@@ -66,7 +66,11 @@ def _kernel_factory(tile_steps: int, start_state: int):
         def block_body(b, _):
             def step_body(t, carry):
                 state, cnt = carry
-                byte = bytes_ref[b * BLOCK + t].astype(jnp.int32)
+                # Mosaic forbids scalar int indexing on refs: load a
+                # one-step slice and drop the leading axis
+                byte = bytes_ref[pl.ds(b * BLOCK + t, 1)].reshape(
+                    SUBLANES, LANES
+                ).astype(jnp.int32)
                 raw = table_ref[state * 256 + byte]
                 cnt = cnt + (raw < 0).astype(jnp.int32)
                 state = jnp.bitwise_and(raw, 0x7FFFFFFF)
@@ -75,7 +79,7 @@ def _kernel_factory(tile_steps: int, start_state: int):
             init = (state_ref[:], jnp.zeros((SUBLANES, LANES), jnp.int32))
             state, cnt = jax.lax.fori_loop(0, BLOCK, step_body, init)
             state_ref[:] = state
-            out_ref[b] = cnt
+            out_ref[pl.ds(b, 1)] = cnt.reshape(1, SUBLANES, LANES)
             return 0
 
         jax.lax.fori_loop(0, n_blocks, block_body, 0)

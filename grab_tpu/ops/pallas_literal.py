@@ -1,18 +1,23 @@
-"""Pallas TPU literal prefilter kernel.
+"""Pallas TPU prefilter kernel: literal and class-sequence scanning.
 
-The production hot path for literal-bearing patterns: every byte of the
-corpus flows through shifted-plane equality compares on the VPU —
-elementwise work with no sequential state, the op class that runs at
-memory bandwidth on TPU. The TPU counterpart of greppin's
-hyperscan/AVX literal engines (/root/reference/README.md:46-50, 104-107).
+The production hot path: every byte of the corpus flows through
+shifted-plane tests on the VPU — elementwise work with no sequential
+state, the op class that runs at memory bandwidth on TPU. The TPU
+counterpart of greppin's hyperscan/AVX literal engines
+(/root/reference/README.md:46-50, 104-107).
 
-Layout: the flat scan buffer is viewed as rows of 128 bytes
-(lane dimension). A tile of TR rows is loaded per grid step, plus the
-first 8 rows of the next tile (halo) so matches spanning a tile edge
-are never lost; shifted planes y_j[i] = data[i+j] are built with static
-slices of the (TR+8)-row extended tile. Literal bytes are baked into
-the kernel as constants (one kernel compile per pattern set — the
-moral equivalent of pcre JIT, grab.cc:115).
+Two pattern sources, one kernel:
+  * literal factors  → equality tests per shifted plane,
+  * class sequences  → range-union membership tests per shifted plane
+    (the shufti analog; see ops/class_prefilter.py).
+
+Layout: the flat scan buffer is viewed as rows of 128 bytes (lane
+dimension). A tile of TR rows is loaded per grid step, plus the first 8
+rows of the next tile (halo) so matches spanning a tile edge are never
+lost; shifted planes y_j[i] = data[i+j] are built with lane rolls
+(Mosaic-native). Test constants are baked into the kernel (one kernel
+compile per pattern set — the moral equivalent of pcre JIT,
+grab.cc:115).
 
 Output: per-128B-row candidate counts; the caller folds rows into the
 host-facing 512 B block counts. Only counts leave the device (~0.8% of
@@ -28,14 +33,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from grab_tpu.ops.class_prefilter import CompiledSeqs, compile_sequences
+
 LANES = 128
-PAD_ROWS = 8  # halo rows appended to the buffer (>= max literal span)
+PAD_ROWS = 8  # halo rows appended to the buffer (>= max test span)
 DEFAULT_TILE_ROWS = 1024  # 128 KiB per tile
 
 
-def _build_kernel(literals: Tuple[bytes, ...], tile_rows: int):
-    cap = max(len(l) for l in literals)
-    assert 1 <= cap <= PAD_ROWS * 1  # shifted planes stay within +1 row
+def _membership(plane, ranges):
+    hit = None
+    for lo, hi in ranges:
+        if lo == 0 and hi == 255:
+            return None  # always true — caller skips the AND
+        if lo == hi:
+            t = plane == lo
+        else:
+            t = jnp.logical_and(plane >= lo, plane <= hi)
+        hit = t if hit is None else jnp.logical_or(hit, t)
+    return hit
+
+
+def _build_kernel(seqs: CompiledSeqs, tile_rows: int):
+    cap = max(len(s) for s in seqs)
+    assert 1 <= cap <= PAD_ROWS
 
     def kernel(a_ref, b_ref, out_ref):
         from jax.experimental.pallas import tpu as pltpu
@@ -43,12 +63,10 @@ def _build_kernel(literals: Tuple[bytes, ...], tile_rows: int):
         xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0).astype(jnp.int32)
         # shifted planes y_j[r, c] = flat[(r*128 + c) + j], built from
         # lane rolls (Mosaic rejects unaligned lane-slice concats):
-        #   roll(xx, -j, lanes)[r, c]      = xx[r, (c+j)%128]
-        #   roll(rows-shifted, -j, lanes)  supplies the next-row wrap
+        #   roll(xx, n-j, lanes)[r, c] = xx[r, (c+j)%128]
+        #   roll of the row-shifted tile supplies the next-row wrap
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
         n_rows = tile_rows + PAD_ROWS
-        # pltpu.roll requires non-negative shifts: roll(x, n-j) == shift
-        # left by j (y[i] = x[(i+j) % n])
         xn = pltpu.roll(xx, n_rows - 1, 0)  # xn[r] = xx[r+1] (wrap unused)
         planes = [xx[0:tile_rows, :]]
         for j in range(1, cap):
@@ -56,20 +74,25 @@ def _build_kernel(literals: Tuple[bytes, ...], tile_rows: int):
             nxt = pltpu.roll(xn, LANES - j, 1)[0:tile_rows, :]
             planes.append(jnp.where(col < LANES - j, same, nxt))
         hit = None
-        for lit in literals:
-            eq = planes[0] == lit[0]
-            for j in range(1, len(lit)):
-                eq = jnp.logical_and(eq, planes[j] == lit[j])
+        for seq in seqs:
+            eq = None
+            for j, ranges in enumerate(seq):
+                t = _membership(planes[j], ranges)
+                if t is None:
+                    continue
+                eq = t if eq is None else jnp.logical_and(eq, t)
+            if eq is None:  # sequence matches everything
+                eq = jnp.ones((tile_rows, LANES), dtype=bool)
             hit = eq if hit is None else jnp.logical_or(hit, eq)
         out_ref[:] = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("literals", "tile_rows", "interpret"))
-def pallas_literal_row_counts(
+@partial(jax.jit, static_argnames=("seqs", "tile_rows", "interpret"))
+def pallas_prefilter_row_counts(
     data2d: jax.Array,  # uint8 [R + PAD_ROWS, 128]; trailing rows zero
-    literals: Tuple[bytes, ...],
+    seqs: CompiledSeqs,
     tile_rows: int = DEFAULT_TILE_ROWS,
     interpret: bool = False,
 ) -> jax.Array:
@@ -80,7 +103,7 @@ def pallas_literal_row_counts(
     rows = data2d.shape[0] - PAD_ROWS
     assert rows % tile_rows == 0, (rows, tile_rows)
     grid = (rows // tile_rows,)
-    kernel = _build_kernel(literals, tile_rows)
+    kernel = _build_kernel(seqs, tile_rows)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.int32),
@@ -102,9 +125,14 @@ def pallas_literal_row_counts(
     )(data2d, data2d)
 
 
-def literal_block_counts_pallas(
+def _row_counts_to_blocks(rc: jax.Array, n: int, block: int) -> jax.Array:
+    per_block_rows = block // LANES
+    return rc.reshape(n // block, per_block_rows).sum(axis=1, dtype=jnp.int32)
+
+
+def prefilter_block_counts_pallas(
     data: jax.Array,  # uint8 [N]; N % (tile_rows*128) == 0
-    literals: List[bytes],
+    seqs: CompiledSeqs,
     block: int = 512,
     tile_rows: int = DEFAULT_TILE_ROWS,
     interpret: bool = False,
@@ -119,9 +147,31 @@ def literal_block_counts_pallas(
         ],
         axis=0,
     )
-    lits = tuple(bytes(l[: PAD_ROWS]) for l in literals)
-    rc = pallas_literal_row_counts(
-        data2d, lits, tile_rows=tile_rows, interpret=interpret
-    )  # [rows, 1]
-    per_block_rows = block // LANES
-    return rc.reshape(n // block, per_block_rows).sum(axis=1, dtype=jnp.int32)
+    rc = pallas_prefilter_row_counts(
+        data2d, seqs, tile_rows=tile_rows, interpret=interpret
+    )
+    return _row_counts_to_blocks(rc, n, block)
+
+
+def literals_to_seqs(literals: List[bytes]) -> CompiledSeqs:
+    """Literal byte strings → singleton-range sequences (capped)."""
+    return tuple(
+        tuple(((b, b),) for b in lit[:PAD_ROWS]) for lit in literals
+    )
+
+
+def literal_block_counts_pallas(
+    data: jax.Array,
+    literals: List[bytes],
+    block: int = 512,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32 [N/block] candidate counts for literal patterns."""
+    return prefilter_block_counts_pallas(
+        data,
+        literals_to_seqs(literals),
+        block=block,
+        tile_rows=tile_rows,
+        interpret=interpret,
+    )

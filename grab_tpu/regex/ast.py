@@ -420,6 +420,123 @@ def _lit_info(node: Node) -> _LitInfo:
     raise TypeError(f"unknown node {node!r}")
 
 
+_MAX_CLASS_SEQS = 16
+
+
+def prefix_class_sequences(node: Node, k: int) -> Optional[list]:
+    """Class-mask sequences covering every match's first ``k`` bytes.
+
+    Returns a list of tuples of 256-bit masks: any match's first
+    min(k, len(seq)) bytes must satisfy one of the sequences
+    (byte j ∈ seq[j]). This drives the device class-sequence prefilter —
+    the generalization of the literal prefilter to range tests, used
+    when no literal factor exists (e.g. ``\\d+\\.\\d+``). Returns None
+    when no useful sequence exists (alternation blowup or minlen 0).
+    """
+
+    def walk(n, budget):
+        """Returns list of (tuple_of_masks, exhausted) covering matches
+        of ``n``: tuple holds the first bytes; exhausted=True iff the
+        tuple covers ALL bytes of every match of n (so a following
+        element may extend it)."""
+        if budget <= 0:
+            return None
+        if isinstance(n, (Empty, Anchor)):
+            return [((), True)]
+        if isinstance(n, Backref):
+            return None
+        if isinstance(n, CharClass):
+            return [(((n.mask),), True)]
+        if isinstance(n, Group):
+            return walk(n.node, budget)
+        if isinstance(n, Alt):
+            out = []
+            for b in n.branches:
+                r = walk(b, budget - len(out))
+                if r is None:
+                    return None
+                out.extend(r)
+                if len(out) > budget:
+                    return None
+            return out
+        if isinstance(n, Concat):
+            seqs = [((), True)]
+            for p in n.parts:
+                nxt = []
+                done = []
+                for masks, ex in seqs:
+                    if not ex or len(masks) >= k:
+                        done.append((masks, False))
+                        continue
+                    r = walk(p, budget)
+                    if r is None:
+                        return None
+                    for pm, pex in r:
+                        cat = (masks + pm)[:k]
+                        nxt.append((cat, ex and pex and len(masks + pm) <= k))
+                seqs = done + nxt
+                if len(seqs) > budget:
+                    return None
+            return seqs
+        if isinstance(n, Repeat):
+            if n.lo == 0:
+                # optional: contributes either nothing or its content —
+                # treat as a stopper (sequence ends here)
+                return [((), False)]
+            inner = walk(n.node, budget)
+            if inner is None:
+                return None
+            if n.lo == 1:
+                # one mandatory occurrence, then unknown repetition
+                return [(m, False) for m, _ in inner]
+            # lo >= 2: repeat the inner sequences (bounded expansion)
+            seqs = inner
+            for _ in range(min(n.lo, k) - 1):
+                nxt = []
+                for masks, ex in seqs:
+                    if not ex or len(masks) >= k:
+                        nxt.append((masks, False))
+                        continue
+                    for pm, pex in inner:
+                        nxt.append(((masks + pm)[:k], ex and pex))
+                seqs = nxt
+                if len(seqs) > _MAX_CLASS_SEQS * 4:
+                    return None
+            return [(m, False) for m, _ in seqs]
+        raise TypeError(f"unknown node {n!r}")
+
+    r = walk(node, _MAX_CLASS_SEQS)
+    if r is None:
+        return None
+    seqs = set()
+    for masks, _ in r:
+        if len(masks) == 0:
+            return None  # some match may be empty/unconstrained
+        seqs.add(tuple(masks))
+    if not seqs or len(seqs) > _MAX_CLASS_SEQS:
+        return None
+    return sorted(seqs)
+
+
+def mask_to_ranges(mask: int, max_ranges: int = 8) -> list:
+    """Decompose a 256-bit class mask into [lo, hi] byte ranges; if more
+    than ``max_ranges`` runs exist, over-approximate with the covering
+    range (superset semantics keep the prefilter correct)."""
+    ranges = []
+    b = 0
+    while b < 256:
+        if (mask >> b) & 1:
+            lo = b
+            while b < 256 and (mask >> b) & 1:
+                b += 1
+            ranges.append((lo, b - 1))
+        else:
+            b += 1
+    if len(ranges) > max_ranges:
+        return [(ranges[0][0], ranges[-1][1])]
+    return ranges
+
+
 def mandatory_literals(node: Node) -> Optional[list]:
     """A list of byte strings such that every match contains >= 1 of them.
 

@@ -36,6 +36,7 @@ class CompiledPattern:
     min_lens: List[int]
     max_len: Optional[int]  # max over patterns; None if any unbounded
     literals: Optional[List[bytes]]  # prefilter factors covering all patterns
+    class_seqs: Optional[List[tuple]]  # class-mask prefilter sequences
     has_captures: bool
     needs_verify: bool  # device candidates are a superset → host must verify
     literal_mode: bool  # compiled via -S (plain literals, no regex parse)
@@ -94,6 +95,21 @@ def compile_multi(
         if len(lits) > 128:
             lits = None
 
+    # class-sequence prefilter: covering first-byte-class sequences for
+    # every pattern (the range-test generalization of literals; used
+    # when no literal factor exists)
+    class_seqs: Optional[List[tuple]] = []
+    for t in asts:
+        s = A.prefix_class_sequences(t, 8)
+        if s is None:
+            class_seqs = None
+            break
+        class_seqs.extend(s)
+    if class_seqs is not None:
+        class_seqs = sorted(set(class_seqs))
+        if len(class_seqs) > 32:
+            class_seqs = None
+
     caps = any(A.has_captures(t) for t in asts)
     anchors = any(A.has_anchors(t) for t in asts)
     backrefs = any(A.has_backrefs(t) for t in asts)
@@ -111,6 +127,7 @@ def compile_multi(
         min_lens=min_lens,
         max_len=mx,
         literals=lits,
+        class_seqs=class_seqs,
         has_captures=caps,
         needs_verify=needs_verify,
         literal_mode=literal_mode,

@@ -42,12 +42,28 @@ class DeviceScanner:
         self.n_streams = max(1, buf_size // stream_seg)
         self._jnp = jnp
         cp = compiled
-        # Literal prefilter wins when available: elementwise compares run
-        # at memory bandwidth, while the sequential DFA walk is
-        # latency-bound (hyperscan's architecture for the same reason,
-        # README.md:46-50). The DFA path serves literal-free patterns.
-        self.use_dfa = not cp.literals and cp.dfa is not None and cp.dfa.n_states <= 2048
-        if self.use_dfa:
+        # Prefilter priority (hyperscan's architecture, README.md:46-50):
+        #   1. literal factors       — equality tests, tightest candidates
+        #   2. class sequences       — range tests, any minlen>=1 pattern
+        #   3. DFA walk (jnp)        — latency-bound last resort
+        # All elementwise paths run at memory bandwidth; the DFA walk is
+        # sequential and ~1000x slower on TPU (measured), kept only for
+        # patterns the sequence extractor cannot cover.
+        if cp.literals:
+            self.mode = "literal"
+            from grab_tpu.ops.literal_scan import literal_matrix
+
+            self._literals = [bytes(l) for l in cp.literals]
+            mat, lens = literal_matrix(cp.literals)
+            self._lit_mat = jnp.asarray(mat)
+            self._lit_len = tuple(int(x) for x in lens)
+        elif cp.class_seqs:
+            self.mode = "class_seq"
+            from grab_tpu.ops.class_prefilter import compile_sequences
+
+            self._seqs = compile_sequences(cp.class_seqs)
+        elif cp.dfa is not None and cp.dfa.n_states <= 2048:
+            self.mode = "dfa"
             from grab_tpu.ops.dfa_scan import expand_byte_table
 
             self._table = jnp.asarray(
@@ -56,12 +72,7 @@ class DeviceScanner:
             self._accept = jnp.asarray(cp.dfa.accept_mask)
             self._start = jnp.int32(cp.dfa.start)
         else:
-            from grab_tpu.ops.literal_scan import literal_matrix
-
-            self._literals = [bytes(l) for l in cp.literals]
-            mat, lens = literal_matrix(cp.literals)
-            self._lit_mat = jnp.asarray(mat)
-            self._lit_len = tuple(int(x) for x in lens)
+            raise ValueError("pattern has no device-scannable form")
         self._fn = self._build()
 
     def _build(self):
@@ -83,7 +94,7 @@ class DeviceScanner:
         import jax.numpy as jnp
 
         block = self.block
-        if self.use_dfa:
+        if self.mode == "dfa":
             from grab_tpu.ops.pallas_dfa import (
                 dfa_block_counts_pallas,
                 fold_accept_table,
@@ -97,10 +108,16 @@ class DeviceScanner:
             start = int(np.asarray(self._start))
             return lambda data: dfa_block_counts_pallas(data, folded, start, halo=HALO)
 
-        from grab_tpu.ops.pallas_literal import literal_block_counts_pallas
+        from grab_tpu.ops.pallas_literal import (
+            literals_to_seqs,
+            prefilter_block_counts_pallas,
+        )
 
-        lits = [bytes(l) for l in self._literals]
-        return lambda data: literal_block_counts_pallas(data, lits, block=block)
+        if self.mode == "literal":
+            seqs = literals_to_seqs(self._literals)
+        else:
+            seqs = self._seqs
+        return lambda data: prefilter_block_counts_pallas(data, seqs, block=block)
 
     def _build_jnp(self):
         import jax
@@ -112,7 +129,7 @@ class DeviceScanner:
         block = self.block
         n_streams = self.n_streams
 
-        if self.use_dfa:
+        if self.mode == "dfa":
 
             @jax.jit
             def fn(table, accept, start, data):
@@ -122,6 +139,18 @@ class DeviceScanner:
                 return bitmap_block_counts(bm, block)
 
             return lambda data: fn(self._table, self._accept, self._start, data)
+
+        if self.mode == "class_seq":
+            from grab_tpu.ops.class_prefilter import class_prefilter_bitmap
+
+            seqs = self._seqs
+
+            @jax.jit
+            def fn(data):
+                bm = class_prefilter_bitmap(seqs, data)
+                return bitmap_block_counts(bm, block)
+
+            return fn
 
         lengths = self._lit_len
 

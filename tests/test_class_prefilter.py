@@ -1,0 +1,148 @@
+"""Class-sequence prefilter tests: extraction, superset contract,
+pallas/jnp agreement, engine equivalence on literal-free patterns."""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grab_tpu.ops.class_prefilter import (
+    class_prefilter_bitmap,
+    compile_sequences,
+    golden_class_prefilter,
+    np_class_prefilter_bitmap,
+)
+from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
+from grab_tpu.regex import ast as A
+from grab_tpu.regex.parser import parse
+
+
+def seqs_of(pattern, k=8):
+    return A.prefix_class_sequences(parse(pattern), k)
+
+
+def test_extraction_literalish():
+    s = seqs_of(rb"foo")
+    assert len(s) == 1
+    masks = s[0]
+    assert len(masks) == 3
+    assert masks[0] == 1 << ord("f")
+
+
+def test_extraction_classes():
+    s = seqs_of(rb"\d+\.\d+")
+    assert len(s) == 1
+    # first byte: digit; the rest depends on the repeat (stops after
+    # the mandatory first digit)
+    assert s[0][0] == A.DIGIT_MASK
+
+
+def test_extraction_alternation():
+    s = seqs_of(rb"foo|[0-9]ab")
+    assert len(s) == 2
+
+
+def test_extraction_char_class_plus():
+    s = seqs_of(rb"[a-f]+xyz")
+    assert s is not None
+    assert s[0][0] == A.mask_range(ord("a"), ord("f"))
+
+
+def test_extraction_none_for_empty_matchers():
+    assert seqs_of(rb"a*") is None
+    assert seqs_of(rb"x?") is None
+
+
+def test_extraction_anchored():
+    s = seqs_of(rb"^foo")
+    assert s is not None and s[0][0] == 1 << ord("f")
+
+
+def test_mask_to_ranges():
+    assert A.mask_to_ranges(A.DIGIT_MASK) == [(0x30, 0x39)]
+    assert A.mask_to_ranges(A.mask_of([1, 2, 3, 9])) == [(1, 3), (9, 9)]
+    # blowup → covering over-approximation
+    scattered = A.mask_of(range(0, 256, 2))
+    assert A.mask_to_ranges(scattered, max_ranges=8) == [(0, 254)]
+
+
+PATTERNS = [rb"\d+\.\d+", rb"[a-f]+xyz", rb"n[a-f]+le", rb"\w+@\w+"]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS, ids=[repr(p) for p in PATTERNS])
+def test_prefilter_superset_of_matches(pattern):
+    rng = np.random.default_rng(21)
+    data = bytes(rng.integers(32, 127, size=8192, dtype=np.uint8))
+    data = data[:1000] + b" 3.14 " + data[1000:2000] + b" abcxyz x@y " + data[2000:]
+    seqs = seqs_of(pattern)
+    assert seqs is not None
+    got = np_class_prefilter_bitmap(seqs, np.frombuffer(data, dtype=np.uint8))
+    for m in re.finditer(pattern, data):
+        assert got[m.start()], f"match at {m.start()} not flagged"
+
+
+@pytest.mark.parametrize("pattern", PATTERNS, ids=[repr(p) for p in PATTERNS])
+def test_jnp_matches_golden(pattern):
+    rng = np.random.default_rng(22)
+    data = bytes(rng.integers(32, 127, size=4096, dtype=np.uint8))
+    seqs = seqs_of(pattern)
+    got = np_class_prefilter_bitmap(seqs, np.frombuffer(data, dtype=np.uint8))
+    want = golden_class_prefilter(seqs, data)
+    # kernel over-approximates only when range decomposition blows up
+    assert not (want & ~got).any()
+    if all(len(A.mask_to_ranges(m)) <= 8 for s in seqs for m in s):
+        assert (got == want).all()
+
+
+@pytest.mark.parametrize("pattern", [rb"\d+\.\d+", rb"[a-f]+xyz"])
+def test_pallas_matches_jnp(pattern):
+    n = 128 * 512  # one 64KiB tile at tile_rows=512
+    rng = np.random.default_rng(23)
+    buf = rng.integers(32, 127, size=n, dtype=np.uint8)
+    buf[5000:5004] = np.frombuffer(b"3.14", dtype=np.uint8)
+    buf[60000:60006] = np.frombuffer(b"abcxyz", dtype=np.uint8)
+    seqs = compile_sequences(seqs_of(pattern))
+    got = np.asarray(
+        prefilter_block_counts_pallas(
+            jnp.asarray(buf), seqs, tile_rows=512, interpret=True
+        )
+    )
+    bm = np_class_prefilter_bitmap(seqs_of(pattern), buf)
+    want = bm.reshape(-1, 512).sum(axis=1).astype(np.int32)
+    assert (got == want).all()
+
+
+def test_engine_equivalence_literal_free_pattern():
+    from grab_tpu.engine import Engine, EngineConfig
+    from grab_tpu.format.emitter import OutputConfig
+
+    rng = np.random.default_rng(24)
+    blob = bytearray(rng.integers(97, 123, size=100_000, dtype=np.uint8).tobytes())
+    for pos in range(0, 100_000, 9973):
+        blob[pos] = 0x0A
+    blob[5000:5004] = b"3.14"
+    blob[77777:77781] = b"9.99"
+    data = bytes(blob)
+    for device in ("auto", "none"):
+        cfg = EngineConfig(
+            output=OutputConfig(print_offset=True), device=device
+        )
+        eng = Engine(rb"\d+\.\d+", cfg)
+        if device == "auto":
+            assert eng._device_usable()
+        chunks = []
+        eng.scan_data("f", data, chunks.append)
+        out = b"".join(chunks)
+        assert b"Match at offset 5000\n" in out
+        assert b"Match at offset 77777\n" in out
+    # equality between device and host paths
+    outs = []
+    for device in ("auto", "none"):
+        cfg = EngineConfig(output=OutputConfig(), device=device)
+        eng = Engine(rb"\d+\.\d+", cfg)
+        chunks = []
+        eng.scan_data("f", data, chunks.append)
+        outs.append(b"".join(chunks))
+    assert outs[0] == outs[1]
