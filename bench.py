@@ -56,7 +56,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from grab_tpu.ops.pallas_literal import literal_block_counts_pallas
+    from grab_tpu.ops.pallas_literal import literal_word_block_counts_pallas
+
+    # persistent compilation cache: cold-start compiles on the tunneled
+    # backend cost minutes; cached runs start in seconds
+    cache_dir = os.environ.get(
+        "GRAB_TPU_CACHE", os.path.expanduser("~/.cache/grab_tpu_xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
     on_tpu = jax.default_backend() != "cpu"
     n = (256 << 20) if on_tpu else (8 << 20)
@@ -69,7 +82,7 @@ def main():
     literals = [b"qZx9kWv3"]  # miss pattern (BASELINE config 3 style)
 
     if on_tpu:
-        run = lambda: literal_block_counts_pallas(data, literals)
+        run = lambda: literal_word_block_counts_pallas(data, literals)
     else:
         from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
         from grab_tpu.ops.dfa_scan import bitmap_block_counts

@@ -103,9 +103,28 @@ def parse_args(argv: List[str]):
     return opts, chunk_size, args
 
 
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes (first-compile on the
+    tunneled TPU backend costs minutes; the cache makes repeat CLI
+    invocations start in seconds)."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "GRAB_TPU_CACHE", os.path.expanduser("~/.cache/grab_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     prog = "tpugrep"
+    _enable_compilation_cache()
     opts, chunk_size, args = parse_args(argv)
     if opts is None or len(args) < 2:
         sys.stdout.write(USAGE.format(p=prog))
@@ -176,7 +195,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         dt = time.time() - t0
         print(
             f"tpugrep: {dt:.3f}s"
-            + (f", {nbytes / dt / 1e9:.2f} GB/s" if nbytes else ""),
+            + (f", {nbytes / dt / 1e9:.2f} GB/s" if nbytes else "")
+            + f" | {engine.stats.summary()}",
             file=sys.stderr,
         )
     return 0

@@ -119,6 +119,35 @@ class _NeverMatch:
 
 
 @dataclass
+class ScanStats:
+    """Observability counters (SURVEY §5: the reference has none beyond
+    stdout/stderr; these stay off the parity path, surfaced via
+    --stats)."""
+
+    files_seen: int = 0
+    files_pruned: int = 0  # minlength prune, no open (grab.cc:133-135)
+    files_scanned: int = 0
+    bytes_scanned: int = 0
+    candidate_blocks: int = 0
+    clean_files: int = 0  # zero candidates → no host work
+    device_batches: int = 0
+    wall_walk: float = 0.0
+    wall_scan: float = 0.0
+    wall_replay: float = 0.0
+
+    def summary(self) -> str:
+        return (
+            f"files={self.files_scanned}/{self.files_seen} "
+            f"(pruned={self.files_pruned}, clean={self.clean_files}) "
+            f"bytes={self.bytes_scanned} "
+            f"cand_blocks={self.candidate_blocks} "
+            f"batches={self.device_batches} "
+            f"walk={self.wall_walk:.3f}s scan={self.wall_scan:.3f}s "
+            f"replay={self.wall_replay:.3f}s"
+        )
+
+
+@dataclass
 class EngineConfig:
     output: OutputConfig = field(default_factory=OutputConfig)
     mode: str = "pcre1"  # pcre1 | pcre2 | literal
@@ -136,6 +165,7 @@ class Engine:
             patterns, literal_mode=(self.cfg.mode == "literal")
         )
         self.err: str = ""
+        self.stats = ScanStats()
         self._exact = self._make_exact_matcher()
         self._line_narrow = not any(
             A.may_match_newline(t) for t in self.compiled.asts
@@ -210,17 +240,36 @@ class Engine:
     ) -> int:
         """Scan (path, data) pairs in order through one fixed-shape
         device pipeline; emit reference-grammar output per file."""
+        import time
+
+        st = self.stats
         if not self._device_usable():
             for path, data in files:
+                st.files_scanned += 1
+                st.bytes_scanned += len(data)
+                t0 = time.monotonic()
                 self._replay(path, data, None, emit)
+                st.wall_replay += time.monotonic() - t0
             return 0
         from grab_tpu.scan_pipeline import CorpusPipeline
 
         pipeline = CorpusPipeline(self._get_scanner())
+        t_last = time.monotonic()
         for path, data, counts in pipeline.run(files):
+            now = time.monotonic()
+            st.wall_scan += now - t_last
+            st.files_scanned += 1
+            st.bytes_scanned += len(data)
+            st.candidate_blocks += int((counts > 0).sum())
             if counts.any():
+                t0 = time.monotonic()
                 self._replay(path, data, counts, emit)
+                st.wall_replay += time.monotonic() - t0
+            else:
+                st.clean_files += 1
             _close_quietly(data)
+            t_last = time.monotonic()
+        st.device_batches = getattr(pipeline, "batches_run", 0)
         return 0
 
     def scan_data(self, path: str, data: bytes, emit: Callable[[bytes], None]) -> int:
@@ -262,7 +311,9 @@ class Engine:
 
     def _walk_data_iter(self, root: str) -> Iterator[Tuple[str, object]]:
         for entry in walk_files(root):
+            self.stats.files_seen += 1
             if self.compiled.min_len > entry.size:
+                self.stats.files_pruned += 1
                 continue
             try:
                 yield entry.path, self._open_data(entry.path, entry.size)

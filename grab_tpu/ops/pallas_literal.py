@@ -153,6 +153,145 @@ def prefilter_block_counts_pallas(
     return _row_counts_to_blocks(rc, n, block)
 
 
+# ---------------------------------------------------------------------------
+# Word-packed literal kernel (v2)
+# ---------------------------------------------------------------------------
+#
+# The plane kernel above processes ONE byte per int32 lane — 3/4 of every
+# vector op wasted. This variant packs 4 bytes per lane (the buffer is
+# bitcast to little-endian int32 words): a literal starting at byte
+# 4w+p is detected by masked compares of the word planes at w against
+# per-phase constants whose leading p bytes are wildcards (mask 0) —
+# no in-kernel byte shifting. A literal of length L costs
+# ceil((p+L)/4) masked word-compares per phase, ~2.5 VPU ops per
+# scanned byte for one literal.
+# One output row = 128 lanes * 4 bytes = 512 bytes = exactly one host
+# candidate block.
+
+WORD_PAD_ROWS = 8  # zero word-rows appended (>= max span / 512)
+
+
+def _lit_words(lit: bytes):
+    """Split a literal into (value, mask) little-endian word pairs for
+    each of the 4 phases. Returns [phase][word_index] -> (val, mask)."""
+    out = []
+    for p in range(4):
+        shifted = b"\x00" * p + lit
+        words = []
+        for w in range(0, len(shifted), 4):
+            chunk = shifted[w : w + 4]
+            val = int.from_bytes(chunk.ljust(4, b"\x00"), "little")
+            mask = int.from_bytes(
+                (b"\x00" * (p if w == 0 else 0)
+                 + b"\xff" * (len(chunk) - (p if w == 0 else 0))).ljust(4, b"\x00"),
+                "little",
+            )
+            words.append((val & mask, mask))
+        out.append(words)
+    return out
+
+
+def _build_word_kernel(literals: Tuple[bytes, ...], tile_rows: int):
+    lits = [_lit_words(l[:PAD_ROWS]) for l in literals]
+    max_words = max(len(ph) for l in lits for ph in l)
+    assert max_words <= WORD_PAD_ROWS
+
+    def kernel(a_ref, b_ref, out_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+        xx = pltpu.bitcast(xx, jnp.uint32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+        n_rows = tile_rows + WORD_PAD_ROWS
+        xr = pltpu.roll(xx, n_rows - 1, 0)  # xr[r] = xx[r+1]
+        # word planes: V[k][r, c] = word at flat index (r*128+c)+k
+        planes = [xx[0:tile_rows, :]]
+        for k in range(1, max_words):
+            same = pltpu.roll(xx, LANES - k, 1)[0:tile_rows, :]
+            nxt = pltpu.roll(xr, LANES - k, 1)[0:tile_rows, :]
+            planes.append(jnp.where(col < LANES - k, same, nxt))
+        # The per-phase constants already carry the byte phase as
+        # leading wildcard bytes (mask 0), so a literal starting at
+        # byte 4w+p is detected by masked compares of the UNshifted
+        # word planes at w — no in-kernel byte shifting at all.
+        total = None
+        for p in range(4):
+            # OR across literals first: a position matching several
+            # literals counts once (bitmap semantics)
+            hit_p = None
+            for lit in lits:
+                eq = None
+                for k, (val, mask) in enumerate(lit[p]):
+                    d = planes[k]
+                    if mask != 0xFFFFFFFF:
+                        d = d & jnp.uint32(mask)
+                    t = d == jnp.uint32(val)
+                    eq = t if eq is None else jnp.logical_and(eq, t)
+                hit_p = eq if hit_p is None else jnp.logical_or(hit_p, eq)
+            cnt = jnp.sum(hit_p.astype(jnp.int32), axis=1, keepdims=True)
+            total = cnt if total is None else total + cnt
+        out_ref[:] = total
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("literals", "tile_rows", "interpret"))
+def pallas_literal_word_counts(
+    words2d: jax.Array,  # int32 [Rw + WORD_PAD_ROWS, 128]; tail rows zero
+    literals: Tuple[bytes, ...],
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32 [Rw, 1]: per-512B-block candidate counts (1 word row = 1
+    block)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0] - WORD_PAD_ROWS
+    assert rows % tile_rows == 0, (rows, tile_rows)
+    grid = (rows // tile_rows,)
+    kernel = _build_word_kernel(literals, tile_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (WORD_PAD_ROWS, LANES),
+                lambda i: ((i + 1) * (tile_rows // WORD_PAD_ROWS), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(words2d, words2d)
+
+
+def literal_word_block_counts_pallas(
+    data: jax.Array,  # uint8 [N]; N % (tile_rows*512) == 0
+    literals: List[bytes],
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32 [N/512] candidate counts via the word-packed kernel."""
+    n = data.shape[0]
+    words = jax.lax.bitcast_convert_type(
+        data.reshape(n // 4, 4), jnp.int32
+    ).reshape(n // 512, LANES)
+    words2d = jnp.concatenate(
+        [words, jnp.zeros((WORD_PAD_ROWS, LANES), dtype=jnp.int32)], axis=0
+    )
+    lits = tuple(bytes(l[:PAD_ROWS]) for l in literals)
+    return pallas_literal_word_counts(
+        words2d, lits, tile_rows=tile_rows, interpret=interpret
+    )[:, 0]
+
+
 def literals_to_seqs(literals: List[bytes]) -> CompiledSeqs:
     """Literal byte strings → singleton-range sequences (capped)."""
     return tuple(

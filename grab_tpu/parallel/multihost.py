@@ -1,0 +1,109 @@
+"""Multi-host scan orchestration (jax.distributed).
+
+Scales BASELINE config 5 (100 GB corpus over N ≥ 2 hosts): each host
+walks and ingests ONLY its own corpus shard (no cross-host data
+movement — the bytes stay where the disks are), scans it through the
+same fixed-shape device pipeline, and the cluster agrees on:
+
+  * global match counts — device scalars reduced with jax.lax.psum
+    over the full mesh (ICI intra-slice, DCN across hosts),
+  * globally ordered output — per-host emit files keyed by
+    (file_index, offset); the merge step concatenates in global file
+    order. The reference leaves multicore output order unspecified and
+    compares modulo sort (README.md:209-216); we define the order.
+
+Host sharding follows the reference's round-robin file striding
+(main.cc:94: ``i += nthreads``): host h scans files h, h+H, h+2H, …
+of the (deterministic, sorted) global walk.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, List, Optional, Tuple
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Bring up jax.distributed from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
+    import jax
+
+    kw = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kw["coordinator_address"] = coordinator_address or os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        )
+    if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(
+            num_processes or os.environ["JAX_NUM_PROCESSES"]
+        )
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID") is not None:
+        kw["process_id"] = int(
+            process_id if process_id is not None else os.environ["JAX_PROCESS_ID"]
+        )
+    jax.distributed.initialize(**kw)
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard(entries: List, host: int, n_hosts: int) -> List[Tuple[int, object]]:
+    """Round-robin striding over the globally ordered walk
+    (main.cc:94 parity). Returns (global_index, entry) pairs."""
+    return [(i, entries[i]) for i in range(host, len(entries), n_hosts)]
+
+
+def psum_total(local_count: int, mesh=None) -> int:
+    """All-reduce a host-local scalar over every device in the cluster.
+
+    Uses a tiny psum computation so the reduction rides the same
+    collective fabric as the scan (replacing the reference's
+    process-local stdout mutex aggregation, grab.cc:56)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import numpy as np
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+    n = mesh.devices.size
+    n_local = len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
+
+    def body(x):
+        return jax.lax.psum(x, "shards")
+
+    fn = jax.jit(
+        shard_map(body, mesh=mesh, in_specs=P("shards"), out_specs=P())
+    )
+    # spread the local count over this host's device slots, zeros filled
+    # elsewhere by the per-process addressable shards
+    local = jnp.full((max(1, n_local),), 0, dtype=jnp.int64)
+    if n_local:
+        local = local.at[0].set(local_count)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("shards")), np.asarray(local, dtype=np.int64), (n,)
+    )
+    return int(fn(arr))
+
+
+def merge_host_outputs(output_dir: str, emit: Callable[[bytes], None]) -> int:
+    """Merge per-host emit files (written as {host}.{file_index}.out)
+    into globally ordered output. Returns number of merged pieces."""
+    pieces = []
+    for name in os.listdir(output_dir):
+        if not name.endswith(".out"):
+            continue
+        stem = name[: -len(".out")]
+        try:
+            _host, file_index = stem.split(".", 1)
+            pieces.append((int(file_index), name))
+        except ValueError:
+            continue
+    pieces.sort()
+    for _, name in pieces:
+        with open(os.path.join(output_dir, name), "rb") as f:
+            emit(f.read())
+    return len(pieces)

@@ -95,28 +95,26 @@ class DeviceScanner:
 
         block = self.block
         if self.mode == "dfa":
-            from grab_tpu.ops.pallas_dfa import (
-                dfa_block_counts_pallas,
-                fold_accept_table,
-            )
-
-            folded = jnp.asarray(
-                fold_accept_table(
-                    np.asarray(self._table), np.asarray(self._accept)
-                )
-            )
-            start = int(np.asarray(self._start))
-            return lambda data: dfa_block_counts_pallas(data, folded, start, halo=HALO)
-
-        from grab_tpu.ops.pallas_literal import (
-            literals_to_seqs,
-            prefilter_block_counts_pallas,
-        )
+            # The pallas DFA kernel's in-kernel table gather does not
+            # lower in reasonable time on current Mosaic (observed:
+            # >9 min before timeout); the jnp scan is slow but bounded.
+            # Rare path: only patterns with neither literal factors nor
+            # class sequences land here.
+            return self._build_jnp()
 
         if self.mode == "literal":
-            seqs = literals_to_seqs(self._literals)
-        else:
-            seqs = self._seqs
+            # word-packed kernel: 4 bytes per lane, ~4x denser than the
+            # byte-plane kernel
+            from grab_tpu.ops.pallas_literal import (
+                literal_word_block_counts_pallas,
+            )
+
+            lits = self._literals
+            return lambda data: literal_word_block_counts_pallas(data, lits)
+
+        from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
+
+        seqs = self._seqs
         return lambda data: prefilter_block_counts_pallas(data, seqs, block=block)
 
     def _build_jnp(self):
@@ -174,6 +172,7 @@ class CorpusPipeline:
     def __init__(self, scanner: DeviceScanner, halo: int = HALO):
         self.scanner = scanner
         self.halo = halo
+        self.batches_run = 0
 
     def run(
         self, files: Iterable[Tuple[str, object]]
@@ -192,6 +191,7 @@ class CorpusPipeline:
             """Scan a flushed batch and fold counts into the owning
             files. Everything previously buffered is now scanned, so
             every fully-packed file becomes final."""
+            self.batches_run += 1
             counts = self.scanner.scan(batch.buf)
             for seg in batch.segments:
                 st = inflight[seg.file_idx]

@@ -119,3 +119,45 @@ def test_pallas_dfa_stream_boundary():
     )
     end_block = (pos + 5) // BLOCK
     assert got[end_block] > 0
+
+
+@pytest.mark.parametrize(
+    "lits",
+    [[b"needle"], [b"foo", b"barbaz"], [b"a"], [b"ab"], [b"abc"], [b"abcd"],
+     [b"abcdefgh"], [b"needle", b"ne", b"xyzzy42"]],
+)
+def test_pallas_word_kernel_matches_golden(lits):
+    from grab_tpu.ops.pallas_literal import literal_word_block_counts_pallas
+
+    n = 512 * 512  # one tile at tile_rows=512
+    data = bytearray(random_text(n, 31))
+    data[0:6] = b"needle"
+    data[511:517] = b"needle"  # block boundary straddle
+    data[1000:1008] = b"abcdefgh"
+    data[n - 6 :] = b"needle"
+    data = bytes(data)
+    arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    got = np.asarray(
+        literal_word_block_counts_pallas(arr, lits, tile_rows=512, interpret=True)
+    )
+    want_bitmap = literal_scan_starts([l[:8] for l in lits], data)
+    want = want_bitmap.reshape(-1, 512).sum(axis=1).astype(np.int32)
+    assert (got == want).all(), (
+        np.nonzero(got != want),
+        got.sum(),
+        want.sum(),
+    )
+
+
+def test_pallas_word_kernel_tile_boundary():
+    from grab_tpu.ops.pallas_literal import literal_word_block_counts_pallas
+
+    n = 512 * 1024  # two tiles at tile_rows=512
+    data = bytearray(b"." * n)
+    pos = 512 * 512 - 3  # straddles the tile boundary
+    data[pos : pos + 6] = b"needle"
+    arr = jnp.asarray(np.frombuffer(bytes(data), dtype=np.uint8))
+    got = np.asarray(
+        literal_word_block_counts_pallas(arr, [b"needle"], tile_rows=512, interpret=True)
+    )
+    assert got[pos // 512] == 1 and got.sum() == 1
