@@ -82,7 +82,7 @@ def main():
     literals = [b"qZx9kWv3"]  # miss pattern (BASELINE config 3 style)
 
     if on_tpu:
-        run = lambda: literal_word_block_counts_pallas(data, literals)
+        run = lambda: literal_word_block_counts_pallas(data, tuple(literals))
     else:
         from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
         from grab_tpu.ops.dfa_scan import bitmap_block_counts

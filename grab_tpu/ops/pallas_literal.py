@@ -130,6 +130,7 @@ def _row_counts_to_blocks(rc: jax.Array, n: int, block: int) -> jax.Array:
     return rc.reshape(n // block, per_block_rows).sum(axis=1, dtype=jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("seqs", "block", "tile_rows", "interpret"))
 def prefilter_block_counts_pallas(
     data: jax.Array,  # uint8 [N]; N % (tile_rows*128) == 0
     seqs: CompiledSeqs,
@@ -272,9 +273,10 @@ def pallas_literal_word_counts(
     )(words2d, words2d)
 
 
+@partial(jax.jit, static_argnames=("literals", "tile_rows", "interpret"))
 def literal_word_block_counts_pallas(
     data: jax.Array,  # uint8 [N]; N % (tile_rows*512) == 0
-    literals: List[bytes],
+    literals,  # tuple of bytes (static)
     tile_rows: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -290,6 +292,15 @@ def literal_word_block_counts_pallas(
     return pallas_literal_word_counts(
         words2d, lits, tile_rows=tile_rows, interpret=interpret
     )[:, 0]
+
+
+def literal_word_block_counts(data, literals, tile_rows=512, interpret=False):
+    """Call-site helper: normalizes ``literals`` to a hashable tuple for
+    the jitted static argument."""
+    return literal_word_block_counts_pallas(
+        data, tuple(bytes(l) for l in literals), tile_rows=tile_rows,
+        interpret=interpret,
+    )
 
 
 def literals_to_seqs(literals: List[bytes]) -> CompiledSeqs:
@@ -314,3 +325,154 @@ def literal_block_counts_pallas(
         tile_rows=tile_rows,
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized word kernel: literals as SMEM data, bucketed shapes
+# ---------------------------------------------------------------------------
+#
+# Baking literal bytes into the kernel (above) costs one Mosaic compile
+# per pattern set — minutes on a remote-compile backend. This variant
+# reads the (value, mask) word constants from SMEM instead, so one
+# compiled kernel serves EVERY literal set that fits its
+# (n_lits, n_words) bucket; unused slots are padded with
+# never-matching (val=1, mask=0) words. The persistent compilation
+# cache then makes any literal search start instantly.
+
+_LIT_BUCKETS = (1, 2, 4, 8, 16)
+_MAX_PARAM_WORDS = 3  # 8-byte literals at worst phase span 3 words
+
+
+def _param_tables(literals) -> np.ndarray:
+    """Pack literals → int32 [2, 4, K, W] (vals, masks) padded arrays."""
+    k_real = len(literals)
+    k = next(b for b in _LIT_BUCKETS if b >= k_real)
+    per = [_lit_words(l[:PAD_ROWS]) for l in literals]
+    w = max(len(ph) for l in per for ph in l)
+    out = np.zeros((2, 4, k, _MAX_PARAM_WORDS), dtype=np.uint32)
+    out[0, :, :, 0] = 1  # default: never-match (val 1, mask 0)
+    for li, phases in enumerate(per):
+        for p in range(4):
+            for wi in range(_MAX_PARAM_WORDS):
+                if wi < len(phases[p]):
+                    val, mask = phases[p][wi]
+                else:
+                    val, mask = 0, 0  # always-true tail word
+                out[0, p, li, wi] = val
+                out[1, p, li, wi] = mask
+    return out.view(np.int32), k, w
+
+
+def _build_param_word_kernel(n_lits: int, n_words: int, tile_rows: int):
+    def kernel(tab_ref, a_ref, b_ref, out_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+        n_rows = tile_rows + WORD_PAD_ROWS
+        xr = pltpu.roll(xx, n_rows - 1, 0)
+        planes = [xx[0:tile_rows, :]]
+        for k in range(1, n_words):
+            same = pltpu.roll(xx, LANES - k, 1)[0:tile_rows, :]
+            nxt = pltpu.roll(xr, LANES - k, 1)[0:tile_rows, :]
+            planes.append(jnp.where(col < LANES - k, same, nxt))
+        total = None
+        for p in range(4):
+            hit_p = None
+            for li in range(n_lits):
+                eq = None
+                for k in range(n_words):
+                    val = tab_ref[0, p, li, k]
+                    mask = tab_ref[1, p, li, k]
+                    t = (planes[k] & mask) == val
+                    eq = t if eq is None else jnp.logical_and(eq, t)
+                hit_p = eq if hit_p is None else jnp.logical_or(hit_p, eq)
+            cnt = jnp.sum(hit_p.astype(jnp.int32), axis=1, keepdims=True)
+            total = cnt if total is None else total + cnt
+        out_ref[:] = total
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_lits", "n_words", "tile_rows", "interpret"))
+def _param_word_counts(
+    words2d: jax.Array,  # int32 [Rw + WORD_PAD_ROWS, 128]
+    tab: jax.Array,  # int32 [2, 4, K, W]
+    n_lits: int,
+    n_words: int,
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0] - WORD_PAD_ROWS
+    assert rows % tile_rows == 0
+    grid = (rows // tile_rows,)
+    kernel = _build_param_word_kernel(n_lits, n_words, tile_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (WORD_PAD_ROWS, LANES),
+                lambda i: ((i + 1) * (tile_rows // WORD_PAD_ROWS), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(tab, words2d, words2d)
+
+
+@partial(jax.jit, static_argnames=("n_lits", "n_words", "tile_rows", "interpret"))
+def _param_word_pipeline(
+    data: jax.Array,
+    tab: jax.Array,
+    n_lits: int,
+    n_words: int,
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    n = data.shape[0]
+    words = jax.lax.bitcast_convert_type(
+        data.reshape(n // 4, 4), jnp.int32
+    ).reshape(n // 512, LANES)
+    words2d = jnp.concatenate(
+        [words, jnp.zeros((WORD_PAD_ROWS, LANES), dtype=jnp.int32)], axis=0
+    )
+    return _param_word_counts(
+        words2d, tab, n_lits, n_words, tile_rows=tile_rows, interpret=interpret
+    )[:, 0]
+
+
+class ParamLiteralScanner:
+    """One compiled kernel per (bucket, words) shape; literal bytes are
+    runtime data."""
+
+    def __init__(self, literals, tile_rows: int = 512, interpret: bool = False):
+        tab, k, w = _param_tables(list(literals))
+        self._tab = jnp.asarray(tab)
+        self._k = k
+        # always compile for the max word span: one kernel per K bucket,
+        # ever (the padded always-true tail words cost ~1 op each)
+        self._w = _MAX_PARAM_WORDS
+        self._tile_rows = tile_rows
+        self._interpret = interpret
+
+    def __call__(self, data: jax.Array) -> jax.Array:
+        return _param_word_pipeline(
+            data,
+            self._tab,
+            self._k,
+            self._w,
+            tile_rows=self._tile_rows,
+            interpret=self._interpret,
+        )

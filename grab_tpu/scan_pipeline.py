@@ -18,6 +18,7 @@ import numpy as np
 
 CANDIDATE_BLOCK = 512
 HALO = 0x1000  # reference overlap (grab.cc:151)
+MAX_KERNEL_LITERALS = 16  # beyond this, fold into a union class sequence
 
 
 class DeviceScanner:
@@ -49,7 +50,7 @@ class DeviceScanner:
         # All elementwise paths run at memory bandwidth; the DFA walk is
         # sequential and ~1000x slower on TPU (measured), kept only for
         # patterns the sequence extractor cannot cover.
-        if cp.literals:
+        if cp.literals and len(cp.literals) <= MAX_KERNEL_LITERALS:
             self.mode = "literal"
             from grab_tpu.ops.literal_scan import literal_matrix
 
@@ -57,6 +58,23 @@ class DeviceScanner:
             mat, lens = literal_matrix(cp.literals)
             self._lit_mat = jnp.asarray(mat)
             self._lit_len = tuple(int(x) for x in lens)
+        elif cp.literals:
+            # Large batches (hyperscan-style, BASELINE config 4): fold
+            # the literal set into one union class sequence — per
+            # position test "byte j in {j-th bytes of all literals}" —
+            # the Teddy-bucket analog; host verification restores
+            # per-literal precision on the flagged blocks.
+            self.mode = "class_seq"
+            from grab_tpu.ops.class_prefilter import compile_sequences
+
+            k = min(min(len(l) for l in cp.literals), 8)
+            masks = []
+            for j in range(k):
+                m = 0
+                for l in cp.literals:
+                    m |= 1 << l[j]
+                masks.append(m)
+            self._seqs = compile_sequences([tuple(masks)])
         elif cp.class_seqs:
             self.mode = "class_seq"
             from grab_tpu.ops.class_prefilter import compile_sequences
@@ -103,14 +121,11 @@ class DeviceScanner:
             return self._build_jnp()
 
         if self.mode == "literal":
-            # word-packed kernel: 4 bytes per lane, ~4x denser than the
-            # byte-plane kernel
-            from grab_tpu.ops.pallas_literal import (
-                literal_word_block_counts_pallas,
-            )
+            # word-packed kernel, literals as SMEM data: one compiled
+            # kernel per K bucket ever; any literal set reuses it
+            from grab_tpu.ops.pallas_literal import ParamLiteralScanner
 
-            lits = self._literals
-            return lambda data: literal_word_block_counts_pallas(data, lits)
+            return ParamLiteralScanner(self._literals)
 
         from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
 

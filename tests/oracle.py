@@ -1,0 +1,95 @@
+"""Shared independent oracle for conformance tests.
+
+A deliberately separate transliteration of the reference's emit loop
+(grab.cc:131-239) driven by Python re — kept apart from product code so
+bugs cannot cancel out. Used by test_emitter.py and the tree-level
+conformance tests.
+"""
+
+import re
+
+from grab_tpu.format.emitter import OutputConfig
+
+CAP = 511
+
+
+def oracle_scan(pattern, data, cfg: OutputConfig, path="f"):
+    creg = re.compile(pattern)
+    out = b""
+    size = len(data)
+    from grab_tpu.regex import ast as A
+    from grab_tpu.regex.parser import parse
+
+    minlen = A.min_len(parse(pattern))
+    if minlen > size:
+        return b""
+    stride = cfg.chunk_size - 0x1000
+    off = 0
+    while off < size:
+        clen = min(cfg.chunk_size, size - off)
+        buf = b""
+        start = off
+        end = off + clen
+        while start + minlen < end:
+            m = creg.search(data[start:end])
+            if m is None:
+                break
+            ms, me = start + m.start(), start + m.end()
+            if cfg.recursive or cfg.print_path:
+                buf += path.encode() + b":"
+            if cfg.print_offset:
+                buf += b"Match at offset %d\n" % ms
+            a = 0
+            if cfg.print_line:
+                b0 = ms
+                while b0 > start and data[b0 - 1] != 0x0A and ms - b0 < CAP:
+                    b0 -= 1
+                ae = me
+                while ae < end and data[ae] != 0x0A and a < CAP:
+                    ae += 1
+                    a += 1
+                line = data[b0:ms]
+                if cfg.colored:
+                    line += b"\33[7m"
+                line += data[ms:me]
+                if cfg.colored:
+                    line += b"\33[27m"
+                line += data[me:ae] + b"\n"
+                buf += line
+            elif not cfg.print_offset:
+                buf += b"matches\n"
+                break
+            new_start = me + a
+            if new_start == start:
+                new_start += 1  # deviation: reference would hang
+            start = new_start
+            if cfg.single_match:
+                break
+        out += buf
+        if buf and cfg.single_match:
+            break
+        off += stride
+    return out
+
+
+def oracle_tree(pattern, root, cfg: OutputConfig):
+    """Recursive oracle: sorted physical walk, per-file oracle_scan."""
+    import os
+    import stat as stat_mod
+
+    pieces = []
+    stack = [str(root)]
+    while stack:
+        d = stack.pop()
+        entries = sorted(os.scandir(d), key=lambda e: e.name)
+        subdirs = []
+        for ent in entries:
+            st = ent.stat(follow_symlinks=False)
+            if stat_mod.S_ISREG(st.st_mode):
+                with open(ent.path, "rb") as f:
+                    data = f.read()
+                pieces.append(oracle_scan(pattern, data, cfg, path=ent.path))
+            elif stat_mod.S_ISDIR(st.st_mode):
+                subdirs.append(ent.path)
+        stack.extend(reversed(subdirs))
+    return b"".join(pieces)

@@ -1,0 +1,145 @@
+"""Tree-level conformance: full CLI output vs the independent oracle —
+the counterpart of the reference's differential test against GNU grep
+(README.md:209-216, `| sort | md5sum` on both sides).
+
+Our walk order is deterministic (sorted), so we compare both raw and
+sorted outputs.
+"""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from grab_tpu import cli
+from grab_tpu.format.emitter import OutputConfig
+from tests.oracle import oracle_tree
+
+
+def run_cli(argv):
+    buf = io.BytesIO()
+
+    class FakeStdout:
+        buffer = buf
+
+        @staticmethod
+        def isatty():
+            return False
+
+        @staticmethod
+        def write(s):
+            pass
+
+        @staticmethod
+        def flush():
+            pass
+
+    old = sys.stdout
+    sys.stdout = FakeStdout()
+    try:
+        rc = cli.main(argv)
+    finally:
+        sys.stdout = old
+    return rc, buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(77)
+    # text files with sprinkled needles
+    for d in ["src", "src/deep", "docs"]:
+        (root / d).mkdir(parents=True)
+    texts = {
+        "src/main.c": b"int main() { return needle; }\n" * 50,
+        "src/deep/util.py": b"def f():\n    pass  # needle here\n" * 30,
+        "docs/readme.md": b"nothing to see\n" * 100,
+        "empty.txt": b"",
+        "oneline": b"needle",  # exactly minlen -> never scanned (grab.cc:175)
+    }
+    for name, content in texts.items():
+        (root / name).write_bytes(content)
+    # binary file with embedded needle
+    blob = rng.integers(0, 256, size=65536, dtype=np.uint8)
+    blob[4096:4102] = np.frombuffer(b"needle", dtype=np.uint8)
+    # clear accidental newline-free issues: oracle handles binary fine
+    (root / "src" / "blob.bin").write_bytes(blob.tobytes())
+    # file with very long lines (context caps)
+    (root / "long.txt").write_bytes(
+        b"x" * 600 + b"needle" + b"y" * 600 + b"\n" + b"short needle line\n"
+    )
+    # symlink that must not be followed
+    (root / "loop").symlink_to(root)
+    return root
+
+
+CASES = [
+    ([], rb"needle"),
+    (["-O"], rb"needle"),
+    (["-l", "-O"], rb"needle"),
+    (["-l"], rb"needle"),
+    (["-s"], rb"needle"),
+    ([], rb"ne+dle"),
+    (["-O"], rb"n[a-z]+e"),
+    ([], rb"zzznotfound"),
+    (["-O"], rb"\bneedle\b"),
+]
+
+
+@pytest.mark.parametrize(
+    "flags,pattern", CASES, ids=[f"{f}-{p!r}" for f, p in CASES]
+)
+def test_cli_vs_oracle(corpus, flags, pattern):
+    rc, got = run_cli(flags + ["-r", pattern.decode(), str(corpus)])
+    assert rc == 0
+    cfg = OutputConfig(
+        recursive=True,
+        print_offset="-O" in flags,
+        print_line="-l" not in flags,
+        single_match="-s" in flags,
+    )
+    want = oracle_tree(pattern, corpus, cfg)
+    assert got == want, (
+        f"flags={flags} pattern={pattern!r}\n"
+        f"got {len(got)}B want {len(want)}B\n"
+        f"got head: {got[:200]!r}\nwant head: {want[:200]!r}"
+    )
+
+
+def test_cli_parallel_matches_single(corpus):
+    rc1, a = run_cli(["-r", "-O", "-l", "needle", str(corpus)])
+    rc2, b = run_cli(["-n", "4", "-r", "-O", "-l", "needle", str(corpus)])
+    assert rc1 == rc2 == 0
+    # -n quarters the chunk size (main.cc:172-173) which does not change
+    # results for files < 256 MiB; outputs must be identical
+    assert a == b
+
+
+def test_cli_small_chunk_overlap(corpus, tmp_path_factory):
+    """Chunk-boundary behavior with an artificially small chunk via -L
+    repeated (floor 32 MiB) is unobservable on small files; instead
+    drive the emitter path through the engine with a tiny chunk to get
+    duplicate reports, then confirm oracle agreement."""
+    from grab_tpu.engine import Engine, EngineConfig
+    from tests.oracle import oracle_scan
+
+    chunk = 1 << 16
+    data = bytearray(b"." * (chunk + 9000))
+    pos = (chunk - 0x1000) + 50  # inside the overlap of chunks 0 and 1
+    data[pos : pos + 6] = b"needle"
+    data = bytes(data)
+    cfg = EngineConfig(
+        output=OutputConfig(print_offset=True, print_line=False, chunk_size=chunk)
+    )
+    eng = Engine(rb"needle", cfg)
+    chunks = []
+    eng.scan_data("f", data, chunks.append)
+    got = b"".join(chunks)
+    want = oracle_scan(
+        rb"needle",
+        data,
+        OutputConfig(print_offset=True, print_line=False, chunk_size=chunk),
+    )
+    assert got == want
+    assert got.count(b"Match at offset %d" % pos) == 2  # duplicate report

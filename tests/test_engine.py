@@ -137,3 +137,39 @@ def test_candidate_searcher_equivalence():
         if a is None:
             break
         lo = a[1] + 1
+
+
+def test_large_literal_batch_config4():
+    """BASELINE config 4 shape: 100 literals + 10 regexes in one batch;
+    device path must fold into the union class sequence and outputs
+    must match the host path."""
+    import random
+
+    rng = random.Random(5)
+    lits = [
+        bytes(rng.choice(b"abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(100)
+    ]
+    regexes = [rb"q%dw[0-9]+z" % i for i in range(10)]
+    patterns = lits + regexes
+    corpus = bytearray()
+    rng2 = np.random.default_rng(6)
+    corpus += rng2.integers(97, 123, size=50_000, dtype=np.uint8).tobytes()
+    corpus += lits[3] + b"\n"
+    corpus += rng2.integers(97, 123, size=10_000, dtype=np.uint8).tobytes()
+    corpus += b"q7w123z\n"
+    corpus += lits[42] + b"\n"
+    data = bytes(corpus)
+
+    outs = []
+    for device in ("auto", "none"):
+        cfg = EngineConfig(
+            output=OutputConfig(print_offset=True, print_line=False), device=device
+        )
+        eng = Engine(patterns, cfg)
+        chunks = []
+        eng.scan_data("f", data, chunks.append)
+        outs.append(b"".join(chunks))
+    assert outs[0] == outs[1]
+    assert b"Match at offset 50000\n" in outs[0]  # lits[3]
+    assert b"Match at offset %d\n" % (50_000 + 7 + 10_000) in outs[0]  # regex

@@ -138,7 +138,7 @@ def test_pallas_word_kernel_matches_golden(lits):
     data = bytes(data)
     arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
     got = np.asarray(
-        literal_word_block_counts_pallas(arr, lits, tile_rows=512, interpret=True)
+        literal_word_block_counts_pallas(arr, tuple(lits), tile_rows=512, interpret=True)
     )
     want_bitmap = literal_scan_starts([l[:8] for l in lits], data)
     want = want_bitmap.reshape(-1, 512).sum(axis=1).astype(np.int32)
@@ -158,6 +158,44 @@ def test_pallas_word_kernel_tile_boundary():
     data[pos : pos + 6] = b"needle"
     arr = jnp.asarray(np.frombuffer(bytes(data), dtype=np.uint8))
     got = np.asarray(
-        literal_word_block_counts_pallas(arr, [b"needle"], tile_rows=512, interpret=True)
+        literal_word_block_counts_pallas(arr, (b"needle",), tile_rows=512, interpret=True)
     )
     assert got[pos // 512] == 1 and got.sum() == 1
+
+
+@pytest.mark.parametrize(
+    "lits",
+    [[b"needle"], [b"foo", b"barbaz"], [b"a"], [b"abcdefgh"],
+     [b"needle", b"ne", b"xyzzy42"], [b"q%d" % i for i in range(11)]],
+)
+def test_param_word_kernel_matches_golden(lits):
+    from grab_tpu.ops.pallas_literal import ParamLiteralScanner
+
+    n = 512 * 512
+    data = bytearray(random_text(n, 37))
+    data[0:6] = b"needle"
+    data[511:517] = b"needle"
+    data[1000:1008] = b"abcdefgh"
+    data[2000:2002] = b"q7"
+    data[n - 6 :] = b"needle"
+    data = bytes(data)
+    scanner = ParamLiteralScanner(lits, interpret=True)
+    got = np.asarray(scanner(jnp.asarray(np.frombuffer(data, dtype=np.uint8))))
+    want_bitmap = literal_scan_starts([l[:8] for l in lits], data)
+    want = want_bitmap.reshape(-1, 512).sum(axis=1).astype(np.int32)
+    assert (got == want).all(), (np.nonzero(got != want), got.sum(), want.sum())
+
+
+def test_param_word_kernel_bucket_reuse():
+    """Two different literal sets in the same bucket must reuse one
+    compiled kernel (cache_size stable)."""
+    from grab_tpu.ops.pallas_literal import ParamLiteralScanner, _param_word_pipeline
+
+    n = 512 * 512
+    data = jnp.asarray(np.zeros(n, dtype=np.uint8))
+    s1 = ParamLiteralScanner([b"needle"], interpret=True)
+    s1(data)
+    before = _param_word_pipeline._cache_size()
+    s2 = ParamLiteralScanner([b"ha"], interpret=True)
+    s2(data)
+    assert _param_word_pipeline._cache_size() == before
