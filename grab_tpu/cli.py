@@ -51,6 +51,7 @@ def parse_args(argv: List[str]):
         "literal": False,
         "multi": False,
         "stats": False,
+        "resume": None,
     }
     chunk_size = 1 << 30
     args = []
@@ -59,6 +60,9 @@ def parse_args(argv: List[str]):
         a = argv[i]
         if a == "--stats":
             opts["stats"] = True
+        elif a == "--resume":
+            i += 1
+            opts["resume"] = argv[i]
         elif a == "--":
             args.extend(argv[i + 1 :])
             break
@@ -177,13 +181,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.time()
     nbytes = 0
 
+    manifest = None
+    if opts["resume"]:
+        from grab_tpu.resume import ResumeManifest
+
+        manifest = ResumeManifest(opts["resume"])
+
     if opts["recursive"]:
-        if opts["cores"] > 1:
+        if opts["cores"] > 1 and manifest is None:
             from grab_tpu.parallel.runner import run_parallel
 
             nbytes = run_parallel(engine, paths[0], emit, opts["cores"])
         else:
-            engine.find_recursive(paths[0], emit)
+            engine.find_recursive(paths[0], emit, manifest=manifest)
     else:
         for p in paths:
             if engine.scan_file(p, emit) < 0:

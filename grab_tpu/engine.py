@@ -309,10 +309,15 @@ class Engine:
             return -1
         return self.scan_corpus([(path, data)], emit)
 
-    def _walk_data_iter(self, root: str) -> Iterator[Tuple[str, object]]:
+    def _walk_data_iter(
+        self, root: str, manifest=None
+    ) -> Iterator[Tuple[str, object]]:
         for entry in walk_files(root):
             self.stats.files_seen += 1
             if self.compiled.min_len > entry.size:
+                self.stats.files_pruned += 1
+                continue
+            if manifest is not None and manifest.is_done(entry.path, entry.size):
                 self.stats.files_pruned += 1
                 continue
             try:
@@ -323,9 +328,60 @@ class Engine:
                     file=sys.stderr,
                 )
 
-    def find_recursive(self, root: str, emit: Callable[[bytes], None]) -> int:
+    def find_recursive(
+        self, root: str, emit: Callable[[bytes], None], manifest=None
+    ) -> int:
         self.cfg.output.recursive = True
-        return self.scan_corpus(self._walk_data_iter(root), emit)
+        if manifest is None:
+            return self.scan_corpus(self._walk_data_iter(root), emit)
+
+        sizes = {}
+
+        def tracked():
+            for path, data in self._walk_data_iter(root, manifest):
+                sizes[path] = len(data)
+                yield path, data
+
+        def emit_and_mark(path):
+            def inner(buf):
+                emit(buf)
+
+            return inner
+
+        # scan_corpus emits per file in order; mark completion as each
+        # file's replay finishes by wrapping the per-file loop
+        rc = self._scan_corpus_with_completion(
+            tracked(), emit, lambda p: manifest.mark_done(p, sizes.get(p, -1))
+        )
+        manifest.close()
+        return rc
+
+    def _scan_corpus_with_completion(self, files, emit, on_done) -> int:
+        import time
+
+        st = self.stats
+        if not self._device_usable():
+            for path, data in files:
+                st.files_scanned += 1
+                st.bytes_scanned += len(data)
+                self._replay(path, data, None, emit)
+                on_done(path)
+            return 0
+        from grab_tpu.scan_pipeline import CorpusPipeline
+
+        pipeline = CorpusPipeline(self._get_scanner())
+        for path, data, counts in pipeline.run(files):
+            st.files_scanned += 1
+            st.bytes_scanned += len(data)
+            st.candidate_blocks += int((counts > 0).sum())
+            if counts.any():
+                self._replay(path, data, counts, emit)
+            else:
+                st.clean_files += 1
+            _close_quietly(data)
+            on_done(path)
+        st.device_batches = getattr(pipeline, "batches_run", 0)
+        return 0
 
 
 def _close_quietly(data):

@@ -1,0 +1,64 @@
+"""Shard-resume manifest for long corpus scans.
+
+SURVEY §5: the reference has no checkpointing (a scan is re-runnable);
+for the 100 GB multi-host config a resume manifest is the cheap
+insurance the reference never had. Design:
+
+  * append-only JSONL, one record per *completed* file:
+      {"path": ..., "size": ..., "mtime": ...}
+  * a file is skipped on resume only when path+size+mtime all match —
+    a changed file is rescanned;
+  * records are flushed after the file's output is emitted, so a crash
+    can only duplicate work, never lose output.
+
+Usage: ``tpugrep --resume manifest.jsonl -r <regex> <path>``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+
+class ResumeManifest:
+    def __init__(self, path: str):
+        self.path = path
+        self._done: Dict[str, Tuple[int, float]] = {}
+        self._fh = None
+        if os.path.exists(path):
+            with open(path, "r") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                        self._done[rec["path"]] = (rec["size"], rec["mtime"])
+                    except (ValueError, KeyError):
+                        continue  # torn tail record from a crash
+
+    def is_done(self, path: str, size: int) -> bool:
+        rec = self._done.get(path)
+        if rec is None or rec[0] != size:
+            return False
+        try:
+            return os.stat(path).st_mtime == rec[1]
+        except OSError:
+            return False
+
+    def mark_done(self, path: str, size: int):
+        try:
+            mtime = os.stat(path).st_mtime
+        except OSError:
+            return
+        if self._fh is None:
+            self._fh = open(self.path, "a", buffering=1)
+        self._fh.write(
+            json.dumps({"path": path, "size": size, "mtime": mtime}) + "\n"
+        )
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

@@ -20,6 +20,33 @@ CANDIDATE_BLOCK = 512
 HALO = 0x1000  # reference overlap (grab.cc:151)
 MAX_KERNEL_LITERALS = 16  # beyond this, fold into a union class sequence
 
+_cache_enabled = False
+
+
+def enable_compilation_cache():
+    """Idempotently point XLA's persistent compilation cache at a local
+    directory. Compile latency through a remote-compile TPU backend is
+    erratic (observed 2s–10min for identical programs); the cache makes
+    every program a one-time cost per machine."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    try:
+        import os
+
+        import jax
+
+        cache_dir = os.environ.get(
+            "GRAB_TPU_CACHE", os.path.expanduser("~/.cache/grab_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 
 class DeviceScanner:
     """Wraps the jitted fixed-shape candidate scan."""
@@ -34,6 +61,7 @@ class DeviceScanner:
         import jax
         import jax.numpy as jnp
 
+        enable_compilation_cache()
         self.block = block
         if buf_size is None:
             # one compile for everything: big buffers on accelerators,

@@ -100,3 +100,22 @@ def test_single_match_flag(tree):
     rc, out = run_cli(["-s", "needle", str(tree / "b.txt")])
     assert rc == 0
     assert out == b"needle at zero\n"
+
+
+def test_resume_manifest(tree, tmp_path_factory):
+    mdir = tmp_path_factory.mktemp("resume")
+    manifest = str(mdir / "m.jsonl")
+    rc, out1 = run_cli(["--resume", manifest, "-r", "-l", "-O", "needle", str(tree)])
+    assert rc == 0 and out1.count(b"Match") == 3
+    # second run: everything skipped, no output
+    rc, out2 = run_cli(["--resume", manifest, "-r", "-l", "-O", "needle", str(tree)])
+    assert rc == 0 and out2 == b""
+    # touching a file rescans only it
+    import os, time
+
+    p = tree / "b.txt"
+    os.utime(p, (time.time() + 5, time.time() + 5))
+    rc, out3 = run_cli(["--resume", manifest, "-r", "-l", "-O", "needle", str(tree)])
+    assert rc == 0
+    assert out3.count(b"Match") == 2  # the two matches in b.txt
+    assert b"a.txt" not in out3
