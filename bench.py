@@ -56,8 +56,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from grab_tpu.ops.pallas_literal import literal_word_block_counts_pallas
-
     # persistent compilation cache: cold-start compiles on the tunneled
     # backend cost minutes; cached runs start in seconds
     cache_dir = os.environ.get(
@@ -76,17 +74,22 @@ def main():
     rng = np.random.default_rng(42)
     # text-like corpus; pattern "qZx9" never planted → full scan, 0 hits
     buf = rng.integers(97, 123, size=n, dtype=np.uint8)
-    data = jax.device_put(jnp.asarray(buf))
-    data.block_until_ready()
-
     literals = [b"qZx9kWv3"]  # miss pattern (BASELINE config 3 style)
 
     if on_tpu:
-        run = lambda: literal_word_block_counts_pallas(data, tuple(literals))
+        from grab_tpu.ops.pallas_literal import ParamLiteralScanner
+
+        # words packed on host (free view); resident on device
+        data = jax.device_put(jnp.asarray(buf.view("<i4")))
+        data.block_until_ready()
+        scanner = ParamLiteralScanner(literals)
+        run = lambda: scanner.words(data)
     else:
         from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
         from grab_tpu.ops.dfa_scan import bitmap_block_counts
 
+        data = jax.device_put(jnp.asarray(buf))
+        data.block_until_ready()
         mat, lens = literal_matrix(literals)
         mat = jnp.asarray(mat)
         lengths = tuple(int(x) for x in lens)

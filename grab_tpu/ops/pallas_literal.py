@@ -453,6 +453,28 @@ def _param_word_pipeline(
     )[:, 0]
 
 
+@partial(jax.jit, static_argnames=("n_lits", "n_words", "tile_rows", "interpret"))
+def _param_word_pipeline_words(
+    words: jax.Array,  # int32 [N/4] — LE-packed on host (zero-copy view)
+    tab: jax.Array,
+    n_lits: int,
+    n_words: int,
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same as _param_word_pipeline but takes pre-packed words: the
+    device-side u8[...,4]→i32 bitcast lane-pads the tiny trailing dim
+    4→128 (32x HBM blowup at 256MB); a host numpy .view is free."""
+    nw = words.shape[0]
+    w2 = words.reshape(nw // LANES, LANES)
+    words2d = jnp.concatenate(
+        [w2, jnp.zeros((WORD_PAD_ROWS, LANES), dtype=jnp.int32)], axis=0
+    )
+    return _param_word_counts(
+        words2d, tab, n_lits, n_words, tile_rows=tile_rows, interpret=interpret
+    )[:, 0]
+
+
 class ParamLiteralScanner:
     """One compiled kernel per (bucket, words) shape; literal bytes are
     runtime data."""
@@ -470,6 +492,17 @@ class ParamLiteralScanner:
     def __call__(self, data: jax.Array) -> jax.Array:
         return _param_word_pipeline(
             data,
+            self._tab,
+            self._k,
+            self._w,
+            tile_rows=self._tile_rows,
+            interpret=self._interpret,
+        )
+
+    def words(self, words: jax.Array) -> jax.Array:
+        """Scan host-packed int32 words (buf.view('<i4'))."""
+        return _param_word_pipeline_words(
+            words,
             self._tab,
             self._k,
             self._w,

@@ -120,6 +120,7 @@ class DeviceScanner:
         else:
             raise ValueError("pattern has no device-scannable form")
         self._fn = self._build()
+        self._compact = None  # lazy (total, packed-flags) wrapper
 
     def _build(self):
         import jax
@@ -150,10 +151,12 @@ class DeviceScanner:
 
         if self.mode == "literal":
             # word-packed kernel, literals as SMEM data: one compiled
-            # kernel per K bucket ever; any literal set reuses it
+            # kernel per K bucket ever; any literal set reuses it.
+            # Input is host-packed int32 words (see scan()).
             from grab_tpu.ops.pallas_literal import ParamLiteralScanner
 
-            return ParamLiteralScanner(self._literals)
+            self._input_words = True
+            return ParamLiteralScanner(self._literals).words
 
         from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
 
@@ -202,10 +205,50 @@ class DeviceScanner:
 
         return lambda data: fn(self._lit_mat, data)
 
+    def _build_compact(self):
+        """Wrap the counts function so results leave the device as
+        (total scalar, packed flag bits). Device→host pulls through the
+        tunneled backend are latency-dominated (measured: 256 KiB counts
+        can take tens of seconds); a clean batch — the dominant case on
+        miss-heavy scans (README.md:125-127) — now costs one 4-byte
+        pull, and a dirty batch an ~nb/8-byte bitmask."""
+        import jax
+        import jax.numpy as jnp
+
+        counts_fn = self._fn
+        nb = self.buf_size // self.block
+
+        @jax.jit
+        def compact(data):
+            counts = counts_fn(data)
+            flags = (counts > 0).astype(jnp.uint32)
+            total = flags.sum(dtype=jnp.int32)
+            powers = jnp.left_shift(
+                jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32)
+            )
+            packed = (flags.reshape(nb // 32, 32) * powers[None, :]).sum(
+                axis=1, dtype=jnp.uint32
+            )
+            return total, packed
+
+        return compact
+
     def scan(self, buf: np.ndarray) -> np.ndarray:
-        """buf: uint8 [buf_size] → int32 [buf_size/block] counts."""
-        out = self._fn(self._jnp.asarray(buf))
-        return np.asarray(out)
+        """buf: uint8 [buf_size] → int32 [buf_size/block] 0/1 flags
+        (candidate-block indicator; host logic only tests > 0)."""
+        if self._compact is None:
+            self._compact = self._build_compact()
+        if getattr(self, "_input_words", False):
+            dev_in = self._jnp.asarray(buf.view("<i4"))
+        else:
+            dev_in = self._jnp.asarray(buf)
+        total, packed = self._compact(dev_in)
+        nb = self.buf_size // self.block
+        if int(total) == 0:
+            return np.zeros(nb, dtype=np.int32)
+        bits = np.asarray(packed)  # [nb/32] uint32
+        flags = (bits[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+        return flags.reshape(nb).astype(np.int32)
 
 
 class CorpusPipeline:

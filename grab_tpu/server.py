@@ -1,0 +1,222 @@
+"""Scan server: a long-running daemon with warm compiled engines.
+
+The reference is a one-shot CLI; re-running it costs one pcre_compile
+(~µs). Here the expensive per-process costs are XLA program loads
+through the TPU runtime (seconds to minutes on a tunneled backend), so
+production serving keeps one process alive:
+
+    python -m grab_tpu.server /tmp/tpugrep.sock   # start daemon
+    tpugrep --via /tmp/tpugrep.sock -r <regex> <path>   # fast client
+
+Protocol (unix stream socket):
+    request:  one JSON line {"argv": [...]}
+    response: length-prefixed frames — [u32 len][payload]... for stdout
+              bytes, [u32 0][u32 exit_code] to finish; stderr text
+              travels as frames tagged by a leading 0x01 byte (stdout
+              frames lead with 0x00).
+
+Engines (pattern compilation + device scanner programs) are cached
+across requests keyed by (patterns, mode); output flags are per-request.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import socket
+import struct
+import sys
+from typing import Dict, List, Optional, Tuple
+
+from grab_tpu import cli as cli_mod
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+
+
+class _EngineCache:
+    def __init__(self):
+        self._scanners: Dict[tuple, object] = {}
+
+    def engine_for(self, patterns: List[bytes], cfg: EngineConfig) -> Engine:
+        eng = Engine(patterns, cfg)
+        key = (tuple(patterns), cfg.mode, cfg.scan_buf_size)
+        if eng._device_usable():
+            scanner = self._scanners.get(key)
+            if scanner is None:
+                scanner = eng._get_scanner()
+                self._scanners[key] = scanner
+            else:
+                eng._scanner = scanner
+        return eng
+
+
+def _handle(conn: socket.socket, cache: _EngineCache):
+    f = conn.makefile("rb")
+    line = f.readline()
+    if not line:
+        return
+    try:
+        req = json.loads(line)
+        argv = req["argv"]
+    except (ValueError, KeyError):
+        conn.sendall(struct.pack("!I", 0) + struct.pack("!I", 255))
+        return
+
+    def send_frame(tag: int, payload: bytes):
+        conn.sendall(struct.pack("!I", len(payload) + 1) + bytes([tag]) + payload)
+
+    class SockWriter:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def write(self, data):
+            if isinstance(data, str):
+                data = data.encode("utf-8", "surrogateescape")
+            if data:
+                send_frame(self.tag, data)
+            return len(data)
+
+        def flush(self):
+            pass
+
+        def isatty(self):
+            return False
+
+    out_writer = SockWriter(0)
+    err_writer = SockWriter(1)
+
+    class FakeStdout:
+        buffer = out_writer
+
+        @staticmethod
+        def write(s):
+            out_writer.write(s)
+
+        @staticmethod
+        def flush():
+            pass
+
+        @staticmethod
+        def isatty():
+            return False
+
+    class FakeStderr:
+        @staticmethod
+        def write(s):
+            err_writer.write(s)
+
+        @staticmethod
+        def flush():
+            pass
+
+    old_out, old_err = sys.stdout, sys.stderr
+    sys.stdout, sys.stderr = FakeStdout(), FakeStderr()
+    try:
+        rc = _run_with_cache(argv, cache)
+    except Exception as e:
+        err_writer.write(f"tpugrep-server: {e}\n")
+        rc = 255
+    finally:
+        sys.stdout, sys.stderr = old_out, old_err
+    conn.sendall(struct.pack("!I", 0) + struct.pack("!I", rc & 0xFF))
+
+
+def _run_with_cache(argv: List[str], cache: _EngineCache) -> int:
+    """cli.main with the server's engine cache injected."""
+    orig_engine = cli_mod.Engine
+    try:
+        # Engine construction goes through the cache (same signature)
+        def cached_engine(patterns, cfg):
+            return cache.engine_for(
+                [p if isinstance(p, bytes) else p.encode() for p in patterns], cfg
+            )
+
+        cli_mod.Engine = cached_engine
+        return cli_mod.main(argv)
+    finally:
+        cli_mod.Engine = orig_engine
+
+
+def serve(sock_path: str, warm: bool = True):
+    if os.path.exists(sock_path):
+        os.unlink(sock_path)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sock_path)
+    srv.listen(8)
+    if warm:
+        _warm()
+    print(f"tpugrep-server: listening on {sock_path}", file=sys.stderr)
+    cache = _EngineCache()
+    while True:
+        conn, _ = srv.accept()
+        try:
+            _handle(conn, cache)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        finally:
+            conn.close()
+
+
+def _warm():
+    """Pre-load the standard kernel buckets so the first request is
+    fast."""
+    try:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from grab_tpu.scan_pipeline import enable_compilation_cache
+
+        enable_compilation_cache()
+        from grab_tpu.ops.pallas_literal import ParamLiteralScanner
+
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return
+        data = jnp.zeros(32 << 20, jnp.uint8)
+        for k in (1, 4, 16):
+            s = ParamLiteralScanner([b"w%02d" % i for i in range(k)])
+            s(data).block_until_ready()
+    except Exception as e:
+        print(f"tpugrep-server: warmup failed: {e}", file=sys.stderr)
+
+
+def client(sock_path: str, argv: List[str]) -> int:
+    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    conn.connect(sock_path)
+    conn.sendall(json.dumps({"argv": argv}).encode() + b"\n")
+    stdout = sys.stdout.buffer
+    rc = 0
+    buf = b""
+
+    def recv_exact(n):
+        nonlocal buf
+        while len(buf) < n:
+            chunk = conn.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed early")
+            buf += chunk
+        out, buf = buf[:n], buf[n:]
+        return out
+
+    while True:
+        (length,) = struct.unpack("!I", recv_exact(4))
+        if length == 0:
+            (rc,) = struct.unpack("!I", recv_exact(4))
+            break
+        frame = recv_exact(length)
+        tag, payload = frame[0], frame[1:]
+        if tag == 0:
+            stdout.write(payload)
+        else:
+            sys.stderr.buffer.write(payload)
+    stdout.flush()
+    sys.stderr.flush()
+    conn.close()
+    return rc
+
+
+if __name__ == "__main__":
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpugrep.sock"
+    serve(path)
