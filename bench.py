@@ -70,7 +70,9 @@ def main():
         pass
 
     on_tpu = jax.default_backend() != "cpu"
-    n = (256 << 20) if on_tpu else (8 << 20)
+    n_mb = int(os.environ.get("GRAB_TPU_BENCH_MB", "128" if on_tpu else "8"))
+    n = n_mb << 20
+    print(f"bench: backend={jax.default_backend()} n={n_mb}MB", file=sys.stderr)
     rng = np.random.default_rng(42)
     # text-like corpus; pattern "qZx9" never planted → full scan, 0 hits
     buf = rng.integers(97, 123, size=n, dtype=np.uint8)
@@ -97,11 +99,17 @@ def main():
             literal_scan_bitmap(mat, lengths, data), 512
         )
 
+    import time as _time
+
+    t_w = _time.time()
     out = run()
     out.block_until_ready()
+    print(
+        f"bench: warmup (compile/load) {_time.time() - t_w:.1f}s", file=sys.stderr
+    )
     assert int(out.sum()) == 0, "miss pattern produced candidates"
 
-    reps = 10 if on_tpu else 3
+    reps = 20 if on_tpu else 3
     t0 = time.time()
     for _ in range(reps):
         out = run()

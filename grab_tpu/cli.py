@@ -128,6 +128,13 @@ def _enable_compilation_cache():
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     prog = "tpugrep"
+    if argv[:1] == ["--via"]:
+        # route through a running scan server (grab_tpu.server): warm
+        # engines make repeat scans fast despite per-process program
+        # load latency on tunneled TPU backends
+        from grab_tpu.server import client
+
+        return client(argv[1], argv[2:])
     _enable_compilation_cache()
     opts, chunk_size, args = parse_args(argv)
     if opts is None or len(args) < 2:

@@ -233,22 +233,32 @@ class DeviceScanner:
 
         return compact
 
-    def scan(self, buf: np.ndarray) -> np.ndarray:
-        """buf: uint8 [buf_size] → int32 [buf_size/block] 0/1 flags
-        (candidate-block indicator; host logic only tests > 0)."""
+    def submit(self, buf: np.ndarray):
+        """Dispatch a scan asynchronously; returns opaque handles.
+        Upload + compute overlap with host-side packing of the next
+        batch (jax dispatch is async)."""
         if self._compact is None:
             self._compact = self._build_compact()
         if getattr(self, "_input_words", False):
             dev_in = self._jnp.asarray(buf.view("<i4"))
         else:
             dev_in = self._jnp.asarray(buf)
-        total, packed = self._compact(dev_in)
+        return self._compact(dev_in)
+
+    def resolve(self, handles) -> np.ndarray:
+        """Block on a submitted scan → int32 [buf_size/block] 0/1 flags
+        (candidate-block indicator; host logic only tests > 0)."""
+        total, packed = handles
         nb = self.buf_size // self.block
         if int(total) == 0:
+            # clean batch: one 4-byte device pull, nothing else
             return np.zeros(nb, dtype=np.int32)
         bits = np.asarray(packed)  # [nb/32] uint32
         flags = (bits[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
         return flags.reshape(nb).astype(np.int32)
+
+    def scan(self, buf: np.ndarray) -> np.ndarray:
+        return self.resolve(self.submit(buf))
 
 
 class CorpusPipeline:
@@ -263,6 +273,8 @@ class CorpusPipeline:
     def run(
         self, files: Iterable[Tuple[str, object]]
     ) -> Iterator[Tuple[str, object, np.ndarray]]:
+        from collections import deque
+
         from grab_tpu.ingest.packer import BatchPacker
 
         block = self.scanner.block
@@ -270,15 +282,26 @@ class CorpusPipeline:
         # in-flight bookkeeping, keyed by file index
         inflight: Dict[int, list] = {}  # idx -> [path, data, counts, final]
         packed_done: set = set()  # fully packed, awaiting their last flush
+        # double buffering: submitted batches resolve one flush later,
+        # so device upload+scan overlap host packing of the next batch
+        submitted = deque()  # (batch, handles, files_done_before_batch)
         emitted = 0
         total = 0
 
-        def apply_batch(batch):
-            """Scan a flushed batch and fold counts into the owning
-            files. Everything previously buffered is now scanned, so
-            every fully-packed file becomes final."""
+        def submit_batch(batch):
             self.batches_run += 1
-            counts = self.scanner.scan(batch.buf)
+            handles = self.scanner.submit(batch.buf)
+            submitted.append((batch, handles, frozenset(packed_done)))
+            packed_done.clear()
+            while len(submitted) > 1:
+                apply_one()
+
+        def apply_one():
+            """Resolve the oldest submitted batch and fold its flags
+            into the owning files; files fully packed before that batch
+            became final once it is applied."""
+            batch, handles, done_set = submitted.popleft()
+            counts = self.scanner.resolve(handles)
             for seg in batch.segments:
                 st = inflight[seg.file_idx]
                 b0 = seg.buf_off // block
@@ -289,9 +312,8 @@ class CorpusPipeline:
                 np.maximum(
                     fc[f0:lim], counts[b0 : b0 + (lim - f0)], out=fc[f0:lim]
                 )
-            for i in packed_done:
+            for i in done_set:
                 inflight[i][3] = True
-            packed_done.clear()
 
         def drain():
             nonlocal emitted
@@ -306,14 +328,15 @@ class CorpusPipeline:
             nblocks = -(-len(data) // block)
             inflight[idx] = [path, data, np.zeros(nblocks, dtype=np.int32), False]
             for batch in packer.feed(idx, data):
-                apply_batch(batch)
+                submit_batch(batch)
                 yield from drain()
             packed_done.add(idx)
         final = packer.finish()
         if final is not None:
-            apply_batch(final)
-        else:
-            for i in packed_done:
-                inflight[i][3] = True
-            packed_done.clear()
+            submit_batch(final)
+        while submitted:
+            apply_one()
+        for i in packed_done:
+            inflight[i][3] = True
+        packed_done.clear()
         yield from drain()

@@ -210,7 +210,11 @@ def client(sock_path: str, argv: List[str]) -> int:
         if tag == 0:
             stdout.write(payload)
         else:
-            sys.stderr.buffer.write(payload)
+            err_buf = getattr(sys.stderr, "buffer", None)
+            if err_buf is not None:
+                err_buf.write(payload)
+            else:  # captured stderr (tests) has no .buffer
+                sys.stderr.write(payload.decode("utf-8", "replace"))
     stdout.flush()
     sys.stderr.flush()
     conn.close()

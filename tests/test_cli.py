@@ -1,6 +1,7 @@
 """CLI surface tests (flag parsing, exit codes, output grammar)."""
 
 import io
+import os
 import sys
 
 import pytest
@@ -119,3 +120,53 @@ def test_resume_manifest(tree, tmp_path_factory):
     assert rc == 0
     assert out3.count(b"Match") == 2  # the two matches in b.txt
     assert b"a.txt" not in out3
+
+
+def test_server_roundtrip(tree, tmp_path_factory):
+    """Daemon + client: spawn the server in-process on a thread (CPU
+    backend), run two client requests, verify output parity with the
+    direct CLI."""
+    import threading
+    import time as _time
+
+    from grab_tpu import server as server_mod
+
+    sock = str(tmp_path_factory.mktemp("srv") / "s.sock")
+    t = threading.Thread(
+        target=server_mod.serve, args=(sock,), kwargs={"warm": False}, daemon=True
+    )
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        _time.sleep(0.05)
+
+    import io as _io
+    import sys as _sys
+
+    def run_client(argv):
+        buf = _io.BytesIO()
+
+        class FakeStdout:
+            buffer = buf
+
+            @staticmethod
+            def flush():
+                pass
+
+        old = _sys.stdout
+        _sys.stdout = FakeStdout()
+        try:
+            rc = server_mod.client(sock, argv)
+        finally:
+            _sys.stdout = old
+        return rc, buf.getvalue()
+
+    args = ["-r", "-l", "-O", "needle", str(tree)]
+    rc, via = run_client(args)
+    assert rc == 0
+    rc2, direct = run_cli(args)
+    assert via == direct
+    # second request reuses the cached engine
+    rc3, via2 = run_client(args)
+    assert rc3 == 0 and via2 == via
