@@ -7,10 +7,16 @@ Protocol (inherits the reference's methodology, README.md:121-127):
   * miss-heavy pattern (zero matches) forces the full-corpus scan —
     nothing short-circuits;
   * device-resident corpus: measures the scan kernel proper (the
-    disk→HBM pipeline is benchmarked separately by --e2e; this
-    environment's host↔device tunnel tops out ~1 GB/s and would mask
-    the kernel);
-  * steady-state over several reps after one warmup.
+    disk→HBM pipeline is benchmarked separately; this environment's
+    host↔device tunnel tops out ~1 GB/s and would mask the kernel);
+  * HONEST timing for the tunneled backend: block_until_ready() on
+    this backend can return before execution finishes, and a
+    synchronous dispatch+fetch round trip costs ~20 ms. So the scan
+    kernel is invoked K times inside one jitted lax.scan over K
+    *distinct* SMEM literal tables (distinct runtime data defeats CSE
+    and loop-invariant hoisting), the final scalar is fetched once,
+    and two K values are differenced so the fixed round-trip cost
+    cancels exactly. See tools/axon_timing.py for the analysis.
 
 vs_baseline compares against the BASELINE.md target: 80% of the chip's
 HBM-bandwidth roofline (v5e ≈ 819 GB/s → target 655 GB/s);
@@ -56,65 +62,97 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # persistent compilation cache: cold-start compiles on the tunneled
-    # backend cost minutes; cached runs start in seconds
-    cache_dir = os.environ.get(
-        "GRAB_TPU_CACHE", os.path.expanduser("~/.cache/grab_tpu_xla")
+    from grab_tpu.ops.pallas_corewords import (
+        LANES,
+        PAD_ROWS,
+        CoreWordScanner,
+        core_word_counts,
     )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    from grab_tpu.scan_pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
 
     on_tpu = jax.default_backend() != "cpu"
-    n_mb = int(os.environ.get("GRAB_TPU_BENCH_MB", "128" if on_tpu else "8"))
+    n_mb = int(os.environ.get("GRAB_TPU_BENCH_MB", "1024" if on_tpu else "8"))
     n = n_mb << 20
     print(f"bench: backend={jax.default_backend()} n={n_mb}MB", file=sys.stderr)
     rng = np.random.default_rng(42)
-    # text-like corpus; pattern "qZx9" never planted → full scan, 0 hits
+    # text-like corpus; literal "qZx9kWv3" never planted → full scan, 0 hits
     buf = rng.integers(97, 123, size=n, dtype=np.uint8)
-    literals = [b"qZx9kWv3"]  # miss pattern (BASELINE config 3 style)
+    literal = b"qZx9kWv3"
 
-    if on_tpu:
-        from grab_tpu.ops.pallas_literal import ParamLiteralScanner
-
-        # words packed on host (free view); resident on device
-        data = jax.device_put(jnp.asarray(buf.view("<i4")))
-        data.block_until_ready()
-        scanner = ParamLiteralScanner(literals)
-        run = lambda: scanner.words(data)
-    else:
-        from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
+    if not on_tpu:
+        # CPU dev path: jnp reference scan, plain timing (block works)
         from grab_tpu.ops.dfa_scan import bitmap_block_counts
+        from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
 
         data = jax.device_put(jnp.asarray(buf))
         data.block_until_ready()
-        mat, lens = literal_matrix(literals)
+        mat, lens = literal_matrix([literal])
         mat = jnp.asarray(mat)
         lengths = tuple(int(x) for x in lens)
         run = lambda: bitmap_block_counts(
             literal_scan_bitmap(mat, lengths, data), 512
         )
-
-    import time as _time
-
-    t_w = _time.time()
-    out = run()
-    out.block_until_ready()
-    print(
-        f"bench: warmup (compile/load) {_time.time() - t_w:.1f}s", file=sys.stderr
-    )
-    assert int(out.sum()) == 0, "miss pattern produced candidates"
-
-    reps = 20 if on_tpu else 3
-    t0 = time.time()
-    for _ in range(reps):
         out = run()
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
+        out.block_until_ready()
+        assert int(out.sum()) == 0
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            out = run()
+        out.block_until_ready()
+        dt = (time.time() - t0) / reps
+    else:
+        sc = CoreWordScanner([literal], tile_rows=1024)
+        t = sc.tests
+        w2 = np.concatenate(
+            [buf.view("<i4").reshape(-1, LANES), np.zeros((PAD_ROWS, LANES), "<i4")]
+        )
+        words2d = jax.device_put(jnp.asarray(np.ascontiguousarray(w2)))
+        words2d.block_until_ready()
+
+        # K distinct tables (same values; runtime data, so no CSE)
+        def tabs_for(k):
+            return jax.device_put(
+                jnp.asarray(np.broadcast_to(t.tab, (k,) + t.tab.shape).copy())
+            )
+
+        def chained(tabs, words):
+            def body(acc, tab):
+                cnt, rsum = core_word_counts(
+                    words, tab, t.k, t.n_words, tile_rows=1024
+                )
+                return acc + jnp.sum(cnt, dtype=jnp.int32), None
+
+            acc, _ = jax.lax.scan(body, jnp.int32(0), tabs)
+            return acc
+
+        f = jax.jit(chained)
+        k_hi, k_lo = 16, 8
+        tabs_hi, tabs_lo = tabs_for(k_hi), tabs_for(k_lo)
+        t_w = time.time()
+        total = int(f(tabs_hi, words2d))
+        print(f"bench: warmup (compile/load) {time.time() - t_w:.1f}s", file=sys.stderr)
+        assert total == 0, "miss pattern produced candidates"
+        int(f(tabs_lo, words2d))
+
+        def best(fn, arg, reps=5):
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                int(fn(arg, words2d))
+                b = min(b, time.time() - t0)
+            return b
+
+        t_hi = best(f, tabs_hi)
+        t_lo = best(f, tabs_lo)
+        dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+        print(
+            f"bench: t({k_hi})={t_hi*1e3:.1f}ms t({k_lo})={t_lo*1e3:.1f}ms "
+            f"-> {dt*1e3:.3f} ms/scan",
+            file=sys.stderr,
+        )
 
     value = n / dt
     target = 0.80 * chip_roofline()

@@ -48,14 +48,19 @@ class Batch:
 class BatchPacker:
     """Packs a sequence of (file_idx, data) into fixed-size buffers."""
 
-    def __init__(self, buf_size: int, block: int = 512, halo: int = 0x1000):
+    def __init__(
+        self, buf_size: int, block: int = 512, halo: int = 0x1000, tail: int = 4096
+    ):
         assert buf_size % block == 0
         assert halo % block == 0
         self.buf_size = buf_size
         self.block = block
         self.halo = halo
+        # zero tail rows after the logical buffer: the core-word kernel
+        # reads a PAD_ROWS lane+1 halo past the last tile (ops/pallas_corewords)
+        self.tail = tail
         self.min_seg = halo + block  # smallest useful continuation segment
-        self._buf = np.zeros(buf_size, dtype=np.uint8)
+        self._buf = np.zeros(buf_size + tail, dtype=np.uint8)
         self._used = 0  # block-aligned fill pointer
         self._segments: List[Segment] = []
 
@@ -63,7 +68,7 @@ class BatchPacker:
         if not self._segments:
             return None
         batch = Batch(self._buf, self._segments)
-        self._buf = np.zeros(self.buf_size, dtype=np.uint8)
+        self._buf = np.zeros(self.buf_size + self.tail, dtype=np.uint8)
         self._used = 0
         self._segments = []
         return batch

@@ -1,0 +1,365 @@
+"""Core-word literal prefilter: the roofline-path Pallas kernel.
+
+Replaces the shifted-plane word kernel for literal scanning. Design is
+driven by two measured facts about the chip (tools/perf_probe.py):
+
+  * cross-lane (axis=1) reductions cap a kernel at ~1/4 of HBM
+    bandwidth; sublane (axis=0) reductions run at roofline;
+  * the VPU budget at roofline is only ~6-10 elementwise ops per int32
+    word, so per-byte shifted-plane tests (~30+ ops/word) can never get
+    there.
+
+So the kernel tests only *aligned* words: a literal occurring at byte
+offset B (phase p = B mod 4) always fully covers some aligned int32
+word whose value is a constant of (literal, p) — for length >= 7 a
+whole word, otherwise a masked sub-word (optionally AND a second
+adjacent word to keep the false-positive rate down). The kernel ORs
+these masked compares over phases and literals — raw loads, no shifted
+planes — and reduces along *sublanes only* into two per-(tile, lane)
+projections:
+
+    cnt[t, c]  = number of hit rows r in tile t, lane c
+    rsum[t, c] = sum of those r
+
+A 512-byte candidate block is exactly one row of the (rows, 128) word
+layout, so a single-hit lane decodes to its exact block
+(r = rsum/cnt); multi-hit lanes (rare: birthday collisions within one
+tile column) conservatively flag the whole tile. The host verifier
+(engine replay over original bytes) restores exactness — same
+superset-contract as every other prefilter in ops/.
+
+This is the TPU analog of greppin's hyperscan literal engine
+(/root/reference/README.md:46-50, 104-107): a cheap vectorized
+candidate test at memory bandwidth + exact confirm, with the reference's
+4 KiB-chunk-overlap trick (grab.cc:151-154) unnecessary because probe
+windows are re-read from the original bytes.
+
+Layout contract: input is the scan buffer viewed as little-endian int32
+words, shape [rows + PAD_ROWS, 128], rows % tile_rows == 0, trailing
+PAD_ROWS rows zero (the packer supplies the tail; zero words only ever
+over-flag). flat word w lives at [w // 128, w % 128]; byte offset of w
+is 4w.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+LANES = 128
+PAD_ROWS = 8  # zero rows after the buffer (lane+1 halo for 2-word tests)
+BLOCK = 512  # bytes per candidate block == bytes per word row
+DEFAULT_TILE_ROWS = 512  # 256 KiB of corpus per tile
+LIT_BUCKETS = (1, 2, 4, 8, 16)
+
+# Rough per-byte frequency score for text/code corpora: lower = rarer.
+# Used to pick the rarest core word when a phase offers several.
+_COMMON = b"etaoinshrdlcum \t\nETAOINSHRDLU0123456789_./-=+*(){}[]<>\"';:,#"
+
+
+def _byte_score(b: int) -> int:
+    i = _COMMON.find(bytes([b]))
+    return (i if i >= 0 else len(_COMMON)) - len(_COMMON)  # <= 0, rarer->lower...
+
+
+def _word_score(val_bytes: bytes, mask_bytes: bytes) -> float:
+    """Estimated log2 P(random text word matches); lower (more negative)
+    is better. Unmasked bytes contribute ~-5.3 bits for common bytes,
+    -8 for rare ones."""
+    s = 0.0
+    for b, m in zip(val_bytes, mask_bytes):
+        if m == 0xFF:
+            s -= 5.0 if bytes([b]) in _COMMON else 7.5
+    return s
+
+
+class CoreWordTests:
+    """Per-(phase, literal) aligned-word tests.
+
+    tab: int32 [2, 4, K, W]  (vals, masks) — K padded to a bucket, W in
+    {1, 2}. Padding literals use (val=1, mask=0) at word 0 (never
+    matches); padding words use (val=0, mask=0) (always match).
+    probe_back / probe_fwd: byte slack the decoder must add around a
+    flagged word to cover every literal occurrence that could have
+    fired the test.
+    """
+
+    def __init__(self, literals: Sequence[bytes], max_words: int = 2):
+        lits = [bytes(l) for l in literals]
+        assert lits and all(len(l) >= 3 for l in lits), "core-word needs len>=3"
+        self.literals = lits
+        k_real = len(lits)
+        self.k = next(b for b in LIT_BUCKETS if b >= k_real)
+        maxlen = max(len(l) for l in lits)
+        minlen = min(len(l) for l in lits)
+        # with 2-word tests the tested window spans at most words
+        # [j, j+1] where j <= (3 + maxlen)//4; the occurrence start is
+        # at most 4*j + 3 bytes before the flagged word.
+        # length >= 7 guarantees a FULL aligned word at every phase, so
+        # the cheaper 1-word kernel keeps a ~2^-32 per-word FP rate.
+        self.n_words = 1 if (max_words == 1 or minlen >= 7 or maxlen < 4) else 2
+        tab = np.zeros((2, 4, self.k, self.n_words), dtype=np.uint32)
+        tab[0, :, :, 0] = 1  # padding literals: never match
+        max_back = 0
+        for li, lit in enumerate(lits):
+            for p in range(4):
+                tests = self._phase_tests(lit, p, self.n_words)
+                # tests: list of (word_idx_delta_from_first, val, mask),
+                # anchored at word j0; flagged word = j0
+                j0 = tests[0][0]
+                back = 4 * j0 + 3  # occurrence starts at word j0*4 - p
+                max_back = max(max_back, back)
+                for w in range(self.n_words):
+                    if w < len(tests):
+                        _, val, mask = tests[w]
+                    else:
+                        val, mask = 0, 0  # always-true pad word
+                    tab[0, p, li, w] = val
+                    tab[1, p, li, w] = mask
+        self.tab = tab.view(np.int32)
+        self.probe_back = max_back + maxlen  # generous: covers start slack
+        self.probe_fwd = maxlen + 8
+
+    @staticmethod
+    def _phase_tests(lit: bytes, p: int, n_words: int):
+        """Choose the aligned words to test for occurrences at phase p.
+
+        shifted = p pad bytes + lit; word j covers shifted bytes
+        [4j, 4j+4). Greedy: pick the adjacent word pair (or single) with
+        the best (most coverage, rarest bytes) score.
+        """
+        shifted_len = p + len(lit)
+        nw = (shifted_len + 3) // 4
+        cov = []  # per word j: (val, mask, n_covered)
+        for j in range(nw):
+            val = bytearray(4)
+            mask = bytearray(4)
+            n = 0
+            for b in range(4):
+                pos = 4 * j + b  # position in shifted string
+                if p <= pos < p + len(lit):
+                    val[b] = lit[pos - p]
+                    mask[b] = 0xFF
+                    n += 1
+            cov.append((bytes(val), bytes(mask), n))
+
+        def le(u: bytes) -> int:
+            return int.from_bytes(u, "little")
+
+        if n_words == 1 or nw == 1:
+            # best single word by (coverage, rarity)
+            best = min(
+                range(nw),
+                key=lambda j: (-cov[j][2], _word_score(cov[j][0], cov[j][1])),
+            )
+            v, m, _ = cov[best]
+            return [(best, le(v) & le(m), le(m))]
+        # best adjacent pair by combined coverage then rarity
+        best_j, best_key = 0, None
+        for j in range(nw - 1):
+            c = cov[j][2] + cov[j + 1][2]
+            s = _word_score(cov[j][0], cov[j][1]) + _word_score(
+                cov[j + 1][0], cov[j + 1][1]
+            )
+            key = (-c, s)
+            if best_key is None or key < best_key:
+                best_j, best_key = j, key
+        out = []
+        for j in (best_j, best_j + 1):
+            v, m, _ = cov[j]
+            out.append((j, le(v) & le(m), le(m)))
+        return out
+
+
+def _build_kernel(k: int, n_words: int, tile_rows: int):
+    import jax
+    import jax.numpy as jnp
+
+    def kernel(tab_ref, a_ref, b_ref, cnt_ref, rsum_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        planes = [x]
+        if n_words > 1:
+            # plane1[r, c] = word at flat index (r*128+c)+1: lane roll
+            # with the next-row wrap supplied by the halo block
+            xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+            xx = pltpu.bitcast(xx, jnp.uint32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+            xr = pltpu.roll(xx, tile_rows + PAD_ROWS - 1, 0)  # xr[r] = xx[r+1]
+            same = pltpu.roll(xx, LANES - 1, 1)[0:tile_rows, :]
+            nxt = pltpu.roll(xr, LANES - 1, 1)[0:tile_rows, :]
+            planes.append(jnp.where(col < LANES - 1, same, nxt))
+        hit = None
+        for p in range(4):
+            for li in range(k):
+                eq = None
+                for w in range(n_words):
+                    val = tab_ref[0, p, li, w]
+                    mask = tab_ref[1, p, li, w]
+                    t = (planes[w] & mask) == val
+                    eq = t if eq is None else jnp.logical_and(eq, t)
+                hit = eq if hit is None else jnp.logical_or(hit, eq)
+        h = hit.astype(jnp.int32)
+        cnt_ref[0] = jnp.sum(h, axis=0, keepdims=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+        rsum_ref[0] = jnp.sum(h * rows, axis=0, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "n_words", "tile_rows", "interpret"))
+def core_word_counts(
+    words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
+    tab,  # int32 [2, 4, K, W]
+    k: int,
+    n_words: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+):
+    """→ (cnt, rsum): int32 [ntiles, 128] each."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0] - PAD_ROWS
+    assert rows % tile_rows == 0, (rows, tile_rows)
+    ntiles = rows // tile_rows
+    kernel = _build_kernel(k, n_words, tile_rows)
+    cnt, rsum = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (PAD_ROWS, LANES),
+                lambda i: ((i + 1) * (tile_rows // PAD_ROWS), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(tab, words2d, words2d)
+    return cnt[:, 0, :], rsum[:, 0, :]
+
+
+def decode_flags(
+    cnt: np.ndarray,  # int32 [ntiles, 128]
+    rsum: np.ndarray,
+    tile_rows: int,
+    n_blocks: int,
+    probe_back: int,
+    probe_fwd: int,
+) -> np.ndarray:
+    """(cnt, rsum) projections → per-512B-block 0/1 candidate flags.
+
+    Single-hit lanes flag the blocks covering
+    [4w - probe_back, 4w + probe_fwd); multi-hit lanes flag their whole
+    tile (superset, host verify restores exactness).
+    """
+    flags = np.zeros(n_blocks, dtype=np.int32)
+    tiles, cols = np.nonzero(cnt)
+    if tiles.size == 0:
+        return flags
+    k = cnt[tiles, cols]
+    single = k == 1
+    # exact rows for single-hit lanes
+    st, sc = tiles[single], cols[single]
+    r = rsum[tiles, cols][single]
+    w = (st.astype(np.int64) * tile_rows + r) * LANES + sc
+    b0 = np.maximum((4 * w - probe_back) // BLOCK, 0)
+    b1 = np.minimum((4 * w + probe_fwd) // BLOCK, n_blocks - 1)
+    for lo, hi in zip(b0, b1):
+        flags[lo : hi + 1] = 1
+    # multi-hit lanes: whole tile
+    mt = np.unique(tiles[~single])
+    for t in mt:
+        lo = max(t * tile_rows - (probe_back // BLOCK + 1), 0)
+        hi = min((t + 1) * tile_rows + probe_fwd // BLOCK, n_blocks)
+        flags[lo:hi] = 1
+    return flags
+
+
+def np_core_word_counts(
+    words2d: np.ndarray, tests: CoreWordTests, tile_rows: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy oracle for the kernel (tests + CPU fallback)."""
+    rows = words2d.shape[0] - PAD_ROWS
+    x = words2d.view(np.uint32)
+    flat = x.reshape(-1)
+    n = rows * LANES
+    tab = tests.tab.view(np.uint32)
+    hit = np.zeros(n, dtype=bool)
+    for p in range(4):
+        for li in range(tests.k):
+            eq = np.ones(n, dtype=bool)
+            for w in range(tests.n_words):
+                val, mask = tab[0, p, li, w], tab[1, p, li, w]
+                eq &= (flat[w : n + w] & mask) == val
+            hit |= eq
+    h = hit.reshape(rows, LANES).astype(np.int32)
+    ntiles = rows // tile_rows
+    ht = h.reshape(ntiles, tile_rows, LANES)
+    cnt = ht.sum(axis=1)
+    r = np.arange(tile_rows, dtype=np.int32)[None, :, None]
+    rsum = (ht * r).sum(axis=1)
+    return cnt, rsum
+
+
+class CoreWordScanner:
+    """Host-facing wrapper: literals → jitted (cnt, rsum) scan + decode.
+
+    One Mosaic compile per (K bucket, n_words, tile_rows) shape — the
+    literal bytes live in SMEM, so new literal sets reuse the cached
+    kernel (the moral equivalent of pcre JIT reuse, grab.cc:115).
+    """
+
+    def __init__(
+        self,
+        literals: Sequence[bytes],
+        tile_rows: int = DEFAULT_TILE_ROWS,
+        interpret: bool = False,
+        max_words: int = 2,
+    ):
+        import jax.numpy as jnp
+
+        self.tests = CoreWordTests(literals, max_words=max_words)
+        self.tile_rows = tile_rows
+        self.interpret = interpret
+        self._tab = jnp.asarray(self.tests.tab)
+
+    def counts(self, words2d):
+        """Device (cnt, rsum) for a padded [rows+PAD_ROWS, 128] int32
+        word buffer."""
+        return core_word_counts(
+            words2d,
+            self._tab,
+            self.tests.k,
+            self.tests.n_words,
+            tile_rows=self.tile_rows,
+            interpret=self.interpret,
+        )
+
+    def flags_np(self, cnt, rsum, n_blocks: int) -> np.ndarray:
+        return decode_flags(
+            np.asarray(cnt),
+            np.asarray(rsum),
+            self.tile_rows,
+            n_blocks,
+            self.tests.probe_back,
+            self.tests.probe_fwd,
+        )

@@ -57,6 +57,7 @@ class DeviceScanner:
         buf_size: Optional[int] = None,
         block: int = CANDIDATE_BLOCK,
         stream_seg: int = 32768,
+        pallas_interpret: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -70,6 +71,7 @@ class DeviceScanner:
         self.buf_size = buf_size
         self.n_streams = max(1, buf_size // stream_seg)
         self._jnp = jnp
+        self._interpret = pallas_interpret
         cp = compiled
         # Prefilter priority (hyperscan's architecture, README.md:46-50):
         #   1. literal factors       — equality tests, tightest candidates
@@ -78,7 +80,11 @@ class DeviceScanner:
         # All elementwise paths run at memory bandwidth; the DFA walk is
         # sequential and ~1000x slower on TPU (measured), kept only for
         # patterns the sequence extractor cannot cover.
-        if cp.literals and len(cp.literals) <= MAX_KERNEL_LITERALS:
+        if (
+            cp.literals
+            and len(cp.literals) <= MAX_KERNEL_LITERALS
+            and min(len(l) for l in cp.literals) >= 3
+        ):
             self.mode = "literal"
             from grab_tpu.ops.literal_scan import literal_matrix
 
@@ -86,6 +92,14 @@ class DeviceScanner:
             mat, lens = literal_matrix(cp.literals)
             self._lit_mat = jnp.asarray(mat)
             self._lit_len = tuple(int(x) for x in lens)
+        elif cp.literals and len(cp.literals) <= MAX_KERNEL_LITERALS:
+            # short literals (len < 3) have no core word; byte-class path
+            self.mode = "class_seq"
+            from grab_tpu.ops.class_prefilter import compile_sequences
+
+            self._seqs = compile_sequences(
+                [tuple(1 << b for b in l) for l in cp.literals]
+            )
         elif cp.literals:
             # Large batches (hyperscan-style, BASELINE config 4): fold
             # the literal set into one union class sequence — per
@@ -129,8 +143,9 @@ class DeviceScanner:
         # On real accelerators the Pallas kernels are the hot path
         # (2-D tiled VPU work at HBM bandwidth); the jnp references
         # serve the CPU test platform (Pallas interpret mode is too
-        # slow for whole-corpus scans there).
-        use_pallas = jax.default_backend() != "cpu"
+        # slow for whole-corpus scans there, but tests can force it
+        # with pallas_interpret=True).
+        use_pallas = jax.default_backend() != "cpu" or self._interpret
 
         if use_pallas:
             return self._build_pallas()
@@ -150,18 +165,28 @@ class DeviceScanner:
             return self._build_jnp()
 
         if self.mode == "literal":
-            # word-packed kernel, literals as SMEM data: one compiled
-            # kernel per K bucket ever; any literal set reuses it.
-            # Input is host-packed int32 words (see scan()).
-            from grab_tpu.ops.pallas_literal import ParamLiteralScanner
+            # core-word kernel (ops/pallas_corewords): aligned-word
+            # masked compares + sublane-only reductions — the only
+            # kernel shape measured at HBM roofline on this chip.
+            # Literal bytes are SMEM data: one compile per (K bucket,
+            # n_words) shape, ever. Input is the packer's padded buffer
+            # viewed as int32 words.
+            from grab_tpu.ops.pallas_corewords import CoreWordScanner
 
             self._input_words = True
-            return ParamLiteralScanner(self._literals).words
+            tile_rows = min(512, self.buf_size // self.block)
+            self._cw = CoreWordScanner(
+                self._literals, tile_rows=tile_rows, interpret=self._interpret
+            )
+            return self._cw.counts
 
         from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
 
         seqs = self._seqs
-        return lambda data: prefilter_block_counts_pallas(data, seqs, block=block)
+        interp = self._interpret
+        return lambda data: prefilter_block_counts_pallas(
+            data, seqs, block=block, interpret=interp
+        )
 
     def _build_jnp(self):
         import jax
@@ -218,6 +243,17 @@ class DeviceScanner:
         counts_fn = self._fn
         nb = self.buf_size // self.block
 
+        if getattr(self, "_input_words", False):
+            # core-word path: ship the (cnt, rsum) projections; the
+            # host decodes them to block flags (tiny: 2 ints per tile)
+            @jax.jit
+            def compact(words2d):
+                cnt, rsum = counts_fn(words2d)
+                total = jnp.sum(cnt, dtype=jnp.int32)
+                return total, cnt, rsum
+
+            return compact
+
         @jax.jit
         def compact(data):
             counts = counts_fn(data)
@@ -240,16 +276,29 @@ class DeviceScanner:
         if self._compact is None:
             self._compact = self._build_compact()
         if getattr(self, "_input_words", False):
-            dev_in = self._jnp.asarray(buf.view("<i4"))
+            from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
+
+            want = self.buf_size + PAD_ROWS * LANES * 4
+            if buf.shape[0] < want:  # caller without the packer's tail
+                buf = np.concatenate(
+                    [buf, np.zeros(want - buf.shape[0], dtype=np.uint8)]
+                )
+            words2d = buf[:want].view("<i4").reshape(-1, LANES)
+            dev_in = self._jnp.asarray(words2d)
         else:
-            dev_in = self._jnp.asarray(buf)
+            dev_in = self._jnp.asarray(buf[: self.buf_size])
         return self._compact(dev_in)
 
     def resolve(self, handles) -> np.ndarray:
         """Block on a submitted scan → int32 [buf_size/block] 0/1 flags
         (candidate-block indicator; host logic only tests > 0)."""
-        total, packed = handles
         nb = self.buf_size // self.block
+        if getattr(self, "_input_words", False):
+            total, cnt, rsum = handles
+            if int(total) == 0:
+                return np.zeros(nb, dtype=np.int32)
+            return self._cw.flags_np(cnt, rsum, nb)
+        total, packed = handles
         if int(total) == 0:
             # clean batch: one 4-byte device pull, nothing else
             return np.zeros(nb, dtype=np.int32)

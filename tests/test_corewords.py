@@ -1,0 +1,144 @@
+"""Core-word prefilter kernel: contract tests.
+
+Contract: decoded block flags are a SUPERSET of true literal start
+blocks (anything may over-flag; nothing may be missed). Single planted
+needles in random data must decode to (nearly) exact blocks.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grab_tpu.golden.scanner import literal_scan_starts
+from grab_tpu.ops.pallas_corewords import (
+    BLOCK,
+    LANES,
+    PAD_ROWS,
+    CoreWordScanner,
+    CoreWordTests,
+    core_word_counts,
+    decode_flags,
+    np_core_word_counts,
+)
+
+TR = 64  # small tiles for tests
+N = 64 * 1024  # 128 word rows = 2 tiles of 64
+
+
+def mk_words(data: bytes) -> np.ndarray:
+    assert len(data) % BLOCK == 0
+    w = np.frombuffer(data, dtype="<i4").reshape(-1, LANES)
+    return np.concatenate([w, np.zeros((PAD_ROWS, LANES), "<i4")])
+
+
+def random_text(n, seed, needles=()):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(32, 127, size=n, dtype=np.uint8)
+    buf = bytearray(data.tobytes())
+    for pos, s in needles:
+        buf[pos : pos + len(s)] = s
+    return bytes(buf)
+
+
+NEEDLES = [
+    (0, b"qZx9kWv3"),
+    (509, b"qZx9kWv3"),  # straddles block 0/1
+    (32 * 1024 - 2, b"Jq#7pLw"),  # straddles the tile boundary
+    (N - 9, b"qZx9kWv3"),
+    (40_001, b"Xk5"),
+]
+
+
+@pytest.mark.parametrize(
+    "lits",
+    [
+        [b"qZx9kWv3"],
+        [b"qZx9kWv3", b"Jq#7pLw", b"Xk5"],
+        [b"Xk5"],
+        [b"abcd"],
+        [b"abcde", b"fghij", b"qZx9kWv3"],
+    ],
+)
+def test_kernel_matches_numpy_oracle(lits):
+    data = random_text(N, 7, NEEDLES)
+    w2d = mk_words(data)
+    t = CoreWordTests(lits)
+    cnt_np, rsum_np = np_core_word_counts(w2d, t, TR)
+    cnt, rsum = core_word_counts(
+        jnp.asarray(w2d), jnp.asarray(t.tab), t.k, t.n_words,
+        tile_rows=TR, interpret=True,
+    )
+    assert (np.asarray(cnt) == cnt_np).all()
+    assert (np.asarray(rsum) == rsum_np).all()
+
+
+@pytest.mark.parametrize(
+    "lits",
+    [[b"qZx9kWv3"], [b"qZx9kWv3", b"Jq#7pLw", b"Xk5"], [b"Xk5"]],
+)
+def test_decoded_flags_superset_of_golden(lits):
+    data = random_text(N, 7, NEEDLES)
+    w2d = mk_words(data)
+    sc = CoreWordScanner(lits, tile_rows=TR, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(w2d))
+    n_blocks = N // BLOCK
+    flags = sc.flags_np(cnt, rsum, n_blocks)
+    starts = literal_scan_starts(lits, data)
+    want_blocks = np.unique(np.nonzero(starts)[0] // BLOCK)
+    assert len(want_blocks) > 0  # needles planted
+    missed = [b for b in want_blocks if not flags[b]]
+    assert not missed, missed
+
+
+def test_no_needles_no_flags():
+    # 8-byte rare literal over random text: ~0 false positives expected
+    data = random_text(N, 3)
+    w2d = mk_words(data)
+    sc = CoreWordScanner([b"qZx9kWv3"], tile_rows=TR, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(w2d))
+    assert int(np.asarray(cnt).sum()) == 0
+    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    assert flags.sum() == 0
+
+
+def test_single_hit_decodes_tight():
+    # one needle -> a handful of flagged blocks around it, not the tile
+    pos = 10_240
+    data = random_text(N, 5, [(pos, b"qZx9kWv3")])
+    w2d = mk_words(data)
+    sc = CoreWordScanner([b"qZx9kWv3"], tile_rows=TR, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(w2d))
+    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    assert flags[pos // BLOCK] == 1
+    assert flags.sum() <= 3  # probe slack only
+
+
+def test_multi_hit_lane_flags_tile():
+    # two needles in the same lane column of one tile -> whole tile
+    # flagged, but never missed
+    lit = b"qZx9kWv3"
+    # same lane: word index difference multiple of 128 within one tile
+    p1 = 512 * 4  # word 512 -> row 4, lane 0
+    p2 = 512 * 20  # word .. row 20 lane 0? 512*20/128 = row 80 lane 0
+    data = random_text(N, 9, [(p1, lit), (p2, lit)])
+    w2d = mk_words(data)
+    sc = CoreWordScanner([lit], tile_rows=TR, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(w2d))
+    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    starts = literal_scan_starts([lit], data)
+    for b in np.unique(np.nonzero(starts)[0] // BLOCK):
+        assert flags[b] == 1
+
+
+@pytest.mark.parametrize("lit", [b"abc", b"abcd", b"abcde", b"abcdef", b"abcdefg"])
+def test_short_literals_all_phases(lit):
+    # plant at every phase; no occurrence may be missed
+    positions = [1000, 1001, 1002, 1003, 2000, 3001]
+    data = random_text(16 * 1024, 13, [(p, lit) for p in positions])
+    w2d = mk_words(data)
+    sc = CoreWordScanner([lit], tile_rows=8, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(w2d))
+    flags = sc.flags_np(cnt, rsum, len(data) // BLOCK)
+    for p in positions:
+        assert flags[p // BLOCK] == 1, p

@@ -1,0 +1,64 @@
+"""DeviceScanner + CorpusPipeline over the pallas core-word path
+(interpret mode on CPU): candidate flags must be a superset of true
+match-start blocks for literal and literal-factor regex patterns."""
+
+import numpy as np
+import pytest
+
+from grab_tpu.golden.scanner import literal_scan_starts
+from grab_tpu.regex.compiler import compile_multi
+from grab_tpu.scan_pipeline import CANDIDATE_BLOCK, CorpusPipeline, DeviceScanner
+
+BUF = 256 * 1024  # 512 word rows -> one tile
+
+
+def random_text(n, seed, needles=()):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(32, 127, size=n, dtype=np.uint8)
+    data[rng.random(n) < 0.02] = 0x0A
+    buf = bytearray(data.tobytes())
+    for pos, s in needles:
+        buf[pos : pos + len(s)] = s
+    return bytes(buf)
+
+
+def run_pipeline(cp, files):
+    sc = DeviceScanner(cp, buf_size=BUF, pallas_interpret=True)
+    pipe = CorpusPipeline(sc)
+    return {path: counts for path, _, counts in pipe.run(files)}
+
+
+def test_literal_corewords_end_to_end():
+    lits = [b"needleXY", b"Jq#7pLw"]
+    cp = compile_multi(lits, literal_mode=True)
+    files = [
+        ("a", random_text(100_000, 1, [(5, lits[0]), (99_000, lits[1])])),
+        ("b", random_text(400_000, 2, [(250_001, lits[0])])),  # crosses buffers
+        ("c", random_text(3_000, 3)),
+    ]
+    out = run_pipeline(cp, files)
+    for path, data in files:
+        starts = literal_scan_starts(lits, data)
+        blocks = np.unique(np.nonzero(starts)[0] // CANDIDATE_BLOCK)
+        for b in blocks:
+            assert out[path][b] > 0, (path, b)
+    assert out["c"].sum() == 0  # clean file stays clean (8-byte rare lits)
+
+
+def test_regex_literal_factor_corewords():
+    cp = compile_multi([rb"foo[a-z]{2,8}bar"])
+    assert cp.literals, "expected literal factors for the prefilter"
+    data = random_text(64 * 1024, 4, [(1000, b"fooqqbar"), (50_123, b"foozzzzbar")])
+    out = run_pipeline(cp, [("f", data)])
+    assert out["f"][1000 // CANDIDATE_BLOCK] > 0
+    assert out["f"][50_123 // CANDIDATE_BLOCK] > 0
+
+
+def test_short_literal_routes_class_seq():
+    cp = compile_multi([b"ab"], literal_mode=True)
+    sc = DeviceScanner(cp, buf_size=BUF, pallas_interpret=True)
+    assert sc.mode == "class_seq"
+    data = random_text(8 * 1024, 5, [(100, b"ab")])
+    pipe = CorpusPipeline(sc)
+    out = {p: c for p, _, c in pipe.run([("f", data)])}
+    assert out["f"][0] > 0

@@ -1,0 +1,85 @@
+"""Honest kernel timing on the tunneled (axon) TPU backend.
+
+On this backend `block_until_ready()` can return before execution
+finishes and a synchronous dispatch+fetch round trip costs ~20 ms, so
+the usual enqueue-N-reps-then-block loop measures enqueue cost, not
+kernel time. Instead:
+
+  * stack K pre-salted copies of the buffer in HBM (distinct inputs —
+    XLA cannot CSE or hoist the kernel out of the scan),
+  * `lax.scan` the kernel over the stack inside ONE jit, reducing each
+    output to a scalar accumulator,
+  * fetch the final scalar (one round trip), and
+  * difference two stack sizes so the fixed round-trip cost cancels.
+
+`measure(fn, buf_words, k)` returns seconds-per-kernel-invocation.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def make_stack(buf_np: np.ndarray, k: int):
+    """K distinct salted copies of an int32 word buffer, staged to device."""
+    import jax
+    import jax.numpy as jnp
+
+    out = np.empty((k,) + buf_np.shape, dtype=buf_np.dtype)
+    for i in range(k):
+        np.add(buf_np, i + 1, out=out[i], casting="unsafe")
+    stack = jax.device_put(jnp.asarray(out))
+    stack.block_until_ready()
+    return stack
+
+
+def _chained(fn):
+    import jax
+    import jax.numpy as jnp
+
+    def run(stack):
+        def body(acc, xi):
+            y = fn(xi)
+            return acc + jnp.sum(y, dtype=jnp.int32), None
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), stack)
+        return acc
+
+    return jax.jit(run)
+
+
+def _timed_fetch(f, stack, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        _ = int(f(stack))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def measure(fn, stack, reps: int = 3) -> float:
+    """Seconds per fn() call, with dispatch overhead differenced out.
+
+    ``stack``: [K, ...] device array of distinct inputs, K even.
+    """
+    k = stack.shape[0]
+    assert k >= 2 and k % 2 == 0
+    f = _chained(fn)
+    int(f(stack))  # compile + warm
+    t_full = _timed_fetch(f, stack, reps)
+    half = stack[: k // 2]
+    int(f(half))
+    t_half = _timed_fetch(f, half, reps)
+    return max(t_full - t_half, 1e-9) / (k - k // 2)
+
+
+def overhead(stack, reps: int = 3) -> float:
+    """Fixed round-trip seconds for a near-empty dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda s: jnp.sum(s[0, :128], dtype=jnp.int32))
+    int(f(stack))
+    return _timed_fetch(f, stack, reps)

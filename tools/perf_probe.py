@@ -1,0 +1,109 @@
+"""Perf probe: isolate where scan-kernel time goes on the real chip.
+
+Uses tools/axon_timing (chained-scan, overhead-differenced) because the
+tunneled backend's block_until_ready returns early.
+
+Run: python tools/perf_probe.py [MB_per_copy] [K_copies]
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from axon_timing import make_stack, measure, overhead  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = n_mb << 20
+    nw = n // 4
+    LANES = 128
+    TR = 512
+    rows = nw // LANES
+
+    rng = np.random.default_rng(0)
+    buf = rng.integers(97, 123, size=n, dtype=np.uint8).view("<i4")
+    print(f"probe: {n_mb} MB x{k} copies, backend={jax.default_backend()}")
+    stack = make_stack(buf, k)
+    print(f"overhead per dispatch: {overhead(stack)*1e3:.2f} ms")
+
+    def report(name, dt):
+        print(f"{name:22s}: {n/dt/1e9:7.1f} GB/s  ({dt*1e3:.3f} ms/call)")
+
+    # A: plain reduce (XLA, 1 read pass)
+    report("A jnp.sum", measure(lambda x: jnp.sum(x, dtype=jnp.int32)[None], stack))
+
+    # B: pallas row-sum
+    def k_sum(a_ref, o_ref):
+        o_ref[:] = jnp.sum(a_ref[:], axis=1, keepdims=True)
+
+    def f_pallas_sum(x):
+        x2 = x.reshape(rows, LANES)
+        return pl.pallas_call(
+            k_sum,
+            out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+            grid=(rows // TR,),
+            in_specs=[pl.BlockSpec((TR, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )(x2)
+
+    report("B pallas row-sum", measure(f_pallas_sum, stack))
+
+    # B3: pallas with 2 lane-rolls + cmps
+    def k_roll(a_ref, o_ref):
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        r1 = pltpu.roll(x, LANES - 1, 1)
+        r2 = pltpu.roll(x, LANES - 2, 1)
+        t = (r1 == jnp.uint32(0x71)) | (r2 == jnp.uint32(0x72))
+        o_ref[:] = jnp.sum(t.astype(jnp.int32), axis=1, keepdims=True)
+
+    def f_pallas_roll(x):
+        x2 = x.reshape(rows, LANES)
+        return pl.pallas_call(
+            k_roll,
+            out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+            grid=(rows // TR,),
+            in_specs=[pl.BlockSpec((TR, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )(x2)
+
+    report("B3 pallas 2-roll", measure(f_pallas_roll, stack))
+
+    # C: production scanner (includes device-side pad concat)
+    from grab_tpu.ops.pallas_literal import ParamLiteralScanner
+
+    sc = ParamLiteralScanner([b"qZx9kWv3"])
+    report("C ParamLiteralScanner", measure(sc.words, stack))
+
+    # D: kernel only, pre-padded input (no concat per call)
+    from grab_tpu.ops.pallas_literal import (
+        WORD_PAD_ROWS,
+        _param_tables,
+        _param_word_counts,
+    )
+
+    tab, kk, _ = _param_tables([b"qZx9kWv3"])
+    tabj = jnp.asarray(tab)
+    w2 = np.ascontiguousarray(
+        np.concatenate(
+            [buf.reshape(-1, LANES), np.zeros((WORD_PAD_ROWS, LANES), "<i4")]
+        )
+    )
+    stack2 = make_stack(w2, k)
+    report(
+        "D scan pre-padded",
+        measure(lambda x: _param_word_counts(x, tabj, kk, 3, tile_rows=512), stack2),
+    )
+
+
+if __name__ == "__main__":
+    main()
