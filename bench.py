@@ -104,7 +104,7 @@ def main():
         out.block_until_ready()
         dt = (time.time() - t0) / reps
     else:
-        sc = CoreWordScanner([literal], tile_rows=1024)
+        sc = CoreWordScanner([literal], tile_rows=2048)
         t = sc.tests
         w2 = np.concatenate(
             [buf.view("<i4").reshape(-1, LANES), np.zeros((PAD_ROWS, LANES), "<i4")]
@@ -121,7 +121,7 @@ def main():
         def chained(tabs, words):
             def body(acc, tab):
                 cnt, rsum = core_word_counts(
-                    words, tab, t.k, t.n_words, tile_rows=1024
+                    words, tab, t.k, t.n_words, tile_rows=2048, masked=t.masked
                 )
                 return acc + jnp.sum(cnt, dtype=jnp.int32), None
 

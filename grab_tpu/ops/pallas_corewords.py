@@ -52,7 +52,7 @@ import numpy as np
 LANES = 128
 PAD_ROWS = 8  # zero rows after the buffer (lane+1 halo for 2-word tests)
 BLOCK = 512  # bytes per candidate block == bytes per word row
-DEFAULT_TILE_ROWS = 512  # 256 KiB of corpus per tile
+DEFAULT_TILE_ROWS = 1024  # 512 KiB of corpus per tile (measured best 1024-2048)
 LIT_BUCKETS = (1, 2, 4, 8, 16)
 
 # Rough per-byte frequency score for text/code corpora: lower = rarer.
@@ -104,6 +104,7 @@ class CoreWordTests:
         tab = np.zeros((2, 4, self.k, self.n_words), dtype=np.uint32)
         tab[0, :, :, 0] = 1  # padding literals: never match
         max_back = 0
+        all_full = True
         for li, lit in enumerate(lits):
             for p in range(4):
                 tests = self._phase_tests(lit, p, self.n_words)
@@ -117,8 +118,18 @@ class CoreWordTests:
                         _, val, mask = tests[w]
                     else:
                         val, mask = 0, 0  # always-true pad word
+                    if mask != 0xFFFFFFFF:
+                        all_full = False
                     tab[0, p, li, w] = val
                     tab[1, p, li, w] = mask
+        # masked=False kernel variant: skip the AND entirely (measured
+        # ~30% faster); only sound when every real test is a full-word
+        # compare. Padding literals then duplicate literal 0's tests
+        # (a redundant compare instead of a never-match sentinel).
+        self.masked = not all_full
+        if not self.masked:
+            for li in range(len(lits), self.k):
+                tab[:, :, li, :] = tab[:, :, 0, :]
         self.tab = tab.view(np.int32)
         self.probe_back = max_back + maxlen  # generous: covers start slack
         self.probe_fwd = maxlen + 8
@@ -174,7 +185,7 @@ class CoreWordTests:
         return out
 
 
-def _build_kernel(k: int, n_words: int, tile_rows: int):
+def _build_kernel(k: int, n_words: int, tile_rows: int, masked: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -199,8 +210,10 @@ def _build_kernel(k: int, n_words: int, tile_rows: int):
                 eq = None
                 for w in range(n_words):
                     val = tab_ref[0, p, li, w]
-                    mask = tab_ref[1, p, li, w]
-                    t = (planes[w] & mask) == val
+                    if masked:
+                        t = (planes[w] & tab_ref[1, p, li, w]) == val
+                    else:
+                        t = planes[w] == val
                     eq = t if eq is None else jnp.logical_and(eq, t)
                 hit = eq if hit is None else jnp.logical_or(hit, eq)
         h = hit.astype(jnp.int32)
@@ -211,7 +224,9 @@ def _build_kernel(k: int, n_words: int, tile_rows: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "n_words", "tile_rows", "interpret"))
+@partial(
+    jax.jit, static_argnames=("k", "n_words", "tile_rows", "interpret", "masked")
+)
 def core_word_counts(
     words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
     tab,  # int32 [2, 4, K, W]
@@ -219,6 +234,7 @@ def core_word_counts(
     n_words: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
     interpret: bool = False,
+    masked: bool = True,
 ):
     """→ (cnt, rsum): int32 [ntiles, 128] each."""
     import jax
@@ -229,7 +245,7 @@ def core_word_counts(
     rows = words2d.shape[0] - PAD_ROWS
     assert rows % tile_rows == 0, (rows, tile_rows)
     ntiles = rows // tile_rows
-    kernel = _build_kernel(k, n_words, tile_rows)
+    kernel = _build_kernel(k, n_words, tile_rows, masked=masked)
     cnt, rsum = pl.pallas_call(
         kernel,
         out_shape=(
@@ -352,6 +368,7 @@ class CoreWordScanner:
             self.tests.n_words,
             tile_rows=self.tile_rows,
             interpret=self.interpret,
+            masked=self.tests.masked,
         )
 
     def flags_np(self, cnt, rsum, n_blocks: int) -> np.ndarray:

@@ -174,7 +174,7 @@ class DeviceScanner:
             from grab_tpu.ops.pallas_corewords import CoreWordScanner
 
             self._input_words = True
-            tile_rows = min(512, self.buf_size // self.block)
+            tile_rows = min(2048, self.buf_size // self.block)
             self._cw = CoreWordScanner(
                 self._literals, tile_rows=tile_rows, interpret=self._interpret
             )
