@@ -1,0 +1,219 @@
+"""Bloom core-word prefilter: multi-pattern literal scan for large K.
+
+The compare kernel (ops/pallas_corewords) is K-linear (~8 VPU ops per
+literal per word): fine for K <= 16, hopeless for the 100-literal batch
+config (the reference's hyperscan/Teddy territory, README.md:63-92).
+This kernel's cost is CONSTANT in K: every (literal, phase) core word
+is hashed into L independent 4096-bit bloom filters; the kernel hashes
+each aligned corpus word the same way and ANDs the L membership bits.
+
+  per level:  h1 = (x * C) >> 25   (7 bits  -> lane index)
+              h2 = (x * C) >> 20 & 31 (5 bits -> bit index)
+              bit = (tbl[l][h1] >> h2) & 1
+  hit(x) = AND over levels
+
+One lane-gather per level (measured ~1.2 ms/GB each on v5e — the
+dominant cost), plus ~6 cheap VPU ops. L is chosen from K so the
+false-positive rate per word stays ~1e-5 (≈1% of 512-byte candidate
+blocks); the host verifier restores exactness exactly as for the
+compare kernel.
+
+Constraint: every literal must be >= 7 bytes so each phase covers a
+FULL aligned word (masked sub-words can't be hashed in one pass —
+the mask differs per literal). The scan pipeline routes shorter
+literals to the compare kernel and unions the candidate flags.
+
+Output geometry and decode contract are identical to
+ops/pallas_corewords (cnt/rsum per (tile, lane), single-hit lanes
+decode exactly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS, decode_flags
+
+# independent odd multipliers (Knuth/golden-ratio family)
+_HASH_CONSTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1, 0x9E3779B9)
+MAX_LEVELS = len(_HASH_CONSTS)
+TBL_BITS = 4096  # 128 lanes x 32 bits per level
+
+
+def _hashes(word: int, level: int) -> Tuple[int, int]:
+    x = (word * _HASH_CONSTS[level]) & 0xFFFFFFFF
+    return (x >> 25) & 127, (x >> 20) & 31
+
+
+def _phase_words(lit: bytes) -> list:
+    """One full aligned core word per phase (requires len >= 7)."""
+    assert len(lit) >= 7
+    out = []
+    for p in range(4):
+        # word j=1 covers literal bytes [4-p, 8-p) for p>0; j=0 covers
+        # [0,4) for p=0 — both fully inside for len >= 7
+        j = 0 if p == 0 else 1
+        lo = 4 * j - p
+        out.append((j, int.from_bytes(lit[lo : lo + 4], "little")))
+    return out
+
+
+class BloomWordTests:
+    """K literals -> bloom tables + decode slack."""
+
+    def __init__(self, literals: Sequence[bytes], fp_word: float = 1e-5):
+        lits = [bytes(l) for l in literals]
+        assert lits and all(len(l) >= 7 for l in lits), "bloom needs len>=7"
+        self.literals = lits
+        keys = set()
+        max_back = 0
+        maxlen = max(len(l) for l in lits)
+        for lit in lits:
+            for j, w in _phase_words(lit):
+                keys.add(w)
+                max_back = max(max_back, 4 * j + 3)
+        # levels: fp ~= (|keys|/TBL_BITS)^L  (independent hashes)
+        per = max(len(keys) / TBL_BITS, 1e-9)
+        levels = 1
+        while per**levels > fp_word and levels < MAX_LEVELS:
+            levels += 1
+        self.levels = levels
+        tbl = np.zeros((levels, LANES), dtype=np.uint32)
+        for w in keys:
+            for l in range(levels):
+                h1, h2 = _hashes(w, l)
+                tbl[l, h1] |= np.uint32(1) << np.uint32(h2)
+        self.tbl = tbl.view(np.int32)
+        self.n_keys = len(keys)
+        self.probe_back = max_back + maxlen
+        self.probe_fwd = maxlen + 8
+
+
+def _build_kernel(levels: int, tile_rows: int):
+    import jax.numpy as jnp
+
+    consts = [np.uint32(_HASH_CONSTS[l]) for l in range(levels)]
+
+    def kernel(tbl_ref, a_ref, cnt_ref, rsum_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        hit = None
+        for l in range(levels):
+            h = x * consts[l]
+            h1 = (h >> 25).astype(jnp.int32)
+            h2 = ((h >> 20) & jnp.uint32(31)).astype(jnp.int32)
+            row = tbl_ref[l].reshape(1, LANES)  # int32; >> is arithmetic
+            tbl = jnp.broadcast_to(row, (tile_rows, LANES))
+            m = jnp.take_along_axis(tbl, h1, axis=1)
+            bit = (m >> h2) & jnp.int32(1)  # sign-extend then &1 = the bit
+            t = bit != 0
+            hit = t if hit is None else jnp.logical_and(hit, t)
+        hh = hit.astype(jnp.int32)
+        cnt_ref[0] = jnp.sum(hh, axis=0, keepdims=True)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+        rsum_ref[0] = jnp.sum(hh * rows_iota, axis=0, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("levels", "tile_rows", "interpret"))
+def bloom_word_counts(
+    words2d,  # int32 [rows + PAD_ROWS, 128] (tail ignored; no halo needed)
+    tbl,  # int32 [levels, 128]
+    levels: int,
+    tile_rows: int = 2048,
+    interpret: bool = False,
+):
+    """→ (cnt, rsum): int32 [ntiles, 128] each."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0] - PAD_ROWS
+    assert rows % tile_rows == 0, (rows, tile_rows)
+    ntiles = rows // tile_rows
+    kernel = _build_kernel(levels, tile_rows)
+    cnt, rsum = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tiny table
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(tbl, words2d)
+    return cnt[:, 0, :], rsum[:, 0, :]
+
+
+def np_bloom_counts(
+    words2d: np.ndarray, tests: BloomWordTests, tile_rows: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy oracle for the kernel."""
+    rows = words2d.shape[0] - PAD_ROWS
+    x = words2d[:rows].view(np.uint32).reshape(rows, LANES)
+    tbl = tests.tbl.view(np.uint32)
+    hit = np.ones((rows, LANES), dtype=bool)
+    for l in range(tests.levels):
+        h = (x * np.uint32(_HASH_CONSTS[l])).astype(np.uint32)
+        h1 = (h >> 25).astype(np.int64)
+        h2 = (h >> np.uint32(20)) & np.uint32(31)
+        m = tbl[l][h1]
+        hit &= ((m >> h2) & 1) != 0
+    hh = hit.astype(np.int32)
+    ntiles = rows // tile_rows
+    ht = hh.reshape(ntiles, tile_rows, LANES)
+    cnt = ht.sum(axis=1)
+    r = np.arange(tile_rows, dtype=np.int32)[None, :, None]
+    rsum = (ht * r).sum(axis=1)
+    return cnt, rsum
+
+
+class BloomWordScanner:
+    """Host-facing wrapper, same contract as CoreWordScanner."""
+
+    def __init__(
+        self,
+        literals: Sequence[bytes],
+        tile_rows: int = 2048,
+        interpret: bool = False,
+    ):
+        import jax.numpy as jnp
+
+        self.tests = BloomWordTests(literals)
+        self.tile_rows = tile_rows
+        self.interpret = interpret
+        self._tbl = jnp.asarray(self.tests.tbl)
+
+    def counts(self, words2d):
+        return bloom_word_counts(
+            words2d,
+            self._tbl,
+            self.tests.levels,
+            tile_rows=self.tile_rows,
+            interpret=self.interpret,
+        )
+
+    def flags_np(self, cnt, rsum, n_blocks: int) -> np.ndarray:
+        return decode_flags(
+            np.asarray(cnt),
+            np.asarray(rsum),
+            self.tile_rows,
+            n_blocks,
+            self.tests.probe_back,
+            self.tests.probe_fwd,
+        )

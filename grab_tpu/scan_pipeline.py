@@ -80,31 +80,19 @@ class DeviceScanner:
         # All elementwise paths run at memory bandwidth; the DFA walk is
         # sequential and ~1000x slower on TPU (measured), kept only for
         # patterns the sequence extractor cannot cover.
-        if (
-            cp.literals
-            and len(cp.literals) <= MAX_KERNEL_LITERALS
-            and min(len(l) for l in cp.literals) >= 3
-        ):
+        if cp.literals and min(len(l) for l in cp.literals) >= 3:
+            # Literal ensemble (any K — BASELINE config 4's 100-literal
+            # batch included): long literals (>= 7, a full aligned core
+            # word at every phase) go to the constant-cost bloom kernel
+            # once there are enough of them; short ones (3-6) and small
+            # long sets use the K-linear compare kernel in buckets.
             self.mode = "literal"
-            from grab_tpu.ops.literal_scan import literal_matrix
-
             self._literals = [bytes(l) for l in cp.literals]
-            mat, lens = literal_matrix(cp.literals)
-            self._lit_mat = jnp.asarray(mat)
-            self._lit_len = tuple(int(x) for x in lens)
-        elif cp.literals and len(cp.literals) <= MAX_KERNEL_LITERALS:
-            # short literals (len < 3) have no core word; byte-class path
-            self.mode = "class_seq"
-            from grab_tpu.ops.class_prefilter import compile_sequences
-
-            self._seqs = compile_sequences(
-                [tuple(1 << b for b in l) for l in cp.literals]
-            )
         elif cp.literals:
-            # Large batches (hyperscan-style, BASELINE config 4): fold
-            # the literal set into one union class sequence — per
-            # position test "byte j in {j-th bytes of all literals}" —
-            # the Teddy-bucket analog; host verification restores
+            # Sets containing tiny literals (len < 3): no core word —
+            # fold everything into one union class sequence (per
+            # position test "byte j in {j-th bytes of all literals}",
+            # the Teddy-bucket analog); host verification restores
             # per-literal precision on the flagged blocks.
             self.mode = "class_seq"
             from grab_tpu.ops.class_prefilter import compile_sequences
@@ -165,20 +153,39 @@ class DeviceScanner:
             return self._build_jnp()
 
         if self.mode == "literal":
-            # core-word kernel (ops/pallas_corewords): aligned-word
-            # masked compares + sublane-only reductions — the only
-            # kernel shape measured at HBM roofline on this chip.
-            # Literal bytes are SMEM data: one compile per (K bucket,
-            # n_words) shape, ever. Input is the packer's padded buffer
-            # viewed as int32 words.
+            # Ensemble of word-kernels over the packer's padded buffer
+            # viewed as int32 words. Compare kernel
+            # (ops/pallas_corewords): aligned-word compares + sublane
+            # reductions, measured at HBM roofline, K-linear cost.
+            # Bloom kernel (ops/pallas_bloom): hashed core words, cost
+            # constant in K (~1 lane-gather per level). Pattern bytes
+            # are runtime data: one Mosaic compile per shape, ever.
+            from grab_tpu.ops.pallas_bloom import BloomWordScanner
             from grab_tpu.ops.pallas_corewords import CoreWordScanner
 
             self._input_words = True
             tile_rows = min(2048, self.buf_size // self.block)
-            self._cw = CoreWordScanner(
-                self._literals, tile_rows=tile_rows, interpret=self._interpret
-            )
-            return self._cw.counts
+            longs = [l for l in self._literals if len(l) >= 7]
+            shorts = [l for l in self._literals if len(l) < 7]
+            scanners = []
+            if len(longs) > 4:
+                scanners.append(
+                    BloomWordScanner(
+                        longs, tile_rows=tile_rows, interpret=self._interpret
+                    )
+                )
+            else:
+                shorts += longs
+            for i in range(0, len(shorts), MAX_KERNEL_LITERALS):
+                scanners.append(
+                    CoreWordScanner(
+                        shorts[i : i + MAX_KERNEL_LITERALS],
+                        tile_rows=tile_rows,
+                        interpret=self._interpret,
+                    )
+                )
+            self._cw_list = scanners
+            return lambda words2d: [s.counts(words2d) for s in scanners]
 
         from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
 
@@ -221,14 +228,18 @@ class DeviceScanner:
 
             return fn
 
-        lengths = self._lit_len
+        from grab_tpu.ops.literal_scan import literal_matrix
+
+        mat_np, lens = literal_matrix(self._literals)
+        lit_mat = jnp.asarray(mat_np)
+        lengths = tuple(int(x) for x in lens)
 
         @jax.jit
         def fn(mat, data):
             bm = literal_scan_bitmap(mat, lengths, data)
             return bitmap_block_counts(bm, block)
 
-        return lambda data: fn(self._lit_mat, data)
+        return lambda data: fn(lit_mat, data)
 
     def _build_compact(self):
         """Wrap the counts function so results leave the device as
@@ -244,13 +255,13 @@ class DeviceScanner:
         nb = self.buf_size // self.block
 
         if getattr(self, "_input_words", False):
-            # core-word path: ship the (cnt, rsum) projections; the
-            # host decodes them to block flags (tiny: 2 ints per tile)
+            # core-word path: ship the (cnt, rsum) projections per
+            # ensemble member; the host decodes them to block flags
             @jax.jit
             def compact(words2d):
-                cnt, rsum = counts_fn(words2d)
-                total = jnp.sum(cnt, dtype=jnp.int32)
-                return total, cnt, rsum
+                pairs = counts_fn(words2d)
+                total = sum(jnp.sum(c, dtype=jnp.int32) for c, _ in pairs)
+                return (total,) + tuple(x for pr in pairs for x in pr)
 
             return compact
 
@@ -294,10 +305,15 @@ class DeviceScanner:
         (candidate-block indicator; host logic only tests > 0)."""
         nb = self.buf_size // self.block
         if getattr(self, "_input_words", False):
-            total, cnt, rsum = handles
+            total, rest = handles[0], handles[1:]
             if int(total) == 0:
                 return np.zeros(nb, dtype=np.int32)
-            return self._cw.flags_np(cnt, rsum, nb)
+            flags = np.zeros(nb, dtype=np.int32)
+            for i, s in enumerate(self._cw_list):
+                np.maximum(
+                    flags, s.flags_np(rest[2 * i], rest[2 * i + 1], nb), out=flags
+                )
+            return flags
         total, packed = handles
         if int(total) == 0:
             # clean batch: one 4-byte device pull, nothing else

@@ -1,0 +1,91 @@
+"""Bloom core-word prefilter: contract tests (superset + FP budget)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grab_tpu.golden.scanner import literal_scan_starts
+from grab_tpu.ops.pallas_bloom import (
+    BloomWordScanner,
+    BloomWordTests,
+    bloom_word_counts,
+    np_bloom_counts,
+)
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS
+
+TR = 64
+N = 128 * 1024
+
+
+def mk_words(data: bytes) -> np.ndarray:
+    w = np.frombuffer(data, dtype="<i4").reshape(-1, LANES)
+    return np.concatenate([w, np.zeros((PAD_ROWS, LANES), "<i4")])
+
+
+def random_text(n, seed, needles=()):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(32, 127, size=n, dtype=np.uint8)
+    buf = bytearray(data.tobytes())
+    for pos, s in needles:
+        buf[pos : pos + len(s)] = s
+    return bytes(buf)
+
+
+def random_literals(k, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(k):
+        ln = int(rng.integers(7, 13))
+        out.append(bytes(rng.integers(33, 127, size=ln, dtype=np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_kernel_matches_numpy_oracle(k):
+    lits = random_literals(k, 21)
+    data = random_text(N, 7, [(1000 + 31 * i, l) for i, l in enumerate(lits[:20])])
+    w2d = mk_words(data)
+    t = BloomWordTests(lits)
+    cnt_np, rsum_np = np_bloom_counts(w2d, t, TR)
+    cnt, rsum = bloom_word_counts(
+        jnp.asarray(w2d), jnp.asarray(t.tbl), t.levels, tile_rows=TR, interpret=True
+    )
+    assert (np.asarray(cnt) == cnt_np).all()
+    assert (np.asarray(rsum) == rsum_np).all()
+
+
+def test_superset_100_literals():
+    lits = random_literals(100, 3)
+    # plant 30 of them at assorted phases
+    needles = [(997 + 517 * i + (i % 4), lits[i * 3 % 100]) for i in range(30)]
+    data = random_text(N, 5, needles)
+    sc = BloomWordScanner(lits, tile_rows=TR, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    starts = literal_scan_starts(lits, data)
+    want = np.unique(np.nonzero(starts)[0] // BLOCK)
+    assert len(want) >= 25
+    missed = [b for b in want if not flags[b]]
+    assert not missed, missed
+
+
+def test_false_positive_budget():
+    lits = random_literals(100, 9)
+    data = random_text(N, 11)  # nothing planted
+    sc = BloomWordScanner(lits, tile_rows=TR, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    frac = flags.mean()
+    assert frac < 0.05, frac
+
+
+def test_levels_scale_with_k():
+    small = BloomWordTests(random_literals(4, 1)).levels
+    large = BloomWordTests(random_literals(100, 1)).levels
+    assert small < large <= 6
+
+
+def test_short_literal_rejected():
+    with pytest.raises(AssertionError):
+        BloomWordTests([b"abcdef"])  # len 6 < 7

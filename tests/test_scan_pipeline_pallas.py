@@ -54,6 +54,29 @@ def test_regex_literal_factor_corewords():
     assert out["f"][50_123 // CANDIDATE_BLOCK] > 0
 
 
+def test_literal_ensemble_100_patterns():
+    # config-4 shape: large batch -> bloom kernel for longs, compare
+    # kernel for shorts, flags unioned
+    rng = np.random.default_rng(17)
+    longs = [
+        bytes(rng.integers(33, 127, size=int(rng.integers(7, 12)), dtype=np.uint8))
+        for _ in range(96)
+    ]
+    shorts = [b"Xk5q", b"Zj#9w", b"Qp7xv2"]
+    lits = longs + shorts
+    cp = compile_multi(lits, literal_mode=True)
+    needles = [(1000 + 700 * i + (i % 4), lits[(7 * i) % len(lits)]) for i in range(40)]
+    data = random_text(300_000, 23, needles)
+    sc = DeviceScanner(cp, buf_size=BUF, pallas_interpret=True)
+    assert sc.mode == "literal"
+    pipe = CorpusPipeline(sc)
+    out = {p: c for p, _, c in pipe.run([("f", data)])}
+    assert len(sc._cw_list) == 2  # bloom + one compare bucket
+    starts = literal_scan_starts(lits, data)
+    for b in np.unique(np.nonzero(starts)[0] // CANDIDATE_BLOCK):
+        assert out["f"][b] > 0, b
+
+
 def test_short_literal_routes_class_seq():
     cp = compile_multi([b"ab"], literal_mode=True)
     sc = DeviceScanner(cp, buf_size=BUF, pallas_interpret=True)
