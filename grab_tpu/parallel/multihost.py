@@ -63,7 +63,10 @@ def psum_total(local_count: int, mesh=None) -> int:
     process-local stdout mutex aggregation, grab.cc:56)."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.4.35 spelling
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     import numpy as np
 

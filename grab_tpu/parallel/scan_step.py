@@ -33,12 +33,19 @@ import numpy as np
 
 
 def make_mesh(n_devices: Optional[int] = None):
-    """1-D scan mesh over the first n_devices devices."""
+    """1-D scan mesh over the first n_devices devices.
+
+    Falls back to the CPU platform's virtual devices when the default
+    platform has too few (the standard JAX multi-chip dry-run setup:
+    --xla_force_host_platform_device_count=N, SURVEY §4)."""
     import jax
     from jax.sharding import Mesh
 
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        devs = jax.devices("cpu")
     if n_devices is not None:
+        assert len(devs) >= n_devices, (len(devs), n_devices)
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), ("shards",))
 
@@ -53,7 +60,10 @@ def make_sharded_scan(compiled, mesh, shard_bytes: int):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.4.35 spelling
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from grab_tpu.ops.dfa_scan import (
@@ -117,4 +127,84 @@ def make_sharded_scan(compiled, mesh, shard_bytes: int):
     def fn(data):
         return sharded(lit_mat, data)
 
+    return fn
+
+
+def make_sharded_word_scan(
+    literals,
+    mesh,
+    shard_rows: int,
+    tile_rows: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Production multi-chip literal scan: the core-word Pallas kernel
+    per chip under shard_map.
+
+    Each device owns one padded scan buffer (the packer's natural
+    unit): input is int32 [n_shards, shard_rows + PAD_ROWS, 128]
+    sharded on axis 0 with the SMEM literal table replicated — the
+    mesh analog of one compiled pattern per pinned thread
+    (/root/reference/src/main.cc:195-216). Global candidate count
+    rides jax.lax.psum over ICI; (cnt, rsum) projections stay
+    device-local for the host decode + deterministic merge.
+
+    Returns ``fn(words3d) -> (cnt [S,T,128], rsum [S,T,128], total)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    try:
+        from jax import shard_map  # jax >= 0.4.35 spelling
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from grab_tpu.ops.pallas_corewords import (
+        CoreWordTests,
+        core_word_counts,
+    )
+
+    tests = CoreWordTests(literals)
+    if tile_rows is None:
+        tile_rows = min(2048, shard_rows)
+    tab = jnp.asarray(tests.tab)
+
+    def shard_body(tab, words3d_shard):
+        cnt, rsum = core_word_counts(
+            words3d_shard[0],
+            tab,
+            tests.k,
+            tests.n_words,
+            tile_rows=tile_rows,
+            interpret=interpret,
+            masked=tests.masked,
+        )
+        total = jax.lax.psum(jnp.sum(cnt, dtype=jnp.int32), "shards")
+        return cnt[None], rsum[None], total
+
+    try:
+        # pallas_call inside shard_map: outputs carry no vma metadata,
+        # so the replication checker must be off
+        sharded = shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P("shards", None, None)),
+            out_specs=(P("shards", None, None), P("shards", None, None), P()),
+            check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        sharded = shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P("shards", None, None)),
+            out_specs=(P("shards", None, None), P("shards", None, None), P()),
+            check_rep=False,
+        )
+
+    jitted = jax.jit(lambda words3d: sharded(tab, words3d))
+
+    def fn(words3d):
+        return jitted(words3d)
+
+    fn.tests = tests
+    fn.tile_rows = tile_rows
     return fn

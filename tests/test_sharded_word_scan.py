@@ -1,0 +1,51 @@
+"""Sharded core-word scan over the 8-device CPU mesh (interpret mode):
+per-shard projections + psum'd global count + host decode/merge."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from grab_tpu.golden.scanner import literal_scan_starts
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS, decode_flags
+from grab_tpu.parallel.scan_step import make_mesh, make_sharded_word_scan
+
+SHARD_ROWS = 128  # 64 KiB per shard
+TR = 64
+
+
+def test_sharded_corewords_psum_and_decode():
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    lit = b"qZx9kWv3"
+    rng = np.random.default_rng(3)
+    shard_bytes = SHARD_ROWS * BLOCK
+    bufs = []
+    planted = []  # (shard, byte_off)
+    for s in range(n_dev):
+        b = rng.integers(32, 127, size=shard_bytes, dtype=np.uint8)
+        pos = 1000 + 517 * s
+        b[pos : pos + len(lit)] = np.frombuffer(lit, dtype=np.uint8)
+        planted.append((s, pos))
+        w = b.view("<i4").reshape(SHARD_ROWS, LANES)
+        bufs.append(np.concatenate([w, np.zeros((PAD_ROWS, LANES), "<i4")]))
+    words3d = np.stack(bufs)
+
+    mesh = make_mesh(n_dev)
+    fn = make_sharded_word_scan([lit], mesh, SHARD_ROWS, tile_rows=TR, interpret=True)
+    data = jax.device_put(
+        jnp.asarray(words3d), NamedSharding(mesh, P("shards", None, None))
+    )
+    cnt, rsum, total = fn(data)
+    assert int(total) == n_dev  # one hit per shard, psum'd over the mesh
+
+    # host decode per shard: every planted block flagged
+    cnt, rsum = np.asarray(cnt), np.asarray(rsum)
+    t = fn.tests
+    for s, pos in planted:
+        flags = decode_flags(
+            cnt[s], rsum[s], TR, SHARD_ROWS, t.probe_back, t.probe_fwd
+        )
+        assert flags[pos // BLOCK] == 1, (s, pos)
+        assert flags.sum() <= 4  # single-hit lanes decode tight
