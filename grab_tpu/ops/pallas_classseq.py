@@ -1,0 +1,217 @@
+"""Word-packed class-sequence prefilter kernel.
+
+Same job as ops/class_prefilter (candidate positions for byte-class
+sequences — the shufti analog backing factor-less regexes and tiny
+literals), rebuilt on the measured roofline rules of this chip
+(tools/perf_probe.py):
+
+  * int32 words, 4 corpus bytes per lane (the byte-per-lane layout
+    wastes 3/4 of every vector op),
+  * sublane-only (cnt, rsum) projections — identical output geometry
+    and host decode as ops/pallas_corewords — instead of the
+    cross-lane row reduction that caps the old kernel at ~1/4 BW,
+  * per-(byte-position, class) range tests are memoized across
+    phases/sequences, and all test constants are baked into the kernel
+    (one Mosaic compile per class structure, served by the persistent
+    compile cache).
+
+A sequence of L classes tested at phase p reads bytes p..p+L-1 of the
+word window: planes w0..w2 supply 12 byte positions (L <= 8 + phase
+3). hit[r, c] = OR over (seq, phase) of AND over j of
+byte(p + j) ∈ class_j, marked at the word containing the start byte.
+
+Measured: ~3x the byte-per-lane kernel on v5e (see BENCH notes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from grab_tpu.ops.class_prefilter import CompiledSeqs
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS, decode_flags
+
+MAX_SPAN = 12  # bytes p+L <= 3 + 8 + 1; 3 word planes
+N_PLANES = 3
+
+
+def _seq_span(seqs: CompiledSeqs) -> int:
+    return max(len(s) for s in seqs)
+
+
+def _build_kernel(seqs: CompiledSeqs, tile_rows: int):
+    import jax.numpy as jnp
+
+    cap = _seq_span(seqs)
+    assert cap + 3 <= MAX_SPAN
+    n_planes = (3 + cap + 3) // 4  # ceil((3+cap)/4)
+
+    def kernel(a_ref, b_ref, cnt_ref, rsum_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+        xx = pltpu.bitcast(xx, jnp.uint32)
+        x0 = xx[0:tile_rows, :]
+        planes = [x0]
+        if n_planes > 1:
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+            xr = pltpu.roll(xx, tile_rows + PAD_ROWS - 1, 0)  # xr[r] = xx[r+1]
+            for k in range(1, n_planes):
+                same = pltpu.roll(xx, LANES - k, 1)[0:tile_rows, :]
+                nxt = pltpu.roll(xr, LANES - k, 1)[0:tile_rows, :]
+                planes.append(jnp.where(col < LANES - k, same, nxt))
+
+        byte_cache = {}  # byte position -> uint32 plane of that byte
+
+        def byte_at(pos: int):
+            if pos not in byte_cache:
+                w, k = divmod(pos, 4)
+                b = planes[w]
+                if k:
+                    b = b >> jnp.uint32(8 * k)
+                byte_cache[pos] = b & jnp.uint32(0xFF)
+            return byte_cache[pos]
+
+        test_cache = {}  # (byte position, ranges) -> bool plane
+
+        def test(pos: int, ranges) -> object:
+            key = (pos, ranges)
+            if key not in test_cache:
+                b = byte_at(pos)
+                hit = None
+                for lo, hi in ranges:
+                    if lo == 0 and hi == 255:
+                        hit = jnp.ones_like(b, dtype=bool)
+                        break
+                    if lo == hi:
+                        t = b == jnp.uint32(lo)
+                    else:
+                        t = jnp.logical_and(
+                            b >= jnp.uint32(lo), b <= jnp.uint32(hi)
+                        )
+                    hit = t if hit is None else jnp.logical_or(hit, t)
+                test_cache[key] = hit
+            return test_cache[key]
+
+        hit = None
+        for seq in seqs:
+            for p in range(4):
+                eq = None
+                for j, ranges in enumerate(seq):
+                    t = test(p + j, tuple(ranges))
+                    eq = t if eq is None else jnp.logical_and(eq, t)
+                hit = eq if hit is None else jnp.logical_or(hit, eq)
+        h = hit.astype(jnp.int32)
+        cnt_ref[0] = jnp.sum(h, axis=0, keepdims=True)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+        rsum_ref[0] = jnp.sum(h * rows_iota, axis=0, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("seqs", "tile_rows", "interpret"))
+def classseq_word_counts(
+    words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
+    seqs: CompiledSeqs,
+    tile_rows: int = 2048,
+    interpret: bool = False,
+):
+    """→ (cnt, rsum): int32 [ntiles, 128] each."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0] - PAD_ROWS
+    assert rows % tile_rows == 0, (rows, tile_rows)
+    ntiles = rows // tile_rows
+    kernel = _build_kernel(seqs, tile_rows)
+    cnt, rsum = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (PAD_ROWS, LANES),
+                lambda i: ((i + 1) * (tile_rows // PAD_ROWS), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(words2d, words2d)
+    return cnt[:, 0, :], rsum[:, 0, :]
+
+
+def np_classseq_counts(
+    words2d: np.ndarray, seqs: CompiledSeqs, tile_rows: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy oracle for the kernel."""
+    rows = words2d.shape[0] - PAD_ROWS
+    data = words2d.view(np.uint8).reshape(-1)  # little-endian byte order
+    n = rows * LANES * 4
+    hit_b = np.zeros(n, dtype=bool)  # per BYTE start position
+    for seq in seqs:
+        eq = np.ones(n, dtype=bool)
+        for j, ranges in enumerate(seq):
+            b = data[j : n + j]
+            t = np.zeros(n, dtype=bool)
+            for lo, hi in ranges:
+                t |= (b >= lo) & (b <= hi)
+            eq &= t
+        hit_b |= eq
+    # word-marked hits: word w hits iff any byte phase start in it hits
+    hit_w = hit_b.reshape(rows * LANES, 4).any(axis=1)
+    h = hit_w.reshape(rows, LANES).astype(np.int32)
+    ntiles = rows // tile_rows
+    ht = h.reshape(ntiles, tile_rows, LANES)
+    cnt = ht.sum(axis=1)
+    r = np.arange(tile_rows, dtype=np.int32)[None, :, None]
+    rsum = (ht * r).sum(axis=1)
+    return cnt, rsum
+
+
+class ClassSeqScanner:
+    """Host-facing wrapper, same contract as CoreWordScanner."""
+
+    def __init__(
+        self,
+        seqs: CompiledSeqs,
+        tile_rows: int = 2048,
+        interpret: bool = False,
+    ):
+        self.seqs = seqs
+        self.tile_rows = tile_rows
+        self.interpret = interpret
+        span = _seq_span(seqs)
+        self.probe_back = 4  # start byte is inside the flagged word
+        self.probe_fwd = span + 8
+
+    def counts(self, words2d):
+        return classseq_word_counts(
+            words2d,
+            self.seqs,
+            tile_rows=self.tile_rows,
+            interpret=self.interpret,
+        )
+
+    def flags_np(self, cnt, rsum, n_blocks: int) -> np.ndarray:
+        return decode_flags(
+            np.asarray(cnt),
+            np.asarray(rsum),
+            self.tile_rows,
+            n_blocks,
+            self.probe_back,
+            self.probe_fwd,
+        )

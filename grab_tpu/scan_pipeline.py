@@ -187,13 +187,17 @@ class DeviceScanner:
             self._cw_list = scanners
             return lambda words2d: [s.counts(words2d) for s in scanners]
 
-        from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
+        # class sequences: word-packed range-test kernel, same output
+        # geometry/decode as the literal kernels (ops/pallas_classseq)
+        from grab_tpu.ops.pallas_classseq import ClassSeqScanner
 
-        seqs = self._seqs
-        interp = self._interpret
-        return lambda data: prefilter_block_counts_pallas(
-            data, seqs, block=block, interpret=interp
+        self._input_words = True
+        tile_rows = min(2048, self.buf_size // self.block)
+        sc = ClassSeqScanner(
+            self._seqs, tile_rows=tile_rows, interpret=self._interpret
         )
+        self._cw_list = [sc]
+        return lambda words2d: [sc.counts(words2d)]
 
     def _build_jnp(self):
         import jax

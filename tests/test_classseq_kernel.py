@@ -1,0 +1,109 @@
+"""Word-packed class-sequence kernel: oracle + superset contracts."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grab_tpu.golden.scanner import literal_scan_starts
+from grab_tpu.ops.class_prefilter import compile_sequences
+from grab_tpu.ops.pallas_classseq import (
+    ClassSeqScanner,
+    classseq_word_counts,
+    np_classseq_counts,
+)
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS
+from grab_tpu.regex.compiler import compile_multi
+from grab_tpu.scan_pipeline import CANDIDATE_BLOCK, CorpusPipeline, DeviceScanner
+
+TR = 64
+N = 64 * 1024
+
+DIGIT = sum(1 << b for b in range(48, 58))
+DASH = 1 << ord("-")
+AB = (1 << ord("a")) | (1 << ord("b"))
+
+
+def mk_words(data: bytes) -> np.ndarray:
+    w = np.frombuffer(data, dtype="<i4").reshape(-1, LANES)
+    return np.concatenate([w, np.zeros((PAD_ROWS, LANES), "<i4")])
+
+
+def random_text(n, seed, needles=()):
+    rng = np.random.default_rng(seed)
+    # uppercase-ish corpus so digit/lowercase classes are rare
+    data = rng.integers(64, 91, size=n, dtype=np.uint8)
+    buf = bytearray(data.tobytes())
+    for pos, s in needles:
+        buf[pos : pos + len(s)] = s
+    return bytes(buf)
+
+
+@pytest.mark.parametrize(
+    "seqs",
+    [
+        compile_sequences([(DIGIT, DIGIT, DIGIT, DASH, DIGIT)]),
+        compile_sequences([(AB, AB)]),
+        compile_sequences([(DIGIT,) * 8, (AB, DASH)]),
+    ],
+)
+def test_kernel_matches_numpy_oracle(seqs):
+    data = random_text(
+        N, 7, [(999, b"123-4"), (2001, b"ab"), (30_000, b"77777777"), (N - 6, b"ba-")]
+    )
+    w2d = mk_words(data)
+    cnt_np, rsum_np = np_classseq_counts(w2d, seqs, TR)
+    cnt, rsum = classseq_word_counts(
+        jnp.asarray(w2d), seqs, tile_rows=TR, interpret=True
+    )
+    assert (np.asarray(cnt) == cnt_np).all()
+    assert (np.asarray(rsum) == rsum_np).all()
+
+
+def test_decoded_flags_superset():
+    seqs = compile_sequences([(DIGIT, DIGIT, DIGIT, DASH, DIGIT)])
+    positions = [100, 5001, 5002, 5003, 40_000, N - 8]
+    data = random_text(N, 3, [(p, b"123-4567") for p in positions])
+    sc = ClassSeqScanner(seqs, tile_rows=TR, interpret=True)
+    cnt, rsum = sc.counts(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    for p in positions:
+        assert flags[p // BLOCK] == 1, p
+
+
+def test_pipeline_short_literal_uses_word_kernel():
+    # len-2 literal routes to class_seq; ends up on the word kernel
+    cp = compile_multi([b"ab"], literal_mode=True)
+    data = random_text(256 * 1024, 5, [(100, b"ab"), (200_001, b"ab")])
+    sc = DeviceScanner(cp, buf_size=256 * 1024, pallas_interpret=True)
+    assert sc.mode == "class_seq"
+    pipe = CorpusPipeline(sc)
+    out = {p: c for p, _, c in pipe.run([("f", data)])}
+    starts = literal_scan_starts([b"ab"], data)
+    for b in np.unique(np.nonzero(starts)[0] // CANDIDATE_BLOCK):
+        assert out["f"][b] > 0, b
+
+
+def test_pipeline_factorless_regex():
+    # regex with no literal factor at all: digit runs
+    cp = compile_multi([rb"[0-9]{5}"])
+    assert not cp.literals and cp.class_seqs
+    data = random_text(256 * 1024, 9, [(4321, b"55512"), (99_000, b"12345")])
+    sc = DeviceScanner(cp, buf_size=256 * 1024, pallas_interpret=True)
+    assert sc.mode == "class_seq"
+    pipe = CorpusPipeline(sc)
+    out = {p: c for p, _, c in pipe.run([("f", data)])}
+    assert out["f"][4321 // CANDIDATE_BLOCK] > 0
+    assert out["f"][99_000 // CANDIDATE_BLOCK] > 0
+
+
+def test_pipeline_regex_with_tiny_factor():
+    # one-byte literal factor ("-"): routed to the class-seq union path
+    cp = compile_multi([rb"[0-9]{3}-[0-9]{4}"])
+    data = random_text(256 * 1024, 13, [(4321, b"555-1234"), (99_000, b"123-4567")])
+    sc = DeviceScanner(cp, buf_size=256 * 1024, pallas_interpret=True)
+    assert sc.mode == "class_seq"
+    pipe = CorpusPipeline(sc)
+    out = {p: c for p, _, c in pipe.run([("f", data)])}
+    assert out["f"][4321 // CANDIDATE_BLOCK] > 0
+    assert out["f"][99_000 // CANDIDATE_BLOCK] > 0
