@@ -52,6 +52,7 @@ def parse_args(argv: List[str]):
         "multi": False,
         "stats": False,
         "resume": None,
+        "trace": None,
     }
     chunk_size = 1 << 30
     args = []
@@ -63,6 +64,11 @@ def parse_args(argv: List[str]):
         elif a == "--resume":
             i += 1
             opts["resume"] = argv[i]
+        elif a == "--trace":
+            # jax.profiler trace of the whole scan (SURVEY §5): view
+            # with tensorboard / xprof; off the parity path
+            i += 1
+            opts["trace"] = argv[i]
         elif a == "--":
             args.extend(argv[i + 1 :])
             break
@@ -125,7 +131,13 @@ def _enable_compilation_cache():
         pass
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+def main(
+    argv: Optional[List[str]] = None, out=None, err=None, engine_factory=None
+) -> int:
+    """CLI entry. ``out`` is a binary writer (default: stdout.buffer),
+    ``err`` a text writer (default: stderr), ``engine_factory`` an
+    Engine-compatible constructor — all injectable so the scan server
+    can handle concurrent connections without mutating process globals."""
     argv = sys.argv[1:] if argv is None else argv
     prog = "tpugrep"
     if argv[:1] == ["--via"]:
@@ -135,22 +147,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         from grab_tpu.server import client
 
         return client(argv[1], argv[2:])
+    is_tty = sys.stdout.isatty() if out is None else bool(
+        getattr(out, "isatty", lambda: False)()
+    )
+    if out is None:
+        out = sys.stdout.buffer
+    if err is None:
+        err = sys.stderr
     _enable_compilation_cache()
     opts, chunk_size, args = parse_args(argv)
     if opts is None or len(args) < 2:
-        sys.stdout.write(USAGE.format(p=prog))
+        out.write(USAGE.format(p=prog).encode())
         return 1
 
     pattern_arg, paths = args[0], args[1:]
 
     if opts["cores"] > 1 and not opts["recursive"]:
-        print("Multicore support only for recursive grabs.", file=sys.stderr)
+        print("Multicore support only for recursive grabs.", file=err)
         return 255
     if opts["cores"] > 1:
         chunk_size >>= 2  # main.cc:172-173
 
     out_cfg = OutputConfig(
-        colored=opts["color"] and sys.stdout.isatty(),
+        colored=opts["color"] and is_tty,
         print_line=not opts["noline"],
         print_offset=opts["offsets"],
         single_match=opts["single"],
@@ -167,23 +186,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             with open(pattern_arg, "rb") as f:
                 patterns = [ln for ln in f.read().splitlines() if ln]
         except OSError as e:
-            print(f"{pattern_arg}: {e.strerror}", file=sys.stderr)
+            print(f"{pattern_arg}: {e.strerror}", file=err)
             return 255
     else:
         patterns = [pattern_arg.encode("utf-8", "surrogateescape")]
 
     try:
-        engine = Engine(patterns, cfg)
+        engine = (engine_factory or Engine)(patterns, cfg)
     except Exception as e:
-        print(f"tpugrep: pattern compile error: {e}", file=sys.stderr)
+        print(f"tpugrep: pattern compile error: {e}", file=err)
         return 255
 
-    stdout = sys.stdout.buffer
-
     def emit(buf: bytes):
-        stdout.write(buf)
+        out.write(buf)
 
     import time
+    from contextlib import nullcontext
+
+    trace_ctx = nullcontext()
+    if opts["trace"]:
+        import jax
+
+        trace_ctx = jax.profiler.trace(opts["trace"])
 
     t0 = time.time()
     nbytes = 0
@@ -194,19 +218,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         manifest = ResumeManifest(opts["resume"])
 
-    if opts["recursive"]:
-        if opts["cores"] > 1 and manifest is None:
-            from grab_tpu.parallel.runner import run_parallel
+    with trace_ctx:
+        if opts["recursive"]:
+            if opts["cores"] > 1 and manifest is None:
+                from grab_tpu.parallel.runner import run_parallel
 
-            nbytes = run_parallel(engine, paths[0], emit, opts["cores"])
+                nbytes = run_parallel(engine, paths[0], emit, opts["cores"])
+            else:
+                engine.find_recursive(paths[0], emit, manifest=manifest)
         else:
-            engine.find_recursive(paths[0], emit, manifest=manifest)
-    else:
-        for p in paths:
-            if engine.scan_file(p, emit) < 0:
-                print(f"{engine.err}", file=sys.stderr)
-                return 255
-    stdout.flush()
+            for p in paths:
+                if engine.scan_file(p, emit) < 0:
+                    print(f"{engine.err}", file=err)
+                    return 255
+    out.flush()
 
     if opts["stats"]:
         dt = time.time() - t0
@@ -214,7 +239,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"tpugrep: {dt:.3f}s"
             + (f", {nbytes / dt / 1e9:.2f} GB/s" if nbytes else "")
             + f" | {engine.stats.summary()}",
-            file=sys.stderr,
+            file=err,
         )
     return 0
 

@@ -136,14 +136,23 @@ class ScanStats:
     wall_replay: float = 0.0
 
     def summary(self) -> str:
+        def rate(wall: float) -> str:
+            if wall <= 0 or not self.bytes_scanned:
+                return ""
+            bps = self.bytes_scanned / wall
+            if bps >= 1e9:
+                return f" ({bps / 1e9:.2f} GB/s)"
+            return f" ({bps / 1e6:.1f} MB/s)"
+
         return (
             f"files={self.files_scanned}/{self.files_seen} "
             f"(pruned={self.files_pruned}, clean={self.clean_files}) "
             f"bytes={self.bytes_scanned} "
             f"cand_blocks={self.candidate_blocks} "
             f"batches={self.device_batches} "
-            f"walk={self.wall_walk:.3f}s scan={self.wall_scan:.3f}s "
-            f"replay={self.wall_replay:.3f}s"
+            f"walk={self.wall_walk:.3f}s "
+            f"scan={self.wall_scan:.3f}s{rate(self.wall_scan)} "
+            f"replay={self.wall_replay:.3f}s{rate(self.wall_replay)}"
         )
 
 

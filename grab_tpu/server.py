@@ -86,56 +86,27 @@ def _handle(conn: socket.socket, cache: _EngineCache):
     out_writer = SockWriter(0)
     err_writer = SockWriter(1)
 
-    class FakeStdout:
-        buffer = out_writer
-
-        @staticmethod
-        def write(s):
-            out_writer.write(s)
-
-        @staticmethod
-        def flush():
-            pass
-
-        @staticmethod
-        def isatty():
-            return False
-
-    class FakeStderr:
-        @staticmethod
-        def write(s):
-            err_writer.write(s)
-
-        @staticmethod
-        def flush():
-            pass
-
-    old_out, old_err = sys.stdout, sys.stderr
-    sys.stdout, sys.stderr = FakeStdout(), FakeStderr()
+    # streams are passed straight into cli.main — no process-global
+    # sys.stdout/sys.stderr swapping, so concurrent connections (and
+    # in-process test clients) can't race on the globals
     try:
-        rc = _run_with_cache(argv, cache)
+        rc = _run_with_cache(argv, cache, out_writer, err_writer)
     except Exception as e:
         err_writer.write(f"tpugrep-server: {e}\n")
         rc = 255
-    finally:
-        sys.stdout, sys.stderr = old_out, old_err
     conn.sendall(struct.pack("!I", 0) + struct.pack("!I", rc & 0xFF))
 
 
-def _run_with_cache(argv: List[str], cache: _EngineCache) -> int:
-    """cli.main with the server's engine cache injected."""
-    orig_engine = cli_mod.Engine
-    try:
-        # Engine construction goes through the cache (same signature)
-        def cached_engine(patterns, cfg):
-            return cache.engine_for(
-                [p if isinstance(p, bytes) else p.encode() for p in patterns], cfg
-            )
+def _run_with_cache(argv: List[str], cache: _EngineCache, out, err) -> int:
+    """cli.main with the server's engine cache injected (no module
+    globals touched — connections are race-free)."""
 
-        cli_mod.Engine = cached_engine
-        return cli_mod.main(argv)
-    finally:
-        cli_mod.Engine = orig_engine
+    def cached_engine(patterns, cfg):
+        return cache.engine_for(
+            [p if isinstance(p, bytes) else p.encode() for p in patterns], cfg
+        )
+
+    return cli_mod.main(argv, out=out, err=err, engine_factory=cached_engine)
 
 
 def serve(sock_path: str, warm: bool = True):
