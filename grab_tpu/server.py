@@ -113,8 +113,15 @@ def serve(sock_path: str, warm: bool = True):
     if os.path.exists(sock_path):
         os.unlink(sock_path)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    srv.bind(sock_path)
+    # bind under a temp name and rename only after listen(): clients
+    # poll for the path, and a connect between bind and listen gets
+    # ECONNREFUSED — the advertised path must always be accept-ready
+    tmp = sock_path + ".tmp"
+    if os.path.exists(tmp):
+        os.unlink(tmp)
+    srv.bind(tmp)
     srv.listen(8)
+    os.rename(tmp, sock_path)
     if warm:
         _warm()
     print(f"tpugrep-server: listening on {sock_path}", file=sys.stderr)
@@ -139,16 +146,28 @@ def _warm():
         from grab_tpu.scan_pipeline import enable_compilation_cache
 
         enable_compilation_cache()
-        from grab_tpu.ops.pallas_literal import ParamLiteralScanner
-
         import jax
+
+        from grab_tpu.ops.pallas_corewords import (
+            LANES,
+            PAD_ROWS,
+            CoreWordScanner,
+        )
 
         if jax.default_backend() == "cpu":
             return
-        data = jnp.zeros(32 << 20, jnp.uint8)
-        for k in (1, 4, 16):
-            s = ParamLiteralScanner([b"w%02d" % i for i in range(k)])
-            s(data).block_until_ready()
+        rows = (32 << 20) // 512
+        words2d = jnp.zeros((rows + PAD_ROWS, LANES), jnp.int32)
+        # the common production shapes: single long literal (unmasked),
+        # single short literal (masked 2-word), a compare bucket of 16
+        for lits in (
+            [b"warmupwarm"],
+            [b"warm"],
+            [b"warmup%02d" % i for i in range(16)],
+        ):
+            s = CoreWordScanner(lits, tile_rows=2048)
+            cnt, _ = s.counts(words2d)
+            cnt.block_until_ready()
     except Exception as e:
         print(f"tpugrep-server: warmup failed: {e}", file=sys.stderr)
 
