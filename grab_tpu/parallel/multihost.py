@@ -76,18 +76,20 @@ def psum_total(local_count: int, mesh=None) -> int:
     n_local = len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
 
     def body(x):
-        return jax.lax.psum(x, "shards")
+        # x: this device's (1,) slot; reduce to a replicated scalar
+        return jax.lax.psum(jnp.sum(x, dtype=jnp.int32), "shards")
 
     fn = jax.jit(
         shard_map(body, mesh=mesh, in_specs=P("shards"), out_specs=P())
     )
     # spread the local count over this host's device slots, zeros filled
-    # elsewhere by the per-process addressable shards
-    local = jnp.full((max(1, n_local),), 0, dtype=jnp.int64)
+    # elsewhere by the per-process addressable shards (int32: match
+    # counts, not byte counts)
+    local = np.zeros((max(1, n_local),), dtype=np.int32)
     if n_local:
-        local = local.at[0].set(local_count)
+        local[0] = local_count
     arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("shards")), np.asarray(local, dtype=np.int64), (n,)
+        NamedSharding(mesh, P("shards")), local, (n,)
     )
     return int(fn(arr))
 

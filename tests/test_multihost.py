@@ -1,0 +1,150 @@
+"""Multi-host bring-up without a cluster: 2 CPU processes under
+jax.distributed (the standard JAX substitute for multi-node fixtures —
+SURVEY §4), exercising host sharding, the cross-process psum, and the
+deterministic output merge."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[5])
+pid, n, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+from grab_tpu.parallel import multihost
+multihost.init_distributed(f"127.0.0.1:{port}", n, pid)
+entries = [f"file{i}" for i in range(6)]
+mine = multihost.host_shard(entries, pid, n)
+assert [i for i, _ in mine] == list(range(pid, 6, n))
+local = sum(i for i, _ in mine)
+total = multihost.psum_total(local)
+for i, name in mine:
+    with open(os.path.join(outdir, f"{pid}.{i}.out"), "wb") as f:
+        f.write(f"{name}\n".encode())
+print("TOTAL", total, flush=True)
+"""
+
+
+E2E_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[5])
+pid, n, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+from grab_tpu.parallel import multihost
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+
+multihost.init_distributed(f"127.0.0.1:{port}", n, pid)
+corpus = os.path.join(outdir, "corpus")
+names = sorted(os.listdir(corpus))                 # deterministic global walk
+mine = multihost.host_shard(names, pid, n)
+cfg = EngineConfig(
+    output=OutputConfig(print_offset=True, print_line=False, recursive=True),
+    mode="literal",
+)
+eng = Engine([b"needleXY"], cfg)
+local_matches = 0
+for i, name in mine:
+    chunks = []
+    eng.scan_file(os.path.join(corpus, name), chunks.append)
+    out = b"".join(chunks)
+    local_matches += out.count(b"Match at offset")
+    with open(os.path.join(outdir, f"{pid}.{i}.out"), "wb") as f:
+        f.write(out)
+total = multihost.psum_total(local_matches)        # barrier + global count
+print("TOTAL", total, flush=True)
+if pid == 0:
+    merged = []
+    multihost.merge_host_outputs(outdir, merged.append)
+    sys.stdout.buffer.write(b"".join(merged))
+    sys.stdout.flush()
+"""
+
+
+def test_two_process_e2e_scan_psum_ordered_merge(tmp_path):
+    import numpy as np
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    rng = np.random.default_rng(5)
+    offs = {}
+    for i in range(6):
+        n = 20_000 + 1000 * i
+        b = bytearray(rng.integers(32, 127, size=n, dtype=np.uint8).tobytes())
+        pos = 500 + 777 * i
+        b[pos : pos + 8] = b"needleXY"
+        offs[i] = pos
+        (corpus / f"f{i:02d}.txt").write_bytes(bytes(b))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", E2E_WORKER, str(pid), "2", str(port),
+             str(tmp_path), REPO],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=150)
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(out)
+    assert b"TOTAL 6" in outs[0] and b"TOTAL 6" in outs[1]
+    # host 0 printed the globally ordered merge: one offset line per
+    # file, in global file order regardless of which host scanned it
+    merged = outs[0].split(b"TOTAL 6\n", 1)[1]
+    want = b"".join(
+        f"{corpus}/f{i:02d}.txt:Match at offset {offs[i]}\n".encode()
+        for i in range(6)
+    )
+    assert merged == want, merged[:200]
+
+
+def test_two_process_distributed_psum_and_merge(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    outdir = str(tmp_path)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), "2", str(port), outdir, REPO],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=150)
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(out.decode())
+    # psum over both hosts' device slots: sum over all file indices
+    for o in outs:
+        assert "TOTAL 15" in o, o
+
+    from grab_tpu.parallel.multihost import merge_host_outputs
+
+    chunks = []
+    n = merge_host_outputs(outdir, chunks.append)
+    assert n == 6
+    assert b"".join(chunks) == b"".join(f"file{i}\n".encode() for i in range(6))
