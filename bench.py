@@ -66,7 +66,7 @@ def main():
         LANES,
         PAD_ROWS,
         CoreWordScanner,
-        core_word_counts,
+        core_word_bitmap,
     )
     from grab_tpu.scan_pipeline import enable_compilation_cache
 
@@ -120,10 +120,10 @@ def main():
 
         def chained(tabs, words):
             def body(acc, tab):
-                cnt, rsum = core_word_counts(
+                bm = core_word_bitmap(
                     words, tab, t.k, t.n_words, tile_rows=2048, masked=t.masked
                 )
-                return acc + jnp.sum(cnt, dtype=jnp.int32), None
+                return acc + jnp.sum(bm, dtype=jnp.int32), None
 
             acc, _ = jax.lax.scan(body, jnp.int32(0), tabs)
             return acc

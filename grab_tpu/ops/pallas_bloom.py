@@ -24,8 +24,7 @@ the mask differs per literal). The scan pipeline routes shorter
 literals to the compare kernel and unions the candidate flags.
 
 Output geometry and decode contract are identical to
-ops/pallas_corewords (cnt/rsum per (tile, lane), single-hit lanes
-decode exactly).
+ops/pallas_corewords (per-row bitmap → packed per-block flags).
 """
 
 from __future__ import annotations
@@ -36,7 +35,15 @@ from typing import Sequence, Tuple
 import jax
 import numpy as np
 
-from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS, decode_flags
+from grab_tpu.ops.pallas_corewords import (
+    BLOCK,
+    LANES,
+    PAD_ROWS,
+    _bitmap_rows,
+    decode_packed_flags,
+    np_bitmap_rows,
+    packed_block_flags,
+)
 
 # independent odd multipliers (Knuth/golden-ratio family)
 _HASH_CONSTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1, 0x9E3779B9)
@@ -98,7 +105,7 @@ def _build_kernel(levels: int, tile_rows: int):
 
     consts = [np.uint32(_HASH_CONSTS[l]) for l in range(levels)]
 
-    def kernel(tbl_ref, a_ref, cnt_ref, rsum_ref):
+    def kernel(tbl_ref, a_ref, bm_ref):
         from jax.experimental.pallas import tpu as pltpu
 
         x = pltpu.bitcast(a_ref[:], jnp.uint32)
@@ -113,37 +120,32 @@ def _build_kernel(levels: int, tile_rows: int):
             bit = (m >> h2) & jnp.int32(1)  # sign-extend then &1 = the bit
             t = bit != 0
             hit = t if hit is None else jnp.logical_and(hit, t)
-        hh = hit.astype(jnp.int32)
-        cnt_ref[0] = jnp.sum(hh, axis=0, keepdims=True)
-        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
-        rsum_ref[0] = jnp.sum(hh * rows_iota, axis=0, keepdims=True)
+        bm_ref[:] = _bitmap_rows(hit, tile_rows)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("levels", "tile_rows", "interpret"))
-def bloom_word_counts(
+def bloom_word_bitmap(
     words2d,  # int32 [rows + PAD_ROWS, 128] (tail ignored; no halo needed)
     tbl,  # int32 [levels, 128]
     levels: int,
     tile_rows: int = 2048,
     interpret: bool = False,
 ):
-    """→ (cnt, rsum): int32 [ntiles, 128] each."""
+    """→ row bitmap: int32 [rows/32, 128] (see pallas_corewords)."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows = words2d.shape[0] - PAD_ROWS
     assert rows % tile_rows == 0, (rows, tile_rows)
+    assert tile_rows % 32 == 0, tile_rows  # bitmap packs 32 rows/int32
     ntiles = rows // tile_rows
     kernel = _build_kernel(levels, tile_rows)
-    cnt, rsum = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((rows // 32, LANES), jnp.int32),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tiny table
@@ -151,18 +153,14 @@ def bloom_word_counts(
                 (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tile_rows // 32, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(tbl, words2d)
-    return cnt[:, 0, :], rsum[:, 0, :]
 
 
-def np_bloom_counts(
-    words2d: np.ndarray, tests: BloomWordTests, tile_rows: int
-) -> Tuple[np.ndarray, np.ndarray]:
+def np_bloom_bitmap(words2d: np.ndarray, tests: BloomWordTests) -> np.ndarray:
     """Numpy oracle for the kernel."""
     rows = words2d.shape[0] - PAD_ROWS
     x = words2d[:rows].view(np.uint32).reshape(rows, LANES)
@@ -174,13 +172,7 @@ def np_bloom_counts(
         h2 = (h >> np.uint32(20)) & np.uint32(31)
         m = tbl[l][h1]
         hit &= ((m >> h2) & 1) != 0
-    hh = hit.astype(np.int32)
-    ntiles = rows // tile_rows
-    ht = hh.reshape(ntiles, tile_rows, LANES)
-    cnt = ht.sum(axis=1)
-    r = np.arange(tile_rows, dtype=np.int32)[None, :, None]
-    rsum = (ht * r).sum(axis=1)
-    return cnt, rsum
+    return np_bitmap_rows(hit)
 
 
 class BloomWordScanner:
@@ -199,8 +191,8 @@ class BloomWordScanner:
         self.interpret = interpret
         self._tbl = jnp.asarray(self.tests.tbl)
 
-    def counts(self, words2d):
-        return bloom_word_counts(
+    def bitmap(self, words2d):
+        return bloom_word_bitmap(
             words2d,
             self._tbl,
             self.tests.levels,
@@ -208,12 +200,10 @@ class BloomWordScanner:
             interpret=self.interpret,
         )
 
-    def flags_np(self, cnt, rsum, n_blocks: int) -> np.ndarray:
-        return decode_flags(
-            np.asarray(cnt),
-            np.asarray(rsum),
-            self.tile_rows,
-            n_blocks,
-            self.tests.probe_back,
-            self.tests.probe_fwd,
+    def packed(self, words2d):
+        return packed_block_flags(self.bitmap(words2d))
+
+    def flags_np(self, packed, n_blocks: int) -> np.ndarray:
+        return decode_packed_flags(
+            packed, n_blocks, self.tests.probe_back, self.tests.probe_fwd
         )

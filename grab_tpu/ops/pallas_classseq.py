@@ -32,7 +32,15 @@ import jax
 import numpy as np
 
 from grab_tpu.ops.class_prefilter import CompiledSeqs
-from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS, decode_flags
+from grab_tpu.ops.pallas_corewords import (
+    BLOCK,
+    LANES,
+    PAD_ROWS,
+    _bitmap_rows,
+    decode_packed_flags,
+    np_bitmap_rows,
+    packed_block_flags,
+)
 
 MAX_SPAN = 12  # bytes p+L <= 3 + 8 + 1; 3 word planes
 N_PLANES = 3
@@ -49,7 +57,7 @@ def _build_kernel(seqs: CompiledSeqs, tile_rows: int):
     assert cap + 3 <= MAX_SPAN
     n_planes = (3 + cap + 3) // 4  # ceil((3+cap)/4)
 
-    def kernel(a_ref, b_ref, cnt_ref, rsum_ref):
+    def kernel(a_ref, b_ref, bm_ref):
         from jax.experimental.pallas import tpu as pltpu
 
         xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
@@ -104,36 +112,31 @@ def _build_kernel(seqs: CompiledSeqs, tile_rows: int):
                     t = test(p + j, tuple(ranges))
                     eq = t if eq is None else jnp.logical_and(eq, t)
                 hit = eq if hit is None else jnp.logical_or(hit, eq)
-        h = hit.astype(jnp.int32)
-        cnt_ref[0] = jnp.sum(h, axis=0, keepdims=True)
-        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
-        rsum_ref[0] = jnp.sum(h * rows_iota, axis=0, keepdims=True)
+        bm_ref[:] = _bitmap_rows(hit, tile_rows)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("seqs", "tile_rows", "interpret"))
-def classseq_word_counts(
+def classseq_word_bitmap(
     words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
     seqs: CompiledSeqs,
     tile_rows: int = 2048,
     interpret: bool = False,
 ):
-    """→ (cnt, rsum): int32 [ntiles, 128] each."""
+    """→ row bitmap: int32 [rows/32, 128] (see pallas_corewords)."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows = words2d.shape[0] - PAD_ROWS
     assert rows % tile_rows == 0, (rows, tile_rows)
+    assert tile_rows % 32 == 0, tile_rows  # bitmap packs 32 rows/int32
     ntiles = rows // tile_rows
     kernel = _build_kernel(seqs, tile_rows)
-    cnt, rsum = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((rows // 32, LANES), jnp.int32),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(
@@ -145,18 +148,14 @@ def classseq_word_counts(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tile_rows // 32, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(words2d, words2d)
-    return cnt[:, 0, :], rsum[:, 0, :]
 
 
-def np_classseq_counts(
-    words2d: np.ndarray, seqs: CompiledSeqs, tile_rows: int
-) -> Tuple[np.ndarray, np.ndarray]:
+def np_classseq_bitmap(words2d: np.ndarray, seqs: CompiledSeqs) -> np.ndarray:
     """Numpy oracle for the kernel."""
     rows = words2d.shape[0] - PAD_ROWS
     data = words2d.view(np.uint8).reshape(-1)  # little-endian byte order
@@ -173,13 +172,7 @@ def np_classseq_counts(
         hit_b |= eq
     # word-marked hits: word w hits iff any byte phase start in it hits
     hit_w = hit_b.reshape(rows * LANES, 4).any(axis=1)
-    h = hit_w.reshape(rows, LANES).astype(np.int32)
-    ntiles = rows // tile_rows
-    ht = h.reshape(ntiles, tile_rows, LANES)
-    cnt = ht.sum(axis=1)
-    r = np.arange(tile_rows, dtype=np.int32)[None, :, None]
-    rsum = (ht * r).sum(axis=1)
-    return cnt, rsum
+    return np_bitmap_rows(hit_w.reshape(rows, LANES))
 
 
 class ClassSeqScanner:
@@ -198,20 +191,18 @@ class ClassSeqScanner:
         self.probe_back = 4  # start byte is inside the flagged word
         self.probe_fwd = span + 8
 
-    def counts(self, words2d):
-        return classseq_word_counts(
+    def bitmap(self, words2d):
+        return classseq_word_bitmap(
             words2d,
             self.seqs,
             tile_rows=self.tile_rows,
             interpret=self.interpret,
         )
 
-    def flags_np(self, cnt, rsum, n_blocks: int) -> np.ndarray:
-        return decode_flags(
-            np.asarray(cnt),
-            np.asarray(rsum),
-            self.tile_rows,
-            n_blocks,
-            self.probe_back,
-            self.probe_fwd,
+    def packed(self, words2d):
+        return packed_block_flags(self.bitmap(words2d))
+
+    def flags_np(self, packed, n_blocks: int) -> np.ndarray:
+        return decode_packed_flags(
+            packed, n_blocks, self.probe_back, self.probe_fwd
         )

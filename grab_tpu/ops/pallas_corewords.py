@@ -15,18 +15,19 @@ word whose value is a constant of (literal, p) — for length >= 7 a
 whole word, otherwise a masked sub-word (optionally AND a second
 adjacent word to keep the false-positive rate down). The kernel ORs
 these masked compares over phases and literals — raw loads, no shifted
-planes — and reduces along *sublanes only* into two per-(tile, lane)
-projections:
+planes — and reduces along *sublanes only* into a per-row bitmap:
 
-    cnt[t, c]  = number of hit rows r in tile t, lane c
-    rsum[t, c] = sum of those r
+    bit (r mod 32) of bm[r // 32, c]  =  hit at word (r, c)
 
-A 512-byte candidate block is exactly one row of the (rows, 128) word
-layout, so a single-hit lane decodes to its exact block
-(r = rsum/cnt); multi-hit lanes (rare: birthday collisions within one
-tile column) conservatively flag the whole tile. The host verifier
-(engine replay over original bytes) restores exactness — same
-superset-contract as every other prefilter in ops/.
+(each row contributes a distinct bit, so the 32-row segment sum is an
+exact OR — still pure sublane work, 1/32 of input traffic). A 512-byte
+candidate block is exactly one row of the (rows, 128) word layout, so
+an XLA OR-reduce over lanes of the bitmap yields EXACT packed
+per-block flags (packed_block_flags) at ~4 bytes per 16 KiB of corpus
+— no density-dependent ambiguity, hit-heavy corpora decode as tightly
+as misses. The host verifier (engine replay over original bytes)
+restores exactness — same superset-contract as every other prefilter
+in ops/.
 
 This is the TPU analog of greppin's hyperscan literal engine
 (/root/reference/README.md:46-50, 104-107): a cheap vectorized
@@ -189,7 +190,7 @@ def _build_kernel(k: int, n_words: int, tile_rows: int, masked: bool = True):
     import jax
     import jax.numpy as jnp
 
-    def kernel(tab_ref, a_ref, b_ref, cnt_ref, rsum_ref):
+    def kernel(tab_ref, a_ref, b_ref, bm_ref):
         from jax.experimental.pallas import tpu as pltpu
 
         x = pltpu.bitcast(a_ref[:], jnp.uint32)
@@ -216,18 +217,30 @@ def _build_kernel(k: int, n_words: int, tile_rows: int, masked: bool = True):
                         t = planes[w] == val
                     eq = t if eq is None else jnp.logical_and(eq, t)
                 hit = eq if hit is None else jnp.logical_or(hit, eq)
-        h = hit.astype(jnp.int32)
-        cnt_ref[0] = jnp.sum(h, axis=0, keepdims=True)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
-        rsum_ref[0] = jnp.sum(h * rows, axis=0, keepdims=True)
+        bm_ref[:] = _bitmap_rows(hit, tile_rows)
 
     return kernel
+
+
+def _bitmap_rows(hit, tile_rows: int):
+    """bool [TR, 128] → int32 [TR/32, 128] row bitmap.
+
+    Row r contributes bit (r mod 32) of output row r//32 — each row a
+    distinct bit, so the 32-row segment sum is an exact OR. Sublane
+    ops only; 1/32 of the input traffic."""
+    import jax.numpy as jnp
+
+    # power-of-two pattern built at (1, 32, 128) and broadcast — a
+    # full-size iota here costs ~3 extra VPU ops per word (measured)
+    pw = jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (1, 32, LANES), 1)
+    h3 = hit.reshape(tile_rows // 32, 32, LANES)
+    return jnp.sum(jnp.where(h3, pw, 0), axis=1)
 
 
 @partial(
     jax.jit, static_argnames=("k", "n_words", "tile_rows", "interpret", "masked")
 )
-def core_word_counts(
+def core_word_bitmap(
     words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
     tab,  # int32 [2, 4, K, W]
     k: int,
@@ -236,22 +249,20 @@ def core_word_counts(
     interpret: bool = False,
     masked: bool = True,
 ):
-    """→ (cnt, rsum): int32 [ntiles, 128] each."""
-    import jax
+    """→ row bitmap: int32 [rows/32, 128]; bit (r%32) of [r//32, c] set
+    iff word (r, c) hit."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows = words2d.shape[0] - PAD_ROWS
     assert rows % tile_rows == 0, (rows, tile_rows)
+    assert tile_rows % 32 == 0, tile_rows  # bitmap packs 32 rows/int32
     ntiles = rows // tile_rows
     kernel = _build_kernel(k, n_words, tile_rows, masked=masked)
-    cnt, rsum = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 1, LANES), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((rows // 32, LANES), jnp.int32),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -264,55 +275,57 @@ def core_word_counts(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tile_rows // 32, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(tab, words2d, words2d)
-    return cnt[:, 0, :], rsum[:, 0, :]
 
 
-def decode_flags(
-    cnt: np.ndarray,  # int32 [ntiles, 128]
-    rsum: np.ndarray,
-    tile_rows: int,
+def packed_block_flags(bm):
+    """Row bitmap → (total_hit_words_lower_bound, packed flags).
+
+    packed[g] bit b set iff block (row) g*32+b has any hit — the OR
+    over lanes of the bitmap, done by XLA at full bandwidth over the
+    already-1/2048-sized bitmap. Exact per-block resolution; ~4 bytes
+    per 16 KiB of corpus leave the device."""
+    import jax.numpy as jnp
+
+    packed = jax.lax.reduce(
+        bm, jnp.int32(0), jax.lax.bitwise_or, dimensions=(1,)
+    )
+    total = jnp.sum((packed != 0).astype(jnp.int32))
+    return total, packed
+
+
+def decode_packed_flags(
+    packed: np.ndarray,  # int32 [rows/32]; bit b of [g] = block g*32+b
     n_blocks: int,
     probe_back: int,
     probe_fwd: int,
 ) -> np.ndarray:
-    """(cnt, rsum) projections → per-512B-block 0/1 candidate flags.
+    """Packed per-block hit bits → 0/1 candidate flags with probe slack.
 
-    Single-hit lanes flag the blocks covering
-    [4w - probe_back, 4w + probe_fwd); multi-hit lanes flag their whole
-    tile (superset, host verify restores exactness).
-    """
-    flags = np.zeros(n_blocks, dtype=np.int32)
-    tiles, cols = np.nonzero(cnt)
-    if tiles.size == 0:
-        return flags
-    k = cnt[tiles, cols]
-    single = k == 1
-    # exact rows for single-hit lanes
-    st, sc = tiles[single], cols[single]
-    r = rsum[tiles, cols][single]
-    w = (st.astype(np.int64) * tile_rows + r) * LANES + sc
-    b0 = np.maximum((4 * w - probe_back) // BLOCK, 0)
-    b1 = np.minimum((4 * w + probe_fwd) // BLOCK, n_blocks - 1)
-    for lo, hi in zip(b0, b1):
-        flags[lo : hi + 1] = 1
-    # multi-hit lanes: whole tile
-    mt = np.unique(tiles[~single])
-    for t in mt:
-        lo = max(t * tile_rows - (probe_back // BLOCK + 1), 0)
-        hi = min((t + 1) * tile_rows + probe_fwd // BLOCK, n_blocks)
-        flags[lo:hi] = 1
-    return flags
+    A hit marks the block containing the tested core word; the match
+    itself may start up to probe_back bytes earlier and extend
+    probe_fwd bytes later, so neighbors within that slack are flagged
+    too (superset; host verify restores exactness)."""
+    packed = np.asarray(packed).view(np.uint32)
+    bits = (packed[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    flags = bits.reshape(-1)[:n_blocks].astype(np.int32)
+    back = -(-probe_back // BLOCK)
+    fwd = -(-probe_fwd // BLOCK)
+    out = flags.copy()
+    for s in range(1, back + 1):
+        out[:-s] |= flags[s:]
+    for s in range(1, fwd + 1):
+        out[s:] |= flags[:-s]
+    return out
 
 
-def np_core_word_counts(
-    words2d: np.ndarray, tests: CoreWordTests, tile_rows: int
-) -> Tuple[np.ndarray, np.ndarray]:
+def np_core_word_bitmap(
+    words2d: np.ndarray, tests: CoreWordTests
+) -> np.ndarray:
     """Numpy oracle for the kernel (tests + CPU fallback)."""
     rows = words2d.shape[0] - PAD_ROWS
     x = words2d.view(np.uint32)
@@ -327,21 +340,33 @@ def np_core_word_counts(
                 val, mask = tab[0, p, li, w], tab[1, p, li, w]
                 eq &= (flat[w : n + w] & mask) == val
             hit |= eq
-    h = hit.reshape(rows, LANES).astype(np.int32)
-    ntiles = rows // tile_rows
-    ht = h.reshape(ntiles, tile_rows, LANES)
-    cnt = ht.sum(axis=1)
-    r = np.arange(tile_rows, dtype=np.int32)[None, :, None]
-    rsum = (ht * r).sum(axis=1)
-    return cnt, rsum
+    return np_bitmap_rows(hit.reshape(rows, LANES))
+
+
+def np_bitmap_rows(hit: np.ndarray) -> np.ndarray:
+    """bool [rows, 128] → int32 [rows/32, 128] row bitmap (oracle for
+    _bitmap_rows)."""
+    rows = hit.shape[0]
+    r = np.arange(rows, dtype=np.uint32) & 31
+    weighted = np.where(hit, np.uint32(1) << r[:, None], np.uint32(0))
+    return (
+        weighted.reshape(rows // 32, 32, LANES).sum(axis=1, dtype=np.uint32)
+    ).view(np.int32)
+
+
+def np_packed_flags(bm: np.ndarray) -> np.ndarray:
+    """Oracle for packed_block_flags: OR over lanes."""
+    return np.bitwise_or.reduce(bm.view(np.uint32), axis=1).view(np.int32)
 
 
 class CoreWordScanner:
-    """Host-facing wrapper: literals → jitted (cnt, rsum) scan + decode.
+    """Host-facing wrapper: literals → jitted bitmap scan + packed
+    per-block flags + host decode.
 
-    One Mosaic compile per (K bucket, n_words, tile_rows) shape — the
-    literal bytes live in SMEM, so new literal sets reuse the cached
-    kernel (the moral equivalent of pcre JIT reuse, grab.cc:115).
+    One Mosaic compile per (K bucket, n_words, masked, tile_rows)
+    shape — the literal bytes live in SMEM, so new literal sets reuse
+    the cached kernel (the moral equivalent of pcre JIT reuse,
+    grab.cc:115).
     """
 
     def __init__(
@@ -358,10 +383,10 @@ class CoreWordScanner:
         self.interpret = interpret
         self._tab = jnp.asarray(self.tests.tab)
 
-    def counts(self, words2d):
-        """Device (cnt, rsum) for a padded [rows+PAD_ROWS, 128] int32
+    def bitmap(self, words2d):
+        """Device row bitmap for a padded [rows+PAD_ROWS, 128] int32
         word buffer."""
-        return core_word_counts(
+        return core_word_bitmap(
             words2d,
             self._tab,
             self.tests.k,
@@ -371,12 +396,11 @@ class CoreWordScanner:
             masked=self.tests.masked,
         )
 
-    def flags_np(self, cnt, rsum, n_blocks: int) -> np.ndarray:
-        return decode_flags(
-            np.asarray(cnt),
-            np.asarray(rsum),
-            self.tile_rows,
-            n_blocks,
-            self.tests.probe_back,
-            self.tests.probe_fwd,
+    def packed(self, words2d):
+        """Device (total, packed per-block flag bits)."""
+        return packed_block_flags(self.bitmap(words2d))
+
+    def flags_np(self, packed, n_blocks: int) -> np.ndarray:
+        return decode_packed_flags(
+            packed, n_blocks, self.tests.probe_back, self.tests.probe_fwd
         )

@@ -145,10 +145,11 @@ def make_sharded_word_scan(
     sharded on axis 0 with the SMEM literal table replicated — the
     mesh analog of one compiled pattern per pinned thread
     (/root/reference/src/main.cc:195-216). Global candidate count
-    rides jax.lax.psum over ICI; (cnt, rsum) projections stay
+    rides jax.lax.psum over ICI; packed per-block flags stay
     device-local for the host decode + deterministic merge.
 
-    Returns ``fn(words3d) -> (cnt [S,T,128], rsum [S,T,128], total)``.
+    Returns ``fn(words3d) -> (packed [S, shard_rows/32], total)``:
+    per-shard packed per-block flag bits + the psum'd global count.
     """
     import jax
     import jax.numpy as jnp
@@ -160,7 +161,8 @@ def make_sharded_word_scan(
 
     from grab_tpu.ops.pallas_corewords import (
         CoreWordTests,
-        core_word_counts,
+        core_word_bitmap,
+        packed_block_flags,
     )
 
     tests = CoreWordTests(literals)
@@ -169,7 +171,7 @@ def make_sharded_word_scan(
     tab = jnp.asarray(tests.tab)
 
     def shard_body(tab, words3d_shard):
-        cnt, rsum = core_word_counts(
+        bm = core_word_bitmap(
             words3d_shard[0],
             tab,
             tests.k,
@@ -178,8 +180,9 @@ def make_sharded_word_scan(
             interpret=interpret,
             masked=tests.masked,
         )
-        total = jax.lax.psum(jnp.sum(cnt, dtype=jnp.int32), "shards")
-        return cnt[None], rsum[None], total
+        t_local, packed = packed_block_flags(bm)
+        total = jax.lax.psum(t_local, "shards")
+        return packed[None], total
 
     try:
         # pallas_call inside shard_map: outputs carry no vma metadata,
@@ -188,7 +191,7 @@ def make_sharded_word_scan(
             shard_body,
             mesh=mesh,
             in_specs=(P(), P("shards", None, None)),
-            out_specs=(P("shards", None, None), P("shards", None, None), P()),
+            out_specs=(P("shards", None), P()),
             check_vma=False,
         )
     except TypeError:  # older jax spells it check_rep
@@ -196,7 +199,7 @@ def make_sharded_word_scan(
             shard_body,
             mesh=mesh,
             in_specs=(P(), P("shards", None, None)),
-            out_specs=(P("shards", None, None), P("shards", None, None), P()),
+            out_specs=(P("shards", None), P()),
             check_rep=False,
         )
 

@@ -185,7 +185,7 @@ class DeviceScanner:
                     )
                 )
             self._cw_list = scanners
-            return lambda words2d: [s.counts(words2d) for s in scanners]
+            return lambda words2d: [s.packed(words2d) for s in scanners]
 
         # class sequences: word-packed range-test kernel, same output
         # geometry/decode as the literal kernels (ops/pallas_classseq)
@@ -197,7 +197,7 @@ class DeviceScanner:
             self._seqs, tile_rows=tile_rows, interpret=self._interpret
         )
         self._cw_list = [sc]
-        return lambda words2d: [sc.counts(words2d)]
+        return lambda words2d: [sc.packed(words2d)]
 
     def _build_jnp(self):
         import jax
@@ -259,13 +259,14 @@ class DeviceScanner:
         nb = self.buf_size // self.block
 
         if getattr(self, "_input_words", False):
-            # core-word path: ship the (cnt, rsum) projections per
-            # ensemble member; the host decodes them to block flags
+            # word-kernel path: each ensemble member reduces its row
+            # bitmap to packed per-block flag bits on device (~4 bytes
+            # per 16 KiB of corpus); host decodes + unions
             @jax.jit
             def compact(words2d):
-                pairs = counts_fn(words2d)
-                total = sum(jnp.sum(c, dtype=jnp.int32) for c, _ in pairs)
-                return (total,) + tuple(x for pr in pairs for x in pr)
+                pairs = counts_fn(words2d)  # [(total, packed), ...]
+                total = sum(t for t, _ in pairs)
+                return (total,) + tuple(pk for _, pk in pairs)
 
             return compact
 
@@ -313,10 +314,8 @@ class DeviceScanner:
             if int(total) == 0:
                 return np.zeros(nb, dtype=np.int32)
             flags = np.zeros(nb, dtype=np.int32)
-            for i, s in enumerate(self._cw_list):
-                np.maximum(
-                    flags, s.flags_np(rest[2 * i], rest[2 * i + 1], nb), out=flags
-                )
+            for s, packed in zip(self._cw_list, rest):
+                np.maximum(flags, s.flags_np(packed, nb), out=flags)
             return flags
         total, packed = handles
         if int(total) == 0:

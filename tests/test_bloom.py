@@ -9,8 +9,8 @@ from grab_tpu.golden.scanner import literal_scan_starts
 from grab_tpu.ops.pallas_bloom import (
     BloomWordScanner,
     BloomWordTests,
-    bloom_word_counts,
-    np_bloom_counts,
+    bloom_word_bitmap,
+    np_bloom_bitmap,
 )
 from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS
 
@@ -47,12 +47,11 @@ def test_kernel_matches_numpy_oracle(k):
     data = random_text(N, 7, [(1000 + 31 * i, l) for i, l in enumerate(lits[:20])])
     w2d = mk_words(data)
     t = BloomWordTests(lits)
-    cnt_np, rsum_np = np_bloom_counts(w2d, t, TR)
-    cnt, rsum = bloom_word_counts(
+    bm_np = np_bloom_bitmap(w2d, t)
+    bm = bloom_word_bitmap(
         jnp.asarray(w2d), jnp.asarray(t.tbl), t.levels, tile_rows=TR, interpret=True
     )
-    assert (np.asarray(cnt) == cnt_np).all()
-    assert (np.asarray(rsum) == rsum_np).all()
+    assert (np.asarray(bm) == bm_np).all()
 
 
 def test_superset_100_literals():
@@ -61,8 +60,8 @@ def test_superset_100_literals():
     needles = [(997 + 517 * i + (i % 4), lits[i * 3 % 100]) for i in range(30)]
     data = random_text(N, 5, needles)
     sc = BloomWordScanner(lits, tile_rows=TR, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(mk_words(data)))
-    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    total, packed = sc.packed(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(packed, N // BLOCK)
     starts = literal_scan_starts(lits, data)
     want = np.unique(np.nonzero(starts)[0] // BLOCK)
     assert len(want) >= 25
@@ -74,8 +73,8 @@ def test_false_positive_budget():
     lits = random_literals(100, 9)
     data = random_text(N, 11)  # nothing planted
     sc = BloomWordScanner(lits, tile_rows=TR, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(mk_words(data)))
-    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    total, packed = sc.packed(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(packed, N // BLOCK)
     frac = flags.mean()
     assert frac < 0.05, frac
 

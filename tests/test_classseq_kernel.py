@@ -9,8 +9,8 @@ from grab_tpu.golden.scanner import literal_scan_starts
 from grab_tpu.ops.class_prefilter import compile_sequences
 from grab_tpu.ops.pallas_classseq import (
     ClassSeqScanner,
-    classseq_word_counts,
-    np_classseq_counts,
+    classseq_word_bitmap,
+    np_classseq_bitmap,
 )
 from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS
 from grab_tpu.regex.compiler import compile_multi
@@ -52,12 +52,11 @@ def test_kernel_matches_numpy_oracle(seqs):
         N, 7, [(999, b"123-4"), (2001, b"ab"), (30_000, b"77777777"), (N - 6, b"ba-")]
     )
     w2d = mk_words(data)
-    cnt_np, rsum_np = np_classseq_counts(w2d, seqs, TR)
-    cnt, rsum = classseq_word_counts(
+    bm_np = np_classseq_bitmap(w2d, seqs)
+    bm = classseq_word_bitmap(
         jnp.asarray(w2d), seqs, tile_rows=TR, interpret=True
     )
-    assert (np.asarray(cnt) == cnt_np).all()
-    assert (np.asarray(rsum) == rsum_np).all()
+    assert (np.asarray(bm) == bm_np).all()
 
 
 def test_decoded_flags_superset():
@@ -65,8 +64,8 @@ def test_decoded_flags_superset():
     positions = [100, 5001, 5002, 5003, 40_000, N - 8]
     data = random_text(N, 3, [(p, b"123-4567") for p in positions])
     sc = ClassSeqScanner(seqs, tile_rows=TR, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(mk_words(data)))
-    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    total, packed = sc.packed(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(packed, N // BLOCK)
     for p in positions:
         assert flags[p // BLOCK] == 1, p
 

@@ -17,9 +17,8 @@ from grab_tpu.ops.pallas_corewords import (
     PAD_ROWS,
     CoreWordScanner,
     CoreWordTests,
-    core_word_counts,
-    decode_flags,
-    np_core_word_counts,
+    core_word_bitmap,
+    np_core_word_bitmap,
 )
 
 TR = 64  # small tiles for tests
@@ -64,13 +63,12 @@ def test_kernel_matches_numpy_oracle(lits):
     data = random_text(N, 7, NEEDLES)
     w2d = mk_words(data)
     t = CoreWordTests(lits)
-    cnt_np, rsum_np = np_core_word_counts(w2d, t, TR)
-    cnt, rsum = core_word_counts(
+    bm_np = np_core_word_bitmap(w2d, t)
+    bm = core_word_bitmap(
         jnp.asarray(w2d), jnp.asarray(t.tab), t.k, t.n_words,
-        tile_rows=TR, interpret=True,
+        tile_rows=TR, interpret=True, masked=t.masked,
     )
-    assert (np.asarray(cnt) == cnt_np).all()
-    assert (np.asarray(rsum) == rsum_np).all()
+    assert (np.asarray(bm) == bm_np).all()
 
 
 @pytest.mark.parametrize(
@@ -81,9 +79,9 @@ def test_decoded_flags_superset_of_golden(lits):
     data = random_text(N, 7, NEEDLES)
     w2d = mk_words(data)
     sc = CoreWordScanner(lits, tile_rows=TR, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(w2d))
+    total, packed = sc.packed(jnp.asarray(w2d))
     n_blocks = N // BLOCK
-    flags = sc.flags_np(cnt, rsum, n_blocks)
+    flags = sc.flags_np(packed, n_blocks)
     starts = literal_scan_starts(lits, data)
     want_blocks = np.unique(np.nonzero(starts)[0] // BLOCK)
     assert len(want_blocks) > 0  # needles planted
@@ -96,9 +94,9 @@ def test_no_needles_no_flags():
     data = random_text(N, 3)
     w2d = mk_words(data)
     sc = CoreWordScanner([b"qZx9kWv3"], tile_rows=TR, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(w2d))
-    assert int(np.asarray(cnt).sum()) == 0
-    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    total, packed = sc.packed(jnp.asarray(w2d))
+    assert int(total) == 0
+    flags = sc.flags_np(packed, N // BLOCK)
     assert flags.sum() == 0
 
 
@@ -108,27 +106,30 @@ def test_single_hit_decodes_tight():
     data = random_text(N, 5, [(pos, b"qZx9kWv3")])
     w2d = mk_words(data)
     sc = CoreWordScanner([b"qZx9kWv3"], tile_rows=TR, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(w2d))
-    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    total, packed = sc.packed(jnp.asarray(w2d))
+    flags = sc.flags_np(packed, N // BLOCK)
     assert flags[pos // BLOCK] == 1
     assert flags.sum() <= 3  # probe slack only
 
 
-def test_multi_hit_lane_flags_tile():
-    # two needles in the same lane column of one tile -> whole tile
-    # flagged, but never missed
+def test_dense_hits_decode_exactly():
+    # many needles sharing lanes/tiles: the row bitmap is exact —
+    # every hit block flagged, nothing beyond probe slack
     lit = b"qZx9kWv3"
-    # same lane: word index difference multiple of 128 within one tile
-    p1 = 512 * 4  # word 512 -> row 4, lane 0
-    p2 = 512 * 20  # word .. row 20 lane 0? 512*20/128 = row 80 lane 0
-    data = random_text(N, 9, [(p1, lit), (p2, lit)])
+    positions = [512 * 4, 512 * 20, 512 * 21, 513 * 30, 40_000, 40_517]
+    data = random_text(N, 9, [(p, lit) for p in positions])
     w2d = mk_words(data)
     sc = CoreWordScanner([lit], tile_rows=TR, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(w2d))
-    flags = sc.flags_np(cnt, rsum, N // BLOCK)
+    total, packed = sc.packed(jnp.asarray(w2d))
+    flags = sc.flags_np(packed, N // BLOCK)
     starts = literal_scan_starts([lit], data)
-    for b in np.unique(np.nonzero(starts)[0] // BLOCK):
+    hit_blocks = set(np.unique(np.nonzero(starts)[0] // BLOCK))
+    for b in hit_blocks:
         assert flags[b] == 1
+    # exactness: flagged blocks are within probe slack of a hit block
+    slack = -(-sc.tests.probe_back // BLOCK) + -(-sc.tests.probe_fwd // BLOCK)
+    for b in np.nonzero(flags)[0]:
+        assert any(abs(b - hb) <= slack for hb in hit_blocks), b
 
 
 @pytest.mark.parametrize("lit", [b"abc", b"abcd", b"abcde", b"abcdef", b"abcdefg"])
@@ -137,8 +138,8 @@ def test_short_literals_all_phases(lit):
     positions = [1000, 1001, 1002, 1003, 2000, 3001]
     data = random_text(16 * 1024, 13, [(p, lit) for p in positions])
     w2d = mk_words(data)
-    sc = CoreWordScanner([lit], tile_rows=8, interpret=True)
-    cnt, rsum = sc.counts(jnp.asarray(w2d))
-    flags = sc.flags_np(cnt, rsum, len(data) // BLOCK)
+    sc = CoreWordScanner([lit], tile_rows=32, interpret=True)
+    total, packed = sc.packed(jnp.asarray(w2d))
+    flags = sc.flags_np(packed, len(data) // BLOCK)
     for p in positions:
         assert flags[p // BLOCK] == 1, p

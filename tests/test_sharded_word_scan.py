@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from grab_tpu.golden.scanner import literal_scan_starts
-from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS, decode_flags
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS, decode_packed_flags
 from grab_tpu.parallel.scan_step import make_mesh, make_sharded_word_scan
 
 SHARD_ROWS = 128  # 64 KiB per shard
@@ -37,15 +37,15 @@ def test_sharded_corewords_psum_and_decode():
     data = jax.device_put(
         jnp.asarray(words3d), NamedSharding(mesh, P("shards", None, None))
     )
-    cnt, rsum, total = fn(data)
-    assert int(total) == n_dev  # one hit per shard, psum'd over the mesh
+    packed, total = fn(data)
+    assert int(total) == n_dev  # one hit block per shard, psum'd over the mesh
 
-    # host decode per shard: every planted block flagged
-    cnt, rsum = np.asarray(cnt), np.asarray(rsum)
+    # host decode per shard: every planted block flagged, and tight
+    packed = np.asarray(packed)
     t = fn.tests
     for s, pos in planted:
-        flags = decode_flags(
-            cnt[s], rsum[s], TR, SHARD_ROWS, t.probe_back, t.probe_fwd
+        flags = decode_packed_flags(
+            packed[s], SHARD_ROWS, t.probe_back, t.probe_fwd
         )
         assert flags[pos // BLOCK] == 1, (s, pos)
-        assert flags.sum() <= 4  # single-hit lanes decode tight
+        assert flags.sum() <= 4  # exact block + probe slack only
