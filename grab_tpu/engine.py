@@ -109,6 +109,25 @@ class CandidateSearcher:
         return None
 
 
+class _LiteralMatcher:
+    """bytes.find-based exact matcher for patterns that denote exactly
+    one string (always the case in -S mode) — C memmem speed instead of
+    the backtracking VM, same search contract: leftmost start in
+    [lo, hi], extent within [alo, ahi)."""
+
+    def __init__(self, lit: bytes):
+        self.lit = lit
+
+    def search(self, data, lo, hi, alo=None, ahi=None):
+        ahi = hi if ahi is None else ahi
+        n = len(self.lit)
+        last = min(hi, ahi - n)  # latest viable start
+        if last < lo:
+            return None
+        i = data.find(self.lit, lo, last + n)
+        return None if i < 0 else (i, i + n)
+
+
 class _NeverMatch:
     """PCRE1 capture-group quirk: grab's 3-slot ovector makes pcre_exec
     return 0 for any pattern with a capturing group, which grab treats
@@ -185,6 +204,14 @@ class Engine:
 
     def _make_exact_matcher(self):
         cp = self.compiled
+        # exact-literal fast path: patterns denoting exactly one string
+        # verify via bytes.find (C memmem) — identical results in every
+        # mode; the empty pattern and the capture quirk are excluded
+        lits = [A.exact_literal(t) for t in cp.asts]
+        if all(l for l in lits) and not cp.has_captures:
+            if len(lits) == 1:
+                return _LiteralMatcher(lits[0])
+            return _MultiMatcher([_LiteralMatcher(l) for l in lits])
         if self.cfg.mode == "pcre2":
             from grab_tpu.regex import pcre2
 

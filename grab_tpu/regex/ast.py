@@ -518,6 +518,36 @@ def prefix_class_sequences(node: Node, k: int) -> Optional[list]:
     return sorted(seqs)
 
 
+def exact_literal(node: Node) -> Optional[bytes]:
+    """The one byte string this AST matches, or None if it can match
+    anything else (classes, alternations, repeats, anchors, backrefs).
+    Non-capturing structure is looked through; a capturing group
+    disqualifies nothing here — callers gate on has_captures where the
+    PCRE1 ovector quirk applies (engine._make_exact_matcher)."""
+    if isinstance(node, Empty):
+        return b""
+    if isinstance(node, CharClass):
+        if node.count() != 1:
+            return None
+        return bytes([node.bytes()[0]])
+    if isinstance(node, Group):
+        return exact_literal(node.node)
+    if isinstance(node, Concat):
+        out = b""
+        for part in node.parts:
+            lit = exact_literal(part)
+            if lit is None:
+                return None
+            out += lit
+        return out
+    if isinstance(node, Repeat):
+        if node.lo == node.hi:
+            lit = exact_literal(node.node)
+            return None if lit is None else lit * node.lo
+        return None
+    return None
+
+
 def mask_to_ranges(mask: int, max_ranges: int = 8) -> list:
     """Decompose a 256-bit class mask into [lo, hi] byte ranges; if more
     than ``max_ranges`` runs exist, over-approximate with the covering
