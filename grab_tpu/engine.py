@@ -128,6 +128,54 @@ class _LiteralMatcher:
         return None if i < 0 else (i, i + n)
 
 
+class _FactorGatedMatcher:
+    """Gate an exact matcher behind a bytes.find of a mandatory literal
+    factor: any match must contain the factor within [lo, ahi), so its
+    absence proves no-match without running the VM. Candidate windows
+    that were flagged for a neighboring line clear in C speed."""
+
+    def __init__(self, inner, factor: bytes):
+        self.inner = inner
+        self.factor = factor
+
+    def search(self, data, lo, hi, alo=None, ahi=None):
+        ahi_eff = hi if ahi is None else ahi
+        if data.find(self.factor, lo, ahi_eff) < 0:
+            return None
+        return self.inner.search(data, lo, hi, alo=alo, ahi=ahi)
+
+
+class _FactorSeededMatcher:
+    """For bounded-length patterns with a mandatory factor: run the VM
+    only on start ranges [i - d, i] around each factor occurrence i
+    (d = max_len - len(factor)), scanning occurrences left to right.
+
+    Leftmost-first is preserved: any match's start lies in the range of
+    some occurrence it contains, ranges are visited in ascending order,
+    and a start inside two overlapping ranges is found by the earlier
+    one first."""
+
+    def __init__(self, inner, factor: bytes, d: int):
+        self.inner = inner
+        self.factor = factor
+        self.d = d
+
+    def search(self, data, lo, hi, alo=None, ahi=None):
+        ahi_eff = hi if ahi is None else ahi
+        i = data.find(self.factor, lo, ahi_eff)
+        while i >= 0:
+            s_lo = max(lo, i - self.d)
+            s_hi = min(i, hi)
+            if s_lo <= s_hi:
+                m = self.inner.search(
+                    data, s_lo, hi, alo=alo, ahi=ahi, start_hi=s_hi
+                )
+                if m is not None:
+                    return m
+            i = data.find(self.factor, i + 1, ahi_eff)
+        return None
+
+
 class _NeverMatch:
     """PCRE1 capture-group quirk: grab's 3-slot ovector makes pcre_exec
     return 0 for any pattern with a capturing group, which grab treats
@@ -222,9 +270,23 @@ class Engine:
             # fall through to our engine (semantics match on the subset)
         if self.cfg.mode == "pcre1" and self.cfg.pcre1_quirks and cp.has_captures:
             return _NeverMatch()
+        matchers = [self._factor_gate(m, t) for m, t in zip(cp.matchers, cp.asts)]
         if cp.n_patterns == 1:
-            return cp.matchers[0]
-        return _MultiMatcher(cp.matchers)
+            return matchers[0]
+        return _MultiMatcher(matchers)
+
+    @staticmethod
+    def _factor_gate(matcher, tree):
+        facs = A.mandatory_literals(tree)
+        if not facs:
+            return matcher
+        best = max(facs, key=len)
+        if len(best) < 2:
+            return matcher
+        mx = A.max_len(tree)
+        if mx is not None and mx - len(best) <= 64:
+            return _FactorSeededMatcher(matcher, best, mx - len(best))
+        return _FactorGatedMatcher(matcher, best)
 
     # -- device availability -------------------------------------------
 

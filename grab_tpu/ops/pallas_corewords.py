@@ -100,8 +100,11 @@ class CoreWordTests:
         # [j, j+1] where j <= (3 + maxlen)//4; the occurrence start is
         # at most 4*j + 3 bytes before the flagged word.
         # length >= 7 guarantees a FULL aligned word at every phase, so
-        # the cheaper 1-word kernel keeps a ~2^-32 per-word FP rate.
-        self.n_words = 1 if (max_words == 1 or minlen >= 7 or maxlen < 4) else 2
+        # the cheaper 1-word kernel keeps a ~2^-32 per-word FP rate;
+        # shorter literals need the 2-word tests (a len-3 literal at
+        # phase 2 spans two words — a 1-word test would cover only 2
+        # bytes, ~1/65k FP per word: measured 28k junk blocks per 500MB)
+        self.n_words = 1 if (max_words == 1 or minlen >= 7) else 2
         tab = np.zeros((2, 4, self.k, self.n_words), dtype=np.uint32)
         tab[0, :, :, 0] = 1  # padding literals: never match
         max_back = 0

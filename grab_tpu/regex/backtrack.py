@@ -308,10 +308,11 @@ class Matcher:
         min_len: int = 0,
         alo: Optional[int] = None,
         ahi: Optional[int] = None,
+        start_hi: Optional[int] = None,
     ) -> Optional[Tuple[int, int]]:
         """Leftmost match scanning data[lo:hi]; anchors evaluated
         against the subject window data[alo:ahi] (defaults to scan
-        window).
+        window). ``start_hi`` caps the last allowed match START.
 
         Emulates pcre_exec(subject=window, startoffset=0): tries each
         start position left to right; at the first position that matches,
@@ -320,8 +321,12 @@ class Matcher:
         alo = lo if alo is None else alo
         ahi = hi if ahi is None else ahi
         if self._pike is not None:
-            return self._pike.search(data, lo, hi, alo=alo, ahi=ahi)
+            return self._pike.search(
+                data, lo, hi, alo=alo, ahi=ahi, start_hi=start_hi
+            )
         last_start = hi - min_len
+        if start_hi is not None:
+            last_start = min(last_start, start_hi)
         pos = lo
         while pos <= last_start:
             end = self.match_at(data, pos, alo, ahi)

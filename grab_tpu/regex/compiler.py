@@ -82,14 +82,17 @@ def compile_multi(
 
     matchers = [Matcher(compile_program(t)) for t in asts]
 
-    # literal prefilter: need factors covering EVERY pattern
+    # literal prefilter: one factor per pattern covers every match, so
+    # pick each pattern's STRONGEST mandatory factor (longest, capped at
+    # the kernels' 8-byte test window) instead of unioning all of them —
+    # a stray 1-byte factor would otherwise flood the candidate set
     lits: Optional[List[bytes]] = []
     for t in asts:
         l = A.mandatory_literals(t)
-        if l is None:
+        if not l:
             lits = None
             break
-        lits.extend(l)
+        lits.append(max(l, key=lambda s: min(len(s), 8)))
     if lits is not None:
         lits = sorted(set(lits))
         if len(lits) > 128:

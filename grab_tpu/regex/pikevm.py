@@ -110,6 +110,7 @@ class PikeVM:
         hi: int,
         alo: Optional[int] = None,
         ahi: Optional[int] = None,
+        start_hi: Optional[int] = None,
     ) -> Optional[Tuple[int, int]]:
         """Leftmost-first match scanning data[lo:hi].
 
@@ -117,9 +118,13 @@ class PikeVM:
         scan window): the engine narrows the scan to candidate lines
         while anchors stay relative to the reference's restart window
         (subject = remaining chunk window, grab.cc:178).
+        ``start_hi`` caps the last position a match may START at
+        (default hi) — factor-seeded search uses it to bound starts
+        without truncating match extents.
         """
         alo = lo if alo is None else alo
         ahi = hi if ahi is None else ahi
+        start_hi = hi if start_hi is None else start_hi
         code = self.prog.code
         masks = self.prog.masks
         clist: List[Tuple[int, int]] = []
@@ -144,12 +149,12 @@ class PikeVM:
             if pos >= hi:
                 break
             pos += 1
-            if match is None:
+            if match is None and pos <= start_hi:
                 # seed a new start at lowest priority
                 self._close(0, pos, data, pos, alo, ahi, nvisited, nlist)
             if not nlist and match is not None:
                 break
-            if not nlist and match is None and pos >= hi:
+            if not nlist and match is None and (pos >= hi or pos > start_hi):
                 break
             clist = nlist
         return match
