@@ -14,7 +14,8 @@ from grab_tpu.ops.class_prefilter import (
     golden_class_prefilter,
     np_class_prefilter_bitmap,
 )
-from grab_tpu.ops.pallas_literal import prefilter_block_counts_pallas
+from grab_tpu.ops.pallas_classseq import ClassSeqScanner
+from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
 from grab_tpu.regex import ast as A
 from grab_tpu.regex.parser import parse
 
@@ -97,21 +98,27 @@ def test_jnp_matches_golden(pattern):
 
 
 @pytest.mark.parametrize("pattern", [rb"\d+\.\d+", rb"[a-f]+xyz"])
-def test_pallas_matches_jnp(pattern):
-    n = 128 * 512  # one 64KiB tile at tile_rows=512
+def test_pallas_word_kernel_matches_jnp_blocks(pattern):
+    n = 128 * 512
     rng = np.random.default_rng(23)
     buf = rng.integers(32, 127, size=n, dtype=np.uint8)
     buf[5000:5004] = np.frombuffer(b"3.14", dtype=np.uint8)
     buf[60000:60006] = np.frombuffer(b"abcxyz", dtype=np.uint8)
     seqs = compile_sequences(seqs_of(pattern))
-    got = np.asarray(
-        prefilter_block_counts_pallas(
-            jnp.asarray(buf), seqs, tile_rows=512, interpret=True
-        )
+    w2d = np.concatenate(
+        [buf.view("<i4").reshape(-1, LANES), np.zeros((PAD_ROWS, LANES), "<i4")]
     )
+    sc = ClassSeqScanner(seqs, tile_rows=64, interpret=True)
+    total, packed = sc.packed(jnp.asarray(w2d))
+    packed = np.asarray(packed).view(np.uint32)
+    got_blocks = (
+        (packed[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    ).reshape(-1)[: n // 512]
     bm = np_class_prefilter_bitmap(seqs_of(pattern), buf)
-    want = bm.reshape(-1, 512).sum(axis=1).astype(np.int32)
-    assert (got == want).all()
+    want_blocks = bm.reshape(-1, 512).any(axis=1)
+    # the word kernel marks the word containing each start byte -> same
+    # 512-byte block; flags must agree exactly (no slack applied here)
+    assert (got_blocks.astype(bool) == want_blocks).all()
 
 
 def test_engine_equivalence_literal_free_pattern():

@@ -78,31 +78,17 @@ def main():
 
     report("B3 pallas 2-roll", measure(f_pallas_roll, stack))
 
-    # C: production scanner (includes device-side pad concat)
-    from grab_tpu.ops.pallas_literal import ParamLiteralScanner
+    # C: production core-word scanner on pre-padded word buffers
+    from grab_tpu.ops.pallas_corewords import PAD_ROWS, CoreWordScanner
 
-    sc = ParamLiteralScanner([b"qZx9kWv3"])
-    report("C ParamLiteralScanner", measure(sc.words, stack))
-
-    # D: kernel only, pre-padded input (no concat per call)
-    from grab_tpu.ops.pallas_literal import (
-        WORD_PAD_ROWS,
-        _param_tables,
-        _param_word_counts,
-    )
-
-    tab, kk, _ = _param_tables([b"qZx9kWv3"])
-    tabj = jnp.asarray(tab)
+    sc = CoreWordScanner([b"qZx9kWv3"], tile_rows=2048)
     w2 = np.ascontiguousarray(
         np.concatenate(
-            [buf.reshape(-1, LANES), np.zeros((WORD_PAD_ROWS, LANES), "<i4")]
+            [buf.reshape(-1, LANES), np.zeros((PAD_ROWS, LANES), "<i4")]
         )
     )
     stack2 = make_stack(w2, k)
-    report(
-        "D scan pre-padded",
-        measure(lambda x: _param_word_counts(x, tabj, kk, 3, tile_rows=512), stack2),
-    )
+    report("C core-word bitmap", measure(lambda x: sc.bitmap(x), stack2))
 
 
 if __name__ == "__main__":
