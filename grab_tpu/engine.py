@@ -388,6 +388,7 @@ class Engine:
     def scan_file(self, path: str, emit: Callable[[bytes], None]) -> int:
         import stat as stat_mod
 
+        self.stats.files_seen += 1
         try:
             st = os.stat(path)
         except OSError as e:

@@ -112,6 +112,21 @@ class Backref(Node):
     index: int
 
 
+@dataclass(frozen=True)
+class Look(Node):
+    """Zero-width lookaround assertion: (?=..) (?!..) (?<=..) (?<!..).
+
+    Device automata treat it as epsilon (a superset — dropping an
+    assertion only widens the candidate set); the backtracking engine
+    evaluates it exactly. Lookbehind bodies must be fixed-length
+    (PCRE's own restriction), enforced at program-compile time.
+    """
+
+    node: Node
+    ahead: bool  # True: lookahead; False: lookbehind
+    negate: bool
+
+
 
 # ---------------------------------------------------------------------------
 # Byte-class helpers
@@ -119,6 +134,15 @@ class Backref(Node):
 
 ALL_BYTES_MASK = (1 << 256) - 1
 NEWLINE_MASK = 1 << 0x0A
+
+
+def fold_case_mask(mask: int) -> int:
+    """Close a byte-class mask under ASCII case folding (the (?i) flag
+    with C-locale tables, matching the reference's pcre_maketables)."""
+    lower = (mask >> 0x61) & ((1 << 26) - 1)
+    upper = (mask >> 0x41) & ((1 << 26) - 1)
+    both = lower | upper
+    return mask | (both << 0x61) | (both << 0x41)
 
 
 def mask_of(byte_values) -> int:
@@ -173,7 +197,7 @@ def literal_string(data: bytes) -> Node:
 
 def min_len(node: Node) -> int:
     """Minimum match length in bytes (the PCRE_INFO_MINLENGTH analog)."""
-    if isinstance(node, (Empty, Anchor)):
+    if isinstance(node, (Empty, Anchor, Look)):
         return 0
     if isinstance(node, CharClass):
         return 1
@@ -192,7 +216,7 @@ def min_len(node: Node) -> int:
 
 def max_len(node: Node) -> Optional[int]:
     """Maximum match length in bytes, or None if unbounded."""
-    if isinstance(node, (Empty, Anchor)):
+    if isinstance(node, (Empty, Anchor, Look)):
         return 0
     if isinstance(node, CharClass):
         return 1
@@ -239,7 +263,7 @@ def has_captures(node: Node) -> bool:
         return any(has_captures(p) for p in node.parts)
     if isinstance(node, Alt):
         return any(has_captures(b) for b in node.branches)
-    if isinstance(node, Repeat):
+    if isinstance(node, (Repeat, Look)):
         return has_captures(node.node)
     return False
 
@@ -253,7 +277,7 @@ def has_backrefs(node: Node) -> bool:
         return any(has_backrefs(p) for p in node.parts)
     if isinstance(node, Alt):
         return any(has_backrefs(b) for b in node.branches)
-    if isinstance(node, Repeat):
+    if isinstance(node, (Repeat, Look)):
         return has_backrefs(node.node)
     return False
 
@@ -265,7 +289,7 @@ def has_anchors(node: Node) -> bool:
     the DFA used for device-side candidate generation, so patterns with
     anchors always require host-side exact verification of candidates.
     """
-    if isinstance(node, Anchor):
+    if isinstance(node, (Anchor, Look)):
         return True
     if isinstance(node, Group):
         return has_anchors(node.node)
@@ -321,7 +345,8 @@ class _LitInfo:
 
 
 def _lit_info(node: Node) -> _LitInfo:
-    if isinstance(node, Empty) or isinstance(node, Anchor):
+    if isinstance(node, (Empty, Anchor, Look)):
+        # zero-width: contributes no bytes to the match extent
         return _LitInfo(frozenset({b""}), None)
     if isinstance(node, Backref):
         return _LitInfo(None, None)
@@ -441,7 +466,8 @@ def prefix_class_sequences(node: Node, k: int) -> Optional[list]:
         element may extend it)."""
         if budget <= 0:
             return None
-        if isinstance(n, (Empty, Anchor)):
+        if isinstance(n, (Empty, Anchor, Look)):
+            # zero-width: dropping the assertion over-approximates
             return [((), True)]
         if isinstance(n, Backref):
             return None

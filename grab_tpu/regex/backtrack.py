@@ -37,6 +37,7 @@ SAVE = 5  # (slot,) record pos (2*g = start of group g, 2*g+1 = end)
 SETREG = 6  # (reg,) record pos in loop register
 CHKREG = 7  # (reg,) fail branch if pos == reg (no progress in loop body)
 BACKREF = 8  # (group,) consume text of group
+LOOK = 9  # (ahead, negate, sub_pc, behind_len) zero-width sub-match
 
 
 class PatternTooLarge(ValueError):
@@ -117,7 +118,40 @@ class _Compiler:
         if isinstance(node, A.Repeat):
             self._compile_repeat(node)
             return
+        if isinstance(node, A.Look):
+            self._compile_look(node)
+            return
         raise TypeError(f"unknown node {node!r}")
+
+    def _compile_look(self, node: A.Look):
+        body = node.node
+        while isinstance(body, A.Group) and not A.has_captures(body):
+            body = body.node
+        if not node.ahead and isinstance(body, A.Alt):
+            # PCRE allows lookbehind branches of different fixed
+            # lengths: (?<=a|bc) == (?<=a)|(?<=bc) at one position,
+            # (?<!a|bc) == (?<!a)(?<!bc)
+            subs = [A.Look(b, False, node.negate) for b in body.branches]
+            if node.negate:
+                for s in subs:
+                    self._compile_look(s)
+            else:
+                self.compile(A.Alt(tuple(subs)))
+            return
+        blen = 0
+        if not node.ahead:
+            mn, mx = A.min_len(body), A.max_len(body)
+            if mx is None or mn != mx:
+                raise PatternTooLarge(
+                    "lookbehind assertion is not fixed length"
+                )
+            blen = mn
+        jmp = self.emit(JMP, None)
+        sub_pc = len(self.code)
+        self.compile(body)
+        self.emit(MATCH)
+        self.code[jmp] = (JMP, len(self.code))
+        self.emit(LOOK, node.ahead, node.negate, sub_pc, blen)
 
     def _compile_repeat(self, node: A.Repeat):
         lo, hi, lazy = node.lo, node.hi, node.lazy
@@ -181,7 +215,9 @@ class Matcher:
         self.prog = program
         self.budget = budget
         self._pike = None
-        self._has_backref = any(op[0] == BACKREF for op in program.code)
+        self._has_backref = any(
+            op[0] in (BACKREF, LOOK) for op in program.code
+        )
         if not self._has_backref:
             from grab_tpu.regex.pikevm import PikeVM
 
@@ -197,6 +233,14 @@ class Matcher:
         """Try to match with the subject being data[lo:hi] (anchors are
         evaluated against lo/hi), starting exactly at ``pos``. Returns
         match end or None."""
+        return self._exec(data, pos, lo, hi, 0)
+
+    def _exec(
+        self, data: bytes, pos: int, lo: int, hi: int, pc0: int
+    ) -> Optional[int]:
+        """Run the VM from ``pc0`` (0 = whole pattern; lookaround
+        sub-programs re-enter here with their own stack — captures made
+        inside assertions are scratch, documented in docs/PARITY.md)."""
         code = self.prog.code
         masks = self.prog.masks
         groups = [-1] * (2 * (self.prog.n_groups + 1))
@@ -204,7 +248,7 @@ class Matcher:
         # stack entries: (pc, pos, undo_list) where undo_list restores
         # groups/regs slots on backtrack
         stack: List[tuple] = []
-        pc = 0
+        pc = pc0
         cur = pos
         budget = self.budget
         undo: List[tuple] = []  # (which, idx, oldval); which: 0=groups 1=regs
@@ -257,6 +301,10 @@ class Matcher:
                     ok = cur == hi or (cur == hi - 1 and data[cur] == 0x0A)
                 elif k == "abs_eos":
                     ok = cur == hi
+                elif k == "bol":  # (?m) ^
+                    ok = cur == lo or data[cur - 1] == 0x0A
+                elif k == "eol":  # (?m) $
+                    ok = cur == hi or data[cur] == 0x0A
                 elif k == "wordb" or k == "nwordb":
                     before = cur > lo and _is_word(data[cur - 1])
                     after = cur < hi and _is_word(data[cur])
@@ -283,6 +331,19 @@ class Matcher:
                     pc += 1
                     continue
                 # empty loop body: fail this branch
+            elif kind == LOOK:
+                ahead, neg, sub_pc, blen = op[1], op[2], op[3], op[4]
+                if ahead:
+                    ok = self._exec(data, cur, lo, hi, sub_pc) is not None
+                else:
+                    s = cur - blen
+                    # fixed length: a sub-match from s ends exactly at cur
+                    ok = s >= lo and self._exec(data, s, lo, hi, sub_pc) is not None
+                if neg:
+                    ok = not ok
+                if ok:
+                    pc += 1
+                    continue
             elif kind == BACKREF:
                 g = op[1]
                 gs, ge = groups[2 * g], groups[2 * g + 1]

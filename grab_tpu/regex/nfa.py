@@ -55,7 +55,9 @@ class NFA:
 
 def _build(nfa: NFA, node: A.Node) -> Tuple[int, int]:
     """Compile ``node`` into (entry, exit) states of ``nfa``."""
-    if isinstance(node, A.Empty) or isinstance(node, A.Anchor):
+    if isinstance(node, (A.Empty, A.Anchor, A.Look)):
+        # assertions become epsilon: the DFA is a candidate generator,
+        # and dropping a zero-width condition only widens its language
         s = nfa.new_state()
         e = nfa.new_state()
         nfa.add_eps(s, e)

@@ -24,6 +24,8 @@ from typing import List, Optional
 
 from grab_tpu.regex.ast import (
     ALL_BYTES_MASK,
+    Look,
+    fold_case_mask,
     ALNUM_MASK,
     ALPHA_MASK,
     Alt,
@@ -98,11 +100,40 @@ _CLASS_ESCAPES = {
 }
 
 
+F_I, F_M, F_S, F_X = 1, 2, 4, 8
+_FLAG_CHARS = {ord("i"): F_I, ord("m"): F_M, ord("s"): F_S, ord("x"): F_X}
+
+
 class _Parser:
     def __init__(self, pattern: bytes):
         self.pat = pattern
         self.pos = 0
         self.ngroups = 0
+        self.flags = 0  # inline (?imsx) state; scoped by groups
+        self.names = {}  # named capture -> index
+
+    def _class(self, mask: int) -> CharClass:
+        if self.flags & F_I:
+            mask = fold_case_mask(mask)
+        return CharClass(mask)
+
+    def _lit(self, byte: int) -> CharClass:
+        return self._class(1 << byte)
+
+    def _skip_x(self):
+        """(?x) extended mode: unescaped whitespace and # comments are
+        ignored outside character classes."""
+        if not (self.flags & F_X):
+            return
+        while self.pos < len(self.pat):
+            c = self.pat[self.pos]
+            if c in b" \t\n\r\f\v":
+                self.pos += 1
+            elif c == ord("#"):
+                nl = self.pat.find(b"\n", self.pos)
+                self.pos = len(self.pat) if nl < 0 else nl + 1
+            else:
+                break
 
     # -- primitives -----------------------------------------------------
 
@@ -139,6 +170,7 @@ class _Parser:
     def _concat(self) -> Node:
         parts: List[Node] = []
         while True:
+            self._skip_x()
             c = self._peek()
             if c < 0 or c in (ord("|"), ord(")")):
                 break
@@ -153,6 +185,7 @@ class _Parser:
         atom = self._atom()
         for _ in range(1):  # at most one quantifier; a following one is
             # caught by _atom ("nothing to repeat"), matching PCRE
+            self._skip_x()
             c = self._peek()
             lo = hi = None
             if c == ord("*"):
@@ -225,19 +258,21 @@ class _Parser:
         if c == ord("["):
             return self._char_class()
         if c == ord("."):
-            return CharClass(DOT_MASK)
+            return CharClass(ALL_BYTES_MASK if self.flags & F_S else DOT_MASK)
         if c == ord("^"):
-            return Anchor("bos")
+            return Anchor("bol" if self.flags & F_M else "bos")
         if c == ord("$"):
-            return Anchor("eos")
+            return Anchor("eol" if self.flags & F_M else "eos")
         if c == ord("\\"):
             return self._escape(in_class=False)
         if c in (ord("*"), ord("+"), ord("?")):
             self._error(f"quantifier {chr(c)!r} with nothing to repeat")
-        return literal(c)
+        return self._lit(c)
 
     def _group(self) -> Node:
         capturing = True
+        name = None
+        look = None  # (ahead, negate)
         if self._peek() == ord("?"):
             self.pos += 1
             c = self._next()
@@ -250,17 +285,100 @@ class _Parser:
                 if self._next() != ord(")"):
                     self._error("unterminated comment group")
                 return Empty()
+            elif c == ord("="):
+                look = (True, False)
+            elif c == ord("!"):
+                look = (True, True)
+            elif c == ord("<") and self._peek() in (ord("="), ord("!")):
+                look = (False, self._next() == ord("!"))
+            elif c == ord("<"):
+                name = self._group_name(ord(">"))
+            elif c == ord("'"):
+                name = self._group_name(ord("'"))
+            elif c == ord("P"):
+                nx = self._next()
+                if nx == ord("<"):
+                    name = self._group_name(ord(">"))
+                elif nx == ord("="):
+                    # (?P=name): named backreference
+                    name = self._group_name(ord(")"))
+                    if name not in self.names:
+                        self._error(f"unknown group name {name!r}")
+                    return Backref(self.names[name])
+                else:
+                    self._error("malformed (?P construct")
+            elif c in _FLAG_CHARS or c == ord("-"):
+                return self._flag_group(c)
             else:
                 self._error(f"unsupported group construct (?{chr(c)}")
+        if look is not None:
+            saved = self.flags
+            node = self._alternation()
+            self.flags = saved
+            if self._next() != ord(")"):
+                self._error("missing )")
+            return Look(node, ahead=look[0], negate=look[1])
         index = 0
         if capturing:
             self.ngroups += 1
             index = self.ngroups
+            if name is not None:
+                if name in self.names:
+                    self._error(f"duplicate group name {name!r}")
+                self.names[name] = index
+        saved = self.flags  # inline flags are scoped to their group
         node = self._alternation()
+        self.flags = saved
         if self._peek() != ord(")"):
             self._error("missing )")
         self.pos += 1
         return Group(node, capturing, index)
+
+    def _group_name(self, closer: int) -> str:
+        out = b""
+        while self._peek() != closer:
+            c = self._next()
+            if not (chr(c).isalnum() or c == ord("_")):
+                self._error("malformed group name")
+            out += bytes([c])
+        self.pos += 1
+        if not out:
+            self._error("empty group name")
+        return out.decode("ascii")
+
+    def _flag_group(self, first: int) -> Node:
+        """(?imsx), (?-imsx), (?imsx-imsx) inline; with ':' a scoped
+        non-capturing group."""
+        self.pos -= 1  # back to the first flag char
+        add = remove = 0
+        neg = False
+        while True:
+            c = self._peek()
+            if c in _FLAG_CHARS:
+                if neg:
+                    remove |= _FLAG_CHARS[c]
+                else:
+                    add |= _FLAG_CHARS[c]
+                self.pos += 1
+            elif c == ord("-") and not neg:
+                neg = True
+                self.pos += 1
+            else:
+                break
+        c = self._next()
+        if c == ord(")"):
+            # applies to the remainder of the enclosing group
+            self.flags = (self.flags | add) & ~remove
+            return Empty()
+        if c == ord(":"):
+            saved = self.flags
+            self.flags = (self.flags | add) & ~remove
+            node = self._alternation()
+            self.flags = saved
+            if self._next() != ord(")"):
+                self._error("missing )")
+            return Group(node, False, 0)
+        self._error("malformed inline-flag group")
 
     def _escape(self, in_class: bool) -> Node:
         c = self._next()
@@ -279,6 +397,34 @@ class _Parser:
                 return Anchor("nwordb")
             if ord("1") <= c <= ord("9"):
                 return Backref(c - ord("0"))
+            if c == ord("k"):
+                opener = self._next()
+                closer = {ord("<"): ord(">"), ord("'"): ord("'"), ord("{"): ord("}")}.get(opener)
+                if closer is None:
+                    self._error("malformed \\k reference")
+                name = self._group_name(closer)
+                if name not in self.names:
+                    self._error(f"unknown group name {name!r}")
+                return Backref(self.names[name])
+            if c == ord("g"):
+                opener = self._peek()
+                if opener in (ord("<"), ord("{")):
+                    self.pos += 1
+                    closer = ord(">") if opener == ord("<") else ord("}")
+                    ref = b""
+                    while self._peek() != closer:
+                        ref += bytes([self._next()])
+                    self.pos += 1
+                else:
+                    ref = b""
+                    while ord("0") <= self._peek() <= ord("9"):
+                        ref += bytes([self._next()])
+                if ref.isdigit() and ref:
+                    return Backref(int(ref))
+                name = ref.decode("ascii", "replace")
+                if name not in self.names:
+                    self._error(f"unknown group name {name!r}")
+                return Backref(self.names[name])
             if c == ord("Q"):
                 # \Q ... \E literal span
                 parts = []
@@ -292,14 +438,14 @@ class _Parser:
                     ):
                         self.pos += 2
                         break
-                    parts.append(literal(self._next()))
+                    parts.append(self._lit(self._next()))
                 if not parts:
                     return Empty()
                 if len(parts) == 1:
                     return parts[0]
                 return Concat(tuple(parts))
         b = self._escape_byte(c)
-        return literal(b)
+        return self._lit(b)
 
     def _escape_byte(self, c: int) -> int:
         if c in _SIMPLE_ESCAPES:
@@ -395,9 +541,11 @@ class _Parser:
                 mask |= mask_range(lo_b, hi_b)
             else:
                 mask |= 1 << lo_b
+        if self.flags & F_I:
+            mask = fold_case_mask(mask)
         if negate:
             mask = ALL_BYTES_MASK & ~mask
-        return CharClass(mask)
+        return self._class(mask)
 
 
 def parse(pattern) -> Node:

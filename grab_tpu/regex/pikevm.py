@@ -50,6 +50,10 @@ def _assert_ok(kind: str, data: bytes, pos: int, lo: int, hi: int) -> bool:
         return pos == hi or (pos == hi - 1 and data[pos] == 0x0A)
     if kind == "abs_eos":
         return pos == hi
+    if kind == "bol":  # (?m) ^: subject start or after any newline
+        return pos == lo or data[pos - 1] == 0x0A
+    if kind == "eol":  # (?m) $: subject end or before any newline
+        return pos == hi or data[pos] == 0x0A
     before = pos > lo and _is_word(data[pos - 1])
     after = pos < hi and _is_word(data[pos])
     if kind == "wordb":

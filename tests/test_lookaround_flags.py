@@ -1,0 +1,90 @@
+"""Lookaround, inline flags, named groups: differential vs Python re
+plus end-to-end through the engine + device prefilter."""
+
+import re
+
+import numpy as np
+import pytest
+
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+from grab_tpu.regex.backtrack import Matcher
+from grab_tpu.regex.compiler import compile_multi
+from grab_tpu.scan_pipeline import CANDIDATE_BLOCK, CorpusPipeline, DeviceScanner
+
+CASES = [
+    (rb"(?=fo)f.o", rb"(?=fo)f.o"),
+    (rb"foo(?!bar)", rb"foo(?!bar)"),
+    (rb"(?<=a)b+", rb"(?<=a)b+"),
+    (rb"(?<!a)b+", rb"(?<!a)b+"),
+    (rb"(?i)fook", rb"(?i:fook)"),
+    (rb"(?i:fo)ok", rb"(?i:fo)ok"),
+    (rb"(?s)a.b", rb"(?s:a.b)"),
+    (rb"(?m)^boq", rb"(?m:^boq)"),
+    (rb"(?m)coq$", rb"(?m:coq$)"),
+    (rb"(?P<g>aqz)x\k<g>", rb"(?P<g>aqz)x(?P=g)"),
+    (rb"(?x) a q z # comment", rb"aqz"),
+    (rb"(?i)[a-f]{3}q", rb"(?i:[a-f]{3}q)"),
+    (rb"\w+(?=;)", rb"\w+(?=;)"),
+]
+
+
+def corpus(seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(32, 127, size=40_000, dtype=np.uint8)
+    data[rng.random(40_000) < 0.03] = 0x0A
+    buf = bytearray(data.tobytes())
+    needles = [b"foo", b"fooqux", b"ab", b"abbb", b"FOok", b"a\nb",
+               b"\nboq", b"coq\nx", b"aqzxaqz", b"aqz", b"DeadBEEFq",
+               b"word;", b"foobar"]
+    pos = 100
+    for nd in needles:
+        buf[pos : pos + len(nd)] = nd
+        pos += 700 + len(nd)
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("pat,re_pat", CASES)
+def test_matcher_matches_re_all_positions(pat, re_pat):
+    data = corpus(3)
+    m = Matcher.from_pattern(pat)
+    ref = re.compile(re_pat)
+    # full scan: compare successive matches (non-overlapping walk)
+    pos = 0
+    for _ in range(200):
+        got = m.search(data, pos, len(data))
+        want = ref.search(data, pos)
+        w = None if want is None else (want.start(), want.end())
+        assert got == w, (pat, pos, got, w)
+        if got is None:
+            break
+        pos = max(got[1], got[0] + 1)
+
+
+@pytest.mark.parametrize(
+    "pat", [rb"(?=fo)f.oq", rb"(?<=a)bbb", rb"(?i)fook", rb"qux(?!zap)"]
+)
+def test_engine_end_to_end_lookaround(pat):
+    data = corpus(9)
+    ref_flags = 0
+    # engine output vs direct host scan (device candidates must not
+    # lose matches; Look is epsilon-approximated on device)
+    cfg_dev = EngineConfig(output=OutputConfig(print_offset=True, print_line=False))
+    cfg_host = EngineConfig(
+        output=OutputConfig(print_offset=True, print_line=False), device="none"
+    )
+    out_dev, out_host = [], []
+    e1 = Engine([pat], cfg_dev)
+    e1.scan_data("f", data, out_dev.append)
+    e2 = Engine([pat], cfg_host)
+    e2.scan_data("f", data, out_host.append)
+    assert b"".join(out_dev) == b"".join(out_host), pat
+
+
+def test_named_group_capture_quirk():
+    # named groups are capturing: PCRE1 3-slot-ovector quirk applies
+    cfg = EngineConfig(output=OutputConfig(print_offset=True, print_line=False))
+    out = []
+    e = Engine([rb"(?P<x>aqz)"], cfg)
+    e.scan_data("f", corpus(5), out.append)
+    assert out == []  # capture group -> no output in pcre1 mode

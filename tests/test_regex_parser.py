@@ -84,7 +84,11 @@ def test_errors():
     with pytest.raises(RegexSyntaxError):
         parse(b"[a")
     with pytest.raises(RegexSyntaxError):
-        parse(b"(?<x>a)")  # unsupported construct
+        parse(b"(?(1)a|b)")  # conditionals are unsupported
+    with pytest.raises(RegexSyntaxError):
+        parse(b"(?R)")  # recursion is unsupported
+    with pytest.raises(RegexSyntaxError):
+        parse(b"\\k<nope>ab")  # unknown group name
 
 
 def test_quoted_literal():
