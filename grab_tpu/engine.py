@@ -277,16 +277,19 @@ class Engine:
 
     @staticmethod
     def _factor_gate(matcher, tree):
+        # mandatory_literals returns an ALTERNATIVE set (any match
+        # contains >= 1 member); gating on one member is only sound
+        # when it is the set's sole element
         facs = A.mandatory_literals(tree)
-        if not facs:
+        if not facs or len(facs) != 1:
             return matcher
-        best = max(facs, key=len)
-        if len(best) < 2:
+        factor = facs[0]
+        if len(factor) < 2:
             return matcher
         mx = A.max_len(tree)
-        if mx is not None and mx - len(best) <= 64:
-            return _FactorSeededMatcher(matcher, best, mx - len(best))
-        return _FactorGatedMatcher(matcher, best)
+        if mx is not None and mx - len(factor) <= 64:
+            return _FactorSeededMatcher(matcher, factor, mx - len(factor))
+        return _FactorGatedMatcher(matcher, factor)
 
     # -- device availability -------------------------------------------
 

@@ -40,6 +40,7 @@ from grab_tpu.ops.pallas_corewords import (
     decode_packed_flags,
     np_bitmap_rows,
     packed_block_flags,
+    pick_tile_rows,
 )
 
 MAX_SPAN = 12  # bytes p+L <= 3 + 8 + 1; 3 word planes
@@ -185,7 +186,10 @@ class ClassSeqScanner:
         interpret: bool = False,
     ):
         self.seqs = seqs
-        self.tile_rows = tile_rows
+        # scoped-VMEM guard: live temporaries scale with TR x tests
+        self.tile_rows = pick_tile_rows(
+            sum(len(s) for s in seqs), tile_rows
+        )
         self.interpret = interpret
         span = _seq_span(seqs)
         self.probe_back = 4  # start byte is inside the flagged word

@@ -362,6 +362,21 @@ def np_packed_flags(bm: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(bm.view(np.uint32), axis=1).view(np.int32)
 
 
+def pick_tile_rows(units: int, requested: int) -> int:
+    """Clamp the tile so the unrolled tests fit scoped VMEM (16 MB on
+    v5e). Measured: k*n_words=32 tests at 2048 rows allocate ~61 MB of
+    live (TR,128) temporaries — VMEM use scales with TR x units."""
+    if units <= 8:
+        cap = 2048
+    elif units <= 16:
+        cap = 1024
+    elif units <= 32:
+        cap = 512
+    else:
+        cap = 256
+    return min(requested, cap)
+
+
 class CoreWordScanner:
     """Host-facing wrapper: literals → jitted bitmap scan + packed
     per-block flags + host decode.
@@ -382,7 +397,9 @@ class CoreWordScanner:
         import jax.numpy as jnp
 
         self.tests = CoreWordTests(literals, max_words=max_words)
-        self.tile_rows = tile_rows
+        self.tile_rows = pick_tile_rows(
+            self.tests.k * self.tests.n_words, tile_rows
+        )
         self.interpret = interpret
         self._tab = jnp.asarray(self.tests.tab)
 

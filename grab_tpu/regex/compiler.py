@@ -82,17 +82,16 @@ def compile_multi(
 
     matchers = [Matcher(compile_program(t)) for t in asts]
 
-    # literal prefilter: one factor per pattern covers every match, so
-    # pick each pattern's STRONGEST mandatory factor (longest, capped at
-    # the kernels' 8-byte test window) instead of unioning all of them —
-    # a stray 1-byte factor would otherwise flood the candidate set
+    # literal prefilter: each pattern contributes its best mandatory
+    # alternative-set (every match contains >= 1 member — extraction
+    # already scores runs and picks the strongest one, ast._lit_info)
     lits: Optional[List[bytes]] = []
     for t in asts:
         l = A.mandatory_literals(t)
         if not l:
             lits = None
             break
-        lits.append(max(l, key=lambda s: min(len(s), 8)))
+        lits.extend(l)
     if lits is not None:
         lits = sorted(set(lits))
         if len(lits) > 128:
