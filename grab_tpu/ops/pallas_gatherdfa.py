@@ -1,0 +1,275 @@
+"""Gather-based DFA scan kernel: exact automata for factor-less regexes.
+
+The north-star design calls for the compiled byte-class DFA's inner
+loop to run as a Pallas kernel. A DFA walk is sequential per byte, so
+the only way it vectorizes is MANY independent streams: the corpus is
+re-laid out stream-major into S = 16384 segments (128 sublane rows x
+128 lanes, one word of every stream per grid step), each stream walks
+its own bytes, and the per-element state vector lives in VMEM scratch
+across grid steps. Transitions use the measured-viable 128-entry lane
+gather (jnp.take_along_axis axis=1, ~1.2 ms/GB per gather — see
+docs/BENCH.md):
+
+    cls    = clsmap[byte]          (two 128-entry tables + hi-bit select)
+    state  = T[state * C + cls]    (one 128-entry gather)
+    hit   |= (accept_bits >> state) & 1
+
+Eligibility: n_states * n_classes <= 128 (the gather table) and
+n_states <= 32 (accept bitmask + spare index headroom), and the
+pattern's max match length must fit the inter-stream halo so matches
+spanning a stream boundary are seen whole by the next stream
+(the reference's 4 KiB chunk-overlap trick at stream scale,
+/root/reference/src/grab.cc:151-154). Hits mark match END positions;
+block-level decode + the engine's line-narrowed replay recover starts.
+
+This serves patterns with neither literal factors nor useful class
+sequences exactly, and tightens candidates for patterns whose class
+sequences are weak (e.g. ``[0-9]{3}[a-z]{2}``: the class-seq kernel
+flags any digit run, the DFA only flags completed matches).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, decode_packed_flags
+
+STREAM_ROWS = 128  # sublane rows of streams per grid step
+N_STREAMS = STREAM_ROWS * LANES  # 16384
+HALO = 128  # bytes shared between adjacent streams
+MAX_IDX = 128  # states * classes must fit one lane-gather table
+MAX_STATES = 32  # accept bitmask fits one int32
+
+
+def dfa_eligible(dfa, max_len) -> bool:
+    return (
+        dfa is not None
+        and dfa.n_states * dfa.n_classes <= MAX_IDX
+        and dfa.n_states <= MAX_STATES
+        and max_len is not None
+        and max_len <= HALO - 8
+    )
+
+
+class GatherDfaTables:
+    """Device tables for one DFA."""
+
+    def __init__(self, dfa):
+        assert dfa.n_states * dfa.n_classes <= MAX_IDX
+        assert dfa.n_states <= MAX_STATES
+        self.n_classes = dfa.n_classes
+        self.start = int(dfa.start)
+        trans = np.zeros(LANES, dtype=np.int32)
+        flat = dfa.table.reshape(-1)
+        trans[: flat.shape[0]] = flat
+        cls_lo = np.zeros(LANES, dtype=np.int32)
+        cls_hi = np.zeros(LANES, dtype=np.int32)
+        cls_lo[:] = dfa.class_map[:128]
+        cls_hi[:] = dfa.class_map[128:]
+        accept_bits = 0
+        for s in range(dfa.n_states):
+            if dfa.accept_mask[s]:
+                accept_bits |= 1 << s
+        # tables stacked as one int32 [4, 128] input: trans, cls_lo,
+        # cls_hi, row 3 unused (kept for alignment/extension)
+        self.tab = np.stack(
+            [trans, cls_lo, cls_hi, np.zeros(LANES, dtype=np.int32)]
+        )
+        self.accept_bits = accept_bits
+
+
+def _build_kernel(n_classes: int, start: int, accept_bits: int, n_steps: int):
+    import jax.numpy as jnp
+
+    def kernel(tab_ref, a_ref, bm_ref, state_ref):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            state_ref[:] = jnp.full(
+                (STREAM_ROWS, LANES), start, dtype=jnp.int32
+            )
+
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        state = state_ref[:]
+        row = lambda i: jnp.broadcast_to(
+            tab_ref[i].reshape(1, LANES), (STREAM_ROWS, LANES)
+        )
+        trans, cls_lo, cls_hi = row(0), row(1), row(2)
+        hit = None
+        for k in range(4):
+            b = ((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+            lo = jnp.take_along_axis(cls_lo, b & 127, axis=1)
+            hi = jnp.take_along_axis(cls_hi, b & 127, axis=1)
+            cls = jnp.where(b < 128, lo, hi)
+            idx = state * n_classes + cls
+            state = jnp.take_along_axis(trans, idx, axis=1)
+            acc = ((jnp.int32(accept_bits) >> state) & 1) != 0
+            hit = acc if hit is None else jnp.logical_or(hit, acc)
+        state_ref[:] = state
+        # word-granular hit bitmap, 16 rows per int32 so each step
+        # emits an (8, 128) block (Mosaic output blocks need >= 8
+        # sublanes): bit r%16 of bitmap row (g*8 + r//16)
+        pw = jnp.int32(1) << jax.lax.broadcasted_iota(
+            jnp.int32, (1, 16, LANES), 1
+        )
+        h3 = hit.reshape(STREAM_ROWS // 16, 16, LANES)
+        bm_ref[:] = jnp.sum(jnp.where(h3, pw, 0), axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_classes", "start", "accept_bits", "interpret"))
+def gather_dfa_bitmap(
+    words2d,  # int32 [n_steps * 128, 128]: word g of stream (r, c) at
+    # row g*128 + r — stream-major transposed layout
+    tab,  # int32 [4, 128]
+    n_classes: int,
+    start: int,
+    accept_bits: int,
+    interpret: bool = False,
+):
+    """→ hit bitmap int32 [rows/16, 128] (16 rows per word) in the
+    transposed geometry."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0]
+    assert rows % STREAM_ROWS == 0
+    n_steps = rows // STREAM_ROWS
+    kernel = _build_kernel(n_classes, start, accept_bits, n_steps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows // 16, LANES), jnp.int32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tables
+            pl.BlockSpec(
+                (STREAM_ROWS, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (STREAM_ROWS // 16, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            # per-stream DFA state, carried across grid steps
+            pltpu.VMEM((STREAM_ROWS, LANES), jnp.int32)
+        ],
+        interpret=interpret,
+    )(tab, words2d)
+
+
+def np_gather_dfa_bitmap(words2d: np.ndarray, tables: GatherDfaTables):
+    """Numpy oracle for the kernel (same transposed geometry)."""
+    rows = words2d.shape[0]
+    n_steps = rows // STREAM_ROWS
+    x = words2d.view(np.uint32).reshape(n_steps, STREAM_ROWS, LANES)
+    tab = tables.tab
+    state = np.full((STREAM_ROWS, LANES), tables.start, dtype=np.int32)
+    hit = np.zeros((rows, LANES), dtype=bool)
+    for g in range(n_steps):
+        w = x[g]
+        h = np.zeros((STREAM_ROWS, LANES), dtype=bool)
+        for k in range(4):
+            b = ((w >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(np.int64)
+            cls = np.where(b < 128, tab[1][b & 127], tab[2][b & 127])
+            idx = state * tables.n_classes + cls
+            state = tab[0][idx]
+            h |= ((tables.accept_bits >> state) & 1) != 0
+        hit[g * STREAM_ROWS : (g + 1) * STREAM_ROWS] = h
+    r16 = np.arange(rows, dtype=np.uint32) & 15
+    weighted = np.where(hit, np.uint32(1) << r16[:, None], np.uint32(0))
+    return (
+        weighted.reshape(rows // 16, 16, LANES).sum(axis=1, dtype=np.uint32)
+    ).view(np.int32)
+
+
+class GatherDfaScanner:
+    """Host-facing wrapper over a linear scan buffer.
+
+    ``packed(buf_linear)``: re-lays the buffer stream-major with HALO
+    overlap between adjacent streams, runs the kernel, and converts the
+    transposed hit bitmap back into linear-buffer packed block flags.
+    """
+
+    def __init__(self, dfa, max_len, buf_size: int, interpret: bool = False):
+        import jax.numpy as jnp
+
+        assert dfa_eligible(dfa, max_len)
+        self.tables = GatherDfaTables(dfa)
+        self._tab = jnp.asarray(self.tables.tab)
+        self.interpret = interpret
+        self.buf_size = buf_size
+        # stream geometry: S streams of seg_len bytes advancing
+        # (seg_len - HALO) of fresh corpus each; word-align the stride
+        stride = buf_size // N_STREAMS
+        stride -= stride % 4
+        assert stride >= 2 * HALO, (buf_size, stride)
+        self.stride = stride
+        self.seg_len = stride + HALO  # bytes actually scanned per stream
+        self.max_len = max_len
+        self.probe_back = (max_len or HALO) + 8
+        self.probe_fwd = 8
+
+    def _transpose(self, buf: np.ndarray) -> np.ndarray:
+        """linear uint8 buffer → stream-major int32 [steps*128, 128]."""
+        S, L = N_STREAMS, self.seg_len
+        need = (S - 1) * self.stride + L
+        if buf.shape[0] < need:
+            buf = np.concatenate(
+                [buf, np.zeros(need - buf.shape[0], dtype=np.uint8)]
+            )
+        segs = np.lib.stride_tricks.as_strided(
+            buf, shape=(S, L), strides=(self.stride, 1)
+        )
+        words = np.ascontiguousarray(segs).view("<i4")  # [S, L/4]
+        # word g of stream s at row g*128 + s//128? streams arranged
+        # (r, c) = (s // 128, s % 128): transpose to [L/4, S] then fold
+        t = np.ascontiguousarray(words.T)  # [L/4, S]
+        return t.reshape(-1, LANES)  # row g*128 + r, lane c; s = r*128+c
+
+    def packed(self, buf: np.ndarray):
+        """→ (total, packed flags) in LINEAR block coordinates."""
+        import jax
+        import jax.numpy as jnp
+
+        w2d = self._transpose(np.asarray(buf))
+        bm = gather_dfa_bitmap(
+            jnp.asarray(w2d),
+            self._tab,
+            self.tables.n_classes,
+            self.tables.start,
+            self.tables.accept_bits,
+            interpret=self.interpret,
+        )
+        return bm  # device array; decode maps geometry on host
+
+    def flags_np(self, bm, n_blocks: int) -> np.ndarray:
+        bm = np.asarray(bm).view(np.uint32)
+        flags = np.zeros(n_blocks, dtype=np.int32)
+        gr, c = np.nonzero(bm)
+        if gr.size == 0:
+            return flags
+        for row16, lane in zip(gr, c):
+            bits = int(bm[row16, lane])
+            base_row = row16 * 16
+            for b in range(16):
+                if not (bits >> b) & 1:
+                    continue
+                row = base_row + b  # g*128 + r
+                g, r = divmod(row, STREAM_ROWS)
+                s = r * LANES + lane
+                # linear byte of the hit word's END region
+                pos = s * self.stride + 4 * g
+                lo = max(0, (pos - self.probe_back) // BLOCK)
+                hi = min(n_blocks - 1, (pos + 4 + self.probe_fwd) // BLOCK)
+                flags[lo : hi + 1] = 1
+        return flags

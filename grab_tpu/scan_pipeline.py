@@ -112,6 +112,8 @@ class DeviceScanner:
             self._seqs = compile_sequences(cp.class_seqs)
         elif cp.dfa is not None and cp.dfa.n_states <= 2048:
             self.mode = "dfa"
+            self._dfa = cp.dfa
+            self._max_len = cp.max_len
             from grab_tpu.ops.dfa_scan import expand_byte_table
 
             self._table = jnp.asarray(
@@ -145,11 +147,27 @@ class DeviceScanner:
 
         block = self.block
         if self.mode == "dfa":
-            # The pallas DFA kernel's in-kernel table gather does not
-            # lower in reasonable time on current Mosaic (observed:
-            # >9 min before timeout); the jnp scan is slow but bounded.
-            # Rare path: only patterns with neither literal factors nor
-            # class sequences land here.
+            # Gather-based DFA kernel (ops/pallas_gatherdfa): exact
+            # automaton walk over 16k parallel streams, for small DFAs
+            # with bounded match length. Larger automata fall back to
+            # the jnp reference walk. Only patterns with neither
+            # literal factors nor class sequences land here.
+            from grab_tpu.ops.pallas_gatherdfa import (
+                GatherDfaScanner,
+                dfa_eligible,
+            )
+
+            if dfa_eligible(self._dfa, self._max_len) and self.buf_size >= (
+                8 << 20
+            ):
+                self._gdfa = GatherDfaScanner(
+                    self._dfa,
+                    self._max_len,
+                    self.buf_size,
+                    interpret=self._interpret,
+                )
+                self.mode = "gdfa"
+                return self._gdfa.packed
             return self._build_jnp()
 
         if self.mode == "literal":
@@ -289,6 +307,13 @@ class DeviceScanner:
         """Dispatch a scan asynchronously; returns opaque handles.
         Upload + compute overlap with host-side packing of the next
         batch (jax dispatch is async)."""
+        if self.mode == "gdfa":
+            # host-side stream-major re-layout, then the DFA kernel;
+            # only a tiny count + bitmap come back
+            import jax.numpy as jnp
+
+            bm = self._fn(buf[: self.buf_size])
+            return ("gdfa", jnp.count_nonzero(bm), bm)
         if self._compact is None:
             self._compact = self._build_compact()
         if getattr(self, "_input_words", False):
@@ -309,6 +334,11 @@ class DeviceScanner:
         """Block on a submitted scan → int32 [buf_size/block] 0/1 flags
         (candidate-block indicator; host logic only tests > 0)."""
         nb = self.buf_size // self.block
+        if handles and handles[0] == "gdfa":
+            _, total, bm = handles
+            if int(total) == 0:
+                return np.zeros(nb, dtype=np.int32)
+            return self._gdfa.flags_np(bm, nb)
         if getattr(self, "_input_words", False):
             total, rest = handles[0], handles[1:]
             if int(total) == 0:

@@ -1,0 +1,94 @@
+"""Gather-DFA kernel: oracle + end-to-end superset contracts."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grab_tpu.ops.pallas_corewords import BLOCK
+from grab_tpu.ops.pallas_gatherdfa import (
+    HALO,
+    LANES,
+    N_STREAMS,
+    STREAM_ROWS,
+    GatherDfaScanner,
+    GatherDfaTables,
+    dfa_eligible,
+    gather_dfa_bitmap,
+    np_gather_dfa_bitmap,
+)
+from grab_tpu.regex.dfa import build_dfa
+from grab_tpu.regex.parser import parse
+from grab_tpu.regex import ast as A
+
+
+def dfa_of(pattern: bytes):
+    t = parse(pattern)
+    return build_dfa([t], unanchored=True), A.max_len(t)
+
+
+def test_eligibility():
+    d, mx = dfa_of(rb"[0-9]{5}")
+    assert dfa_eligible(d, mx)
+    d2, mx2 = dfa_of(rb"[a-z]+[0-9]")  # unbounded
+    assert not dfa_eligible(d2, mx2)
+
+
+@pytest.mark.parametrize("pattern", [rb"[0-9]{5}", rb"[0-9]{3}[a-z]{2}"])
+def test_kernel_matches_numpy_oracle(pattern):
+    d, mx = dfa_of(pattern)
+    tables = GatherDfaTables(d)
+    rng = np.random.default_rng(5)
+    n_steps = 2
+    w2d = rng.integers(0, 2**31, size=(n_steps * STREAM_ROWS, LANES), dtype=np.int32)
+    # plant digit runs in a few streams
+    raw = w2d.view(np.uint8)
+    raw[0, :8] = np.frombuffer(b"12345xyz", np.uint8)
+    bm_np = np_gather_dfa_bitmap(w2d, tables)
+    bm = gather_dfa_bitmap(
+        jnp.asarray(w2d),
+        jnp.asarray(tables.tab),
+        tables.n_classes,
+        tables.start,
+        tables.accept_bits,
+        interpret=True,
+    )
+    assert (np.asarray(bm) == bm_np).all()
+
+
+def test_scanner_superset_and_tight():
+    import re
+
+    d, mx = dfa_of(rb"[0-9]{5}")
+    buf_size = 8 << 20
+    sc = GatherDfaScanner(d, mx, buf_size, interpret=True)
+    rng = np.random.default_rng(7)
+    buf = rng.integers(65, 91, size=buf_size, dtype=np.uint8)  # uppercase
+    positions = [0, 12345, 500_000, 4_000_001, buf_size - 6,
+                 sc.stride - 2]  # one straddles a stream boundary
+    for p in positions:
+        buf[p : p + 5] = np.frombuffer(b"90210", np.uint8)
+    bm = sc.packed(buf)
+    flags = sc.flags_np(bm, buf_size // BLOCK)
+    for m in re.finditer(rb"[0-9]{5}", buf.tobytes()):
+        assert flags[m.start() // BLOCK] == 1, m.start()
+    # tight: flagged region is small
+    assert flags.sum() <= len(positions) * 4 + 8
+
+
+def test_pipeline_mode_selection():
+    # pattern with no literal factor and no class sequence is hard to
+    # construct; assert the gdfa path directly via DeviceScanner on a
+    # synthetic compiled object
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import DeviceScanner
+
+    cp = compile_multi([rb"[0-9]{5}"])
+    cp = cp.__class__(**{**cp.__dict__, "class_seqs": None})  # force dfa slot
+    sc = DeviceScanner(cp, buf_size=8 << 20, pallas_interpret=True)
+    assert sc.mode == "gdfa"
+    rng = np.random.default_rng(9)
+    buf = rng.integers(65, 91, size=8 << 20, dtype=np.uint8)
+    buf[70_000:70_005] = np.frombuffer(b"12345", np.uint8)
+    flags = sc.scan(buf)
+    assert flags[70_000 // BLOCK] == 1
