@@ -268,9 +268,18 @@ class Engine:
                     return pcre2.PCRE2Pattern(cp.patterns[0])
                 return _MultiMatcher([pcre2.PCRE2Pattern(p) for p in cp.patterns])
             # fall through to our engine (semantics match on the subset)
-        if self.cfg.mode == "pcre1" and self.cfg.pcre1_quirks and cp.has_captures:
+        quirk = self.cfg.mode == "pcre1" and self.cfg.pcre1_quirks
+        # PCRE1 3-slot-ovector quirk applies per pattern: a capturing
+        # pattern yields no matches, but the rest of a -H batch still
+        # scans (each pattern is its own pcre in the reference)
+        matchers = [
+            _NeverMatch()
+            if quirk and A.has_captures(t)
+            else self._factor_gate(m, t)
+            for m, t in zip(cp.matchers, cp.asts)
+        ]
+        if all(isinstance(m, _NeverMatch) for m in matchers):
             return _NeverMatch()
-        matchers = [self._factor_gate(m, t) for m, t in zip(cp.matchers, cp.asts)]
         if cp.n_patterns == 1:
             return matchers[0]
         return _MultiMatcher(matchers)
@@ -301,13 +310,10 @@ class Engine:
             return False  # empty-match degenerate: host replays directly
         if isinstance(self._exact, _NeverMatch):
             return False  # no output possible; skip all device work
-        if (
-            not cp.literals
-            and not cp.class_seqs
-            and (cp.dfa is None or cp.dfa.n_states > 2048)
-        ):
-            # no literal factors, no class sequences, no device-sized
-            # automaton (backrefs or state blowup) → host-only scan
+        if not cp.covered and (cp.dfa is None or cp.dfa.n_states > 2048):
+            # prefilter plan doesn't cover every pattern and there is no
+            # device-sized automaton (backrefs or state blowup) →
+            # host-only scan
             return False
         return True
 

@@ -35,8 +35,9 @@ class CompiledPattern:
     min_len: int  # min over patterns (drives the file prune)
     min_lens: List[int]
     max_len: Optional[int]  # max over patterns; None if any unbounded
-    literals: Optional[List[bytes]]  # prefilter factors covering all patterns
+    literals: Optional[List[bytes]]  # prefilter factor alternatives (len >= 3)
     class_seqs: Optional[List[tuple]]  # class-mask prefilter sequences
+    covered: bool  # literals ∪ class_seqs covers every pattern (device-sound)
     has_captures: bool
     needs_verify: bool  # device candidates are a superset → host must verify
     literal_mode: bool  # compiled via -S (plain literals, no regex parse)
@@ -82,35 +83,37 @@ def compile_multi(
 
     matchers = [Matcher(compile_program(t)) for t in asts]
 
-    # literal prefilter: each pattern contributes its best mandatory
-    # alternative-set (every match contains >= 1 member — extraction
-    # already scores runs and picks the strongest one, ast._lit_info)
+    # per-pattern prefilter plan (hyperscan-style decomposition): each
+    # pattern is covered by EITHER its best mandatory literal
+    # alternative-set (every match contains >= 1 member) or its prefix
+    # class sequences; the device ensemble unions both kinds. A batch
+    # is ``covered`` iff every pattern got a plan — only then can the
+    # device prefilter be trusted as a superset.
     lits: Optional[List[bytes]] = []
+    class_seqs: Optional[List[tuple]] = []
+    covered = True
     for t in asts:
         l = A.mandatory_literals(t)
-        if not l:
-            lits = None
-            break
-        lits.extend(l)
-    if lits is not None:
-        lits = sorted(set(lits))
-        if len(lits) > 128:
-            lits = None
-
-    # class-sequence prefilter: covering first-byte-class sequences for
-    # every pattern (the range-test generalization of literals; used
-    # when no literal factor exists)
-    class_seqs: Optional[List[tuple]] = []
-    for t in asts:
+        if l and min(len(x) for x in l) >= 3 and len(l) <= 64:
+            lits.extend(l)
+            continue
         s = A.prefix_class_sequences(t, 8)
-        if s is None:
-            class_seqs = None
-            break
-        class_seqs.extend(s)
-    if class_seqs is not None:
-        class_seqs = sorted(set(class_seqs))
-        if len(class_seqs) > 32:
-            class_seqs = None
+        if s:
+            class_seqs.extend(s)
+            continue
+        if l:
+            # weak/tiny factors and no sequences: a literal IS a class
+            # sequence of singleton classes — route it there so the
+            # literal kernels only ever see len >= 3 alternatives
+            class_seqs.extend(tuple(1 << b for b in x[:8]) for x in l)
+            continue
+        covered = False
+    lits = sorted(set(lits)) or None
+    if lits is not None and len(lits) > 512:
+        lits, covered = None, False
+    class_seqs = sorted(set(class_seqs)) or None
+    if class_seqs is not None and len(class_seqs) > 32:
+        class_seqs, covered = None, False
 
     caps = any(A.has_captures(t) for t in asts)
     anchors = any(A.has_anchors(t) for t in asts)
@@ -130,6 +133,7 @@ def compile_multi(
         max_len=mx,
         literals=lits,
         class_seqs=class_seqs,
+        covered=covered,
         has_captures=caps,
         needs_verify=needs_verify,
         literal_mode=literal_mode,

@@ -80,32 +80,22 @@ class DeviceScanner:
         # All elementwise paths run at memory bandwidth; the DFA walk is
         # sequential and ~1000x slower on TPU (measured), kept only for
         # patterns the sequence extractor cannot cover.
-        if cp.literals and min(len(l) for l in cp.literals) >= 3:
+        if cp.covered and cp.literals:
             # Literal ensemble (any K — BASELINE config 4's 100-literal
             # batch included): long literals (>= 7, a full aligned core
             # word at every phase) go to the constant-cost bloom kernel
             # once there are enough of them; short ones (3-6) and small
             # long sets use the K-linear compare kernel in buckets.
+            # Patterns planned onto class sequences (compiler's
+            # per-pattern decomposition) add a class-seq member.
             self.mode = "literal"
             self._literals = [bytes(l) for l in cp.literals]
-        elif cp.literals:
-            # Sets containing tiny literals (len < 3): no core word —
-            # fold everything into one union class sequence (per
-            # position test "byte j in {j-th bytes of all literals}",
-            # the Teddy-bucket analog); host verification restores
-            # per-literal precision on the flagged blocks.
-            self.mode = "class_seq"
-            from grab_tpu.ops.class_prefilter import compile_sequences
+            self._seqs = None
+            if cp.class_seqs:
+                from grab_tpu.ops.class_prefilter import compile_sequences
 
-            k = min(min(len(l) for l in cp.literals), 8)
-            masks = []
-            for j in range(k):
-                m = 0
-                for l in cp.literals:
-                    m |= 1 << l[j]
-                masks.append(m)
-            self._seqs = compile_sequences([tuple(masks)])
-        elif cp.class_seqs:
+                self._seqs = compile_sequences(cp.class_seqs)
+        elif cp.covered and cp.class_seqs:
             self.mode = "class_seq"
             from grab_tpu.ops.class_prefilter import compile_sequences
 
@@ -202,6 +192,16 @@ class DeviceScanner:
                         interpret=self._interpret,
                     )
                 )
+            if self._seqs:
+                from grab_tpu.ops.pallas_classseq import ClassSeqScanner
+
+                scanners.append(
+                    ClassSeqScanner(
+                        self._seqs,
+                        tile_rows=tile_rows,
+                        interpret=self._interpret,
+                    )
+                )
             self._cw_list = scanners
             return lambda words2d: [s.packed(words2d) for s in scanners]
 
@@ -255,11 +255,21 @@ class DeviceScanner:
         mat_np, lens = literal_matrix(self._literals)
         lit_mat = jnp.asarray(mat_np)
         lengths = tuple(int(x) for x in lens)
+        seqs = getattr(self, "_seqs", None)
+        if seqs:
+            from grab_tpu.ops.class_prefilter import class_prefilter_bitmap
 
-        @jax.jit
-        def fn(mat, data):
-            bm = literal_scan_bitmap(mat, lengths, data)
-            return bitmap_block_counts(bm, block)
+            @jax.jit
+            def fn(mat, data):
+                bm = literal_scan_bitmap(mat, lengths, data)
+                bm = bm | class_prefilter_bitmap(seqs, data)
+                return bitmap_block_counts(bm, block)
+        else:
+
+            @jax.jit
+            def fn(mat, data):
+                bm = literal_scan_bitmap(mat, lengths, data)
+                return bitmap_block_counts(bm, block)
 
         return lambda data: fn(lit_mat, data)
 
