@@ -1,0 +1,76 @@
+"""Config-4 shape: mixed 100-literal + 10-regex batch through the
+engine — per-pattern prefilter planning and the per-pattern capture
+quirk (the all-or-nothing regressions)."""
+
+import numpy as np
+
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+from grab_tpu.regex.compiler import compile_multi
+
+
+def build():
+    rng = np.random.default_rng(12)
+    lits = [
+        bytes(rng.integers(97, 123, size=int(rng.integers(7, 12)), dtype=np.uint8))
+        for _ in range(100)
+    ]
+    regexes = [
+        rb"foo[a-z]{2,6}bar", rb"[0-9]{3}-[0-9]{4}", rb"qu+x", rb"colou?r",
+        rb"abc(def|ghi)jkl", rb"w[xyz]{3}w", rb"nee+dle", rb"[A-Z]{5}99",
+        rb"zz(?:a|b|c)zz", rb"end\.x",
+    ]
+    pats = lits + regexes
+    data = bytearray(rng.integers(32, 127, size=600_000, dtype=np.uint8).tobytes())
+    for i in range(0, len(data), 97):
+        data[i] = 0x0A
+    plants = {
+        5000: lits[0], 300_000: lits[50], 400_007: b"fooqqbar",
+        450_001: b"555-1234", 500_000: b"quuux", 520_000: b"colour",
+        540_000: b"abcdefjkl",  # capture pattern -> quirk-suppressed
+        560_000: b"zzbzz", 580_000: b"end.x",
+    }
+    for pos, s in plants.items():
+        data[pos : pos + len(s)] = s
+    return pats, bytes(data), plants
+
+
+def test_mixed_batch_covered_and_planned():
+    pats, data, plants = build()
+    cp = compile_multi(pats)
+    assert cp.covered
+    assert cp.literals and len(cp.literals) >= 100
+    assert all(len(l) >= 3 for l in cp.literals)
+    assert cp.class_seqs  # weak-factor regexes planned as sequences
+
+
+def test_mixed_batch_end_to_end():
+    pats, data, plants = build()
+    out = []
+    e = Engine(pats, EngineConfig(output=OutputConfig(print_offset=True, print_line=False)))
+    e.scan_data("m", data, out.append)
+    text = b"".join(out)
+    offsets = {int(x.split(b" ")[-1]) for x in text.splitlines()}
+    for pos, s in plants.items():
+        if s == b"abcdefjkl":
+            # abc(def|ghi)jkl captures -> per-pattern PCRE1 quirk
+            assert pos not in offsets, "capture quirk must suppress this pattern"
+        else:
+            assert pos in offsets, (pos, s)
+
+
+def test_mixed_batch_matches_host_only():
+    pats, data, plants = build()
+    outs = []
+    for device in ("auto", "none"):
+        out = []
+        e = Engine(
+            pats,
+            EngineConfig(
+                output=OutputConfig(print_offset=True, print_line=False),
+                device=device,
+            ),
+        )
+        e.scan_data("m", data, out.append)
+        outs.append(b"".join(out))
+    assert outs[0] == outs[1]
