@@ -289,11 +289,24 @@ class DeviceScanner:
         if getattr(self, "_input_words", False):
             # word-kernel path: each ensemble member reduces its row
             # bitmap to packed per-block flag bits on device (~4 bytes
-            # per 16 KiB of corpus); host decodes + unions
+            # per 16 KiB of corpus); host decodes + unions.
+            # Members are NOT fused into one XLA program: each member's
+            # pallas kernel compiles (and persists in the compile
+            # cache) independently — a fused 5+-kernel program was
+            # observed to take the remote compiler >10 minutes, while
+            # its members individually compile in seconds.
+            members = self._cw_list
+            packed_fns = [
+                jax.jit(lambda w, s=s: s.packed(w)) for s in members
+            ]
+
             @jax.jit
+            def total_of(totals):
+                return jnp.sum(jnp.stack(totals), dtype=jnp.int32)
+
             def compact(words2d):
-                pairs = counts_fn(words2d)  # [(total, packed), ...]
-                total = sum(t for t, _ in pairs)
+                pairs = [f(words2d) for f in packed_fns]
+                total = total_of([t for t, _ in pairs])
                 return (total,) + tuple(pk for _, pk in pairs)
 
             return compact
