@@ -134,13 +134,20 @@ class _FactorGatedMatcher:
     absence proves no-match without running the VM. Candidate windows
     that were flagged for a neighboring line clear in C speed."""
 
+    GATE_WINDOW = 4096  # how far past hi the gate is willing to look
+
     def __init__(self, inner, factor: bytes):
         self.inner = inner
         self.factor = factor
 
     def search(self, data, lo, hi, alo=None, ahi=None):
+        # the factor of an unbounded match may lie arbitrarily far past
+        # hi, so a bounded find can only short-circuit when it covered
+        # the whole extent window — never scan megabytes per call
+        # (ahi is the chunk end; windows are lines)
         ahi_eff = hi if ahi is None else ahi
-        if data.find(self.factor, lo, ahi_eff) < 0:
+        bound = min(ahi_eff, hi + self.GATE_WINDOW)
+        if data.find(self.factor, lo, bound) < 0 and bound == ahi_eff:
             return None
         return self.inner.search(data, lo, hi, alo=alo, ahi=ahi)
 
@@ -161,8 +168,13 @@ class _FactorSeededMatcher:
         self.d = d
 
     def search(self, data, lo, hi, alo=None, ahi=None):
+        # an occurrence at i seeds starts in [i-d, i]; starts are capped
+        # at hi, so occurrences past hi + d are irrelevant — bound the
+        # find accordingly (ahi is the chunk end: unbounded finds there
+        # scanned megabytes per line window)
         ahi_eff = hi if ahi is None else ahi
-        i = data.find(self.factor, lo, ahi_eff)
+        bound = min(ahi_eff, hi + self.d + len(self.factor))
+        i = data.find(self.factor, lo, bound)
         while i >= 0:
             s_lo = max(lo, i - self.d)
             s_hi = min(i, hi)
@@ -172,7 +184,7 @@ class _FactorSeededMatcher:
                 )
                 if m is not None:
                     return m
-            i = data.find(self.factor, i + 1, ahi_eff)
+            i = data.find(self.factor, i + 1, bound)
         return None
 
 
