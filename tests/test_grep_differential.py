@@ -1,0 +1,69 @@
+"""The reference's own conformance methodology
+(/root/reference/README.md:209-216): sorted output identical to GNU
+grep -a -r on a corpus where the documented caveats don't bite
+(lines < 512 bytes, one match per line reported)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from grab_tpu import cli
+
+GREP = shutil.which("grep")
+
+
+def build_tree(root, rng):
+    os.makedirs(root / "sub", exist_ok=True)
+    for i, sub in enumerate(["", "sub"]):
+        for j in range(3):
+            n = 40_000 + 7000 * i + 1000 * j
+            b = bytearray(rng.integers(32, 127, size=n, dtype=np.uint8).tobytes())
+            for k in range(0, n, 89):
+                b[k] = 0x0A
+            for k in range(5):
+                pos = int(rng.integers(0, n - 10))
+                b[pos : pos + 5] = b"linus"
+            (root / sub / f"f{i}{j}.txt").write_bytes(bytes(b))
+
+
+def run_tpugrep(args):
+    out = []
+
+    class W:
+        @staticmethod
+        def write(b):
+            out.append(b)
+
+        @staticmethod
+        def flush():
+            pass
+
+    rc = cli.main(args, out=W(), err=sys.stderr)
+    assert rc == 0
+    return b"".join(out)
+
+
+@pytest.mark.skipif(GREP is None, reason="no grep binary")
+def test_sorted_output_matches_gnu_grep(tmp_path):
+    rng = np.random.default_rng(77)
+    build_tree(tmp_path, rng)
+    ours = run_tpugrep(["-r", "-S", "linus", str(tmp_path)])
+    theirs = subprocess.run(
+        [GREP, "-a", "-r", "linus", str(tmp_path)], capture_output=True
+    ).stdout
+    assert sorted(ours.splitlines()) == sorted(theirs.splitlines())
+
+
+@pytest.mark.skipif(GREP is None, reason="no grep binary")
+def test_sorted_output_matches_gnu_grep_regex(tmp_path):
+    rng = np.random.default_rng(78)
+    build_tree(tmp_path, rng)
+    ours = run_tpugrep(["-r", "lin[a-z]s", str(tmp_path)])
+    theirs = subprocess.run(
+        [GREP, "-a", "-r", "-E", "lin[a-z]s", str(tmp_path)], capture_output=True
+    ).stdout
+    assert sorted(ours.splitlines()) == sorted(theirs.splitlines())
