@@ -170,3 +170,17 @@ def test_server_roundtrip(tree, tmp_path_factory):
     # second request reuses the cached engine
     rc3, via2 = run_client(args)
     assert rc3 == 0 and via2 == via
+
+
+def test_spot_tool(tree, capsys):
+    """spot: parallel find — paths matching the regex, sorted walk order."""
+    from grab_tpu import spot
+
+    rc = spot.main(["-n", "2", str(tree), r".*\.txt"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l]
+    assert lines and all(l.endswith(".txt") for l in lines)
+    rc = spot.main([str(tree), r"zz_no_such_file_zz"])
+    assert rc == 0
+    assert capsys.readouterr().out == ""
