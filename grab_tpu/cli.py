@@ -178,7 +178,7 @@ def main(
         chunk_size=chunk_size,
     )
     mode = "literal" if opts["literal"] else ("pcre2" if opts["pcre2"] else "pcre1")
-    cfg = EngineConfig(output=out_cfg, mode=mode)
+    cfg = EngineConfig(output=out_cfg, mode=mode, n_shards=max(1, opts["cores"]))
 
     if opts["multi"]:
         # -H: pattern argument is a file of patterns, one per line

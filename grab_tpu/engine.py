@@ -132,15 +132,27 @@ class _FactorGatedMatcher:
     """Gate an exact matcher behind a bytes.find of a mandatory literal
     factor: any match must contain the factor within [lo, ahi), so its
     absence proves no-match without running the VM. Candidate windows
-    that were flagged for a neighboring line clear in C speed."""
+    that were flagged for a neighboring line clear in C speed.
 
-    GATE_WINDOW = 4096  # how far past hi the gate is willing to look
+    ``line_bounded``: the pattern cannot match \\n, so a match starting
+    in [lo, hi) has its whole extent — factor included — within
+    [lo, hi). Sound because every caller's window ends at a \\n or at
+    the anchor end (CandidateSearcher line windows / ChunkReplayer full
+    windows); the gate then short-circuits on EVERY window instead of
+    only chunk-final ones."""
 
-    def __init__(self, inner, factor: bytes):
+    GATE_WINDOW = 4096  # how far past hi an unbounded gate will look
+
+    def __init__(self, inner, factor: bytes, line_bounded: bool = False):
         self.inner = inner
         self.factor = factor
+        self.line_bounded = line_bounded
 
     def search(self, data, lo, hi, alo=None, ahi=None):
+        if self.line_bounded:
+            if data.find(self.factor, lo, hi) < 0:
+                return None
+            return self.inner.search(data, lo, hi, alo=alo, ahi=ahi)
         # the factor of an unbounded match may lie arbitrarily far past
         # hi, so a bounded find can only short-circuit when it covered
         # the whole extent window — never scan megabytes per call
@@ -186,6 +198,21 @@ class _FactorSeededMatcher:
                     return m
             i = data.find(self.factor, i + 1, bound)
         return None
+
+
+class _WindowBoundedMatcher:
+    """Clamp the subject end to the scan window: sound only when the
+    pattern cannot match \\n and has no anchors/lookaround (then a match
+    starting in [lo, hi) cannot extend past the line end at hi, and no
+    construct observes bytes beyond it). Without this, a miss probe on
+    a candidate line makes pcre2 scan to the chunk end — quadratic over
+    many flagged lines."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def search(self, data, lo, hi, alo=None, ahi=None):
+        return self.inner.search(data, lo, hi, alo=alo, ahi=hi)
 
 
 class _NeverMatch:
@@ -242,6 +269,7 @@ class EngineConfig:
     device: str = "auto"  # auto | none  (none = pure host scan)
     pcre1_quirks: bool = True  # replicate the ovector[3] capture quirk
     scan_buf_size: Optional[int] = None  # fixed device buffer (None = auto)
+    n_shards: int = 1  # -n N: data-parallel scan over an N-device mesh
 
 
 class Engine:
@@ -271,14 +299,23 @@ class Engine:
         if all(l for l in lits) and not cp.has_captures:
             if len(lits) == 1:
                 return _LiteralMatcher(lits[0])
-            return _MultiMatcher([_LiteralMatcher(l) for l in lits])
+            return _MultiMatcher([_LiteralMatcher(l) for l in lits], cp.asts)
         if self.cfg.mode == "pcre2":
             from grab_tpu.regex import pcre2
 
             if pcre2.available():
+                matchers = []
+                for p, t in zip(cp.patterns, cp.asts):
+                    m = pcre2.PCRE2Pattern(p)
+                    if not A.may_match_newline(t) and not A.has_anchors(t):
+                        m = _WindowBoundedMatcher(m)
+                    # factor gate (bytes.find prefilter) applies to any
+                    # exact engine; seeded start-ranges need start_hi
+                    # support, which the pcre2 API lacks — gate only
+                    matchers.append(self._factor_gate(m, t, seeded=False))
                 if cp.n_patterns == 1:
-                    return pcre2.PCRE2Pattern(cp.patterns[0])
-                return _MultiMatcher([pcre2.PCRE2Pattern(p) for p in cp.patterns])
+                    return matchers[0]
+                return _MultiMatcher(matchers, cp.asts)
             # fall through to our engine (semantics match on the subset)
         quirk = self.cfg.mode == "pcre1" and self.cfg.pcre1_quirks
         # PCRE1 3-slot-ovector quirk applies per pattern: a capturing
@@ -294,10 +331,10 @@ class Engine:
             return _NeverMatch()
         if cp.n_patterns == 1:
             return matchers[0]
-        return _MultiMatcher(matchers)
+        return _MultiMatcher(matchers, cp.asts)
 
     @staticmethod
-    def _factor_gate(matcher, tree):
+    def _factor_gate(matcher, tree, seeded: bool = True):
         # mandatory_literals returns an ALTERNATIVE set (any match
         # contains >= 1 member); gating on one member is only sound
         # when it is the set's sole element
@@ -308,9 +345,11 @@ class Engine:
         if len(factor) < 2:
             return matcher
         mx = A.max_len(tree)
-        if mx is not None and mx - len(factor) <= 64:
+        if seeded and mx is not None and mx - len(factor) <= 64:
             return _FactorSeededMatcher(matcher, factor, mx - len(factor))
-        return _FactorGatedMatcher(matcher, factor)
+        return _FactorGatedMatcher(
+            matcher, factor, line_bounded=not A.may_match_newline(tree)
+        )
 
     # -- device availability -------------------------------------------
 
@@ -331,12 +370,34 @@ class Engine:
 
     def _get_scanner(self):
         if self._scanner is None:
-            from grab_tpu.scan_pipeline import DeviceScanner
+            n = self._effective_shards()
+            if n > 1:
+                from grab_tpu.parallel.sharded import ShardedScanner
 
-            self._scanner = DeviceScanner(
-                self.compiled, buf_size=self.cfg.scan_buf_size
-            )
+                self._scanner = ShardedScanner(
+                    self.compiled, n, buf_size=self.cfg.scan_buf_size
+                )
+            else:
+                from grab_tpu.scan_pipeline import DeviceScanner
+
+                self._scanner = DeviceScanner(
+                    self.compiled, buf_size=self.cfg.scan_buf_size
+                )
         return self._scanner
+
+    def _effective_shards(self) -> int:
+        """-n N capped at the devices actually present (the reference
+        errors out when threads > cores, main.cc:211-214; we degrade to
+        the hardware instead — documented deviation, docs/PARITY.md §5)."""
+        n = self.cfg.n_shards
+        if n <= 1:
+            return 1
+        try:
+            import jax
+
+            return max(1, min(n, len(jax.devices())))
+        except Exception:
+            return 1
 
     # -- scanning ------------------------------------------------------
 
@@ -514,12 +575,101 @@ def _close_quietly(data):
 
 class _MultiMatcher:
     """Leftmost-across-patterns search: earliest start wins; ties broken
-    by pattern order (hyperscan-batch semantics for reporting)."""
+    by pattern order (hyperscan-batch semantics for reporting).
 
-    def __init__(self, matchers):
+    With ``trees``, candidate windows are routed by factor: ONE
+    overlapping ``re`` alternation scan of the window finds which
+    mandatory factors occur, and only their owners (plus factor-less
+    patterns) are probed — a -H batch of K patterns costs one C pass
+    per window instead of K gate finds (the round-1 verify floor,
+    VERDICT weak item 8). Routing soundness mirrors the per-matcher
+    gates: a factor-owner is skipped only when its own gate would have
+    skipped (seeded owners' windows are covered by ``_extra``;
+    line-bounded owners need the factor inside [lo, hi))."""
+
+    def __init__(self, matchers, trees=None):
         self.matchers = matchers
+        self._route = False
+        if trees is not None:
+            self._build_route(trees)
+
+    def _build_route(self, trees):
+        import re as _re
+
+        always = []
+        owners = {}  # factor -> [matcher indices]
+        extra = 0  # bytes past hi the routing scan must cover
+        for i, (m, t) in enumerate(zip(self.matchers, trees)):
+            if isinstance(m, _NeverMatch):
+                continue  # capture-quirk patterns never produce output
+            facs = A.mandatory_literals(t) if t is not None else None
+            f = (
+                facs[0]
+                if facs and len(facs) == 1 and len(facs[0]) >= 2
+                else None
+            )
+            routable = f is not None and (
+                isinstance(m, _FactorSeededMatcher)
+                or (isinstance(m, _FactorGatedMatcher) and m.line_bounded)
+                or A.exact_literal(t) is not None
+            )
+            if not routable:
+                always.append(i)
+                continue
+            owners.setdefault(f, []).append(i)
+            if isinstance(m, _FactorSeededMatcher):
+                extra = max(extra, m.d + len(f))
+            elif isinstance(m, _LiteralMatcher):
+                # a literal may START exactly at hi (its extent runs to
+                # hi + len within [alo, ahi)): cover it
+                extra = max(extra, len(f))
+        if not owners or len(self.matchers) < 4:
+            return
+        # overlapping scan: zero-width lookahead so a factor starting
+        # inside another's occurrence is still seen; longest-first so
+        # the group is the longest factor at each position (its proper
+        # prefixes among the factors are implied present)
+        facs_sorted = sorted(owners, key=len, reverse=True)
+        rx = _re.compile(
+            b"(?=(" + b"|".join(_re.escape(f) for f in facs_sorted) + b"))"
+        )
+        prefixes = {
+            g: [f for f in owners if f != g and g.startswith(f)]
+            for g in owners
+        }
+        self._rx = rx
+        self._owners = owners
+        self._prefixes = prefixes
+        self._always = always
+        self._extra = extra
+        self._route = True
 
     def search(self, data, lo, hi, alo=None, ahi=None):
+        if not self._route:
+            return self._search_all(data, lo, hi, alo, ahi)
+        ahi_eff = hi if ahi is None else ahi
+        bound = min(ahi_eff, hi + self._extra)
+        found = set()
+        n_facs = len(self._owners)
+        for m in self._rx.finditer(data, lo, bound):
+            g = m.group(1)
+            if g not in found:
+                found.add(g)
+                found.update(self._prefixes[g])
+                if len(found) == n_facs:
+                    break
+        probe = list(self._always)
+        for f in found:
+            probe.extend(self._owners[f])
+        probe.sort()  # pattern order defines the tie-break
+        best = None
+        for i in probe:
+            r = self.matchers[i].search(data, lo, hi, alo=alo, ahi=ahi)
+            if r is not None and (best is None or r[0] < best[0]):
+                best = r
+        return best
+
+    def _search_all(self, data, lo, hi, alo, ahi):
         best = None
         for m in self.matchers:
             r = m.search(data, lo, hi, alo=alo, ahi=ahi)

@@ -5,19 +5,19 @@ then round-robin assigns files to N pinned threads, each with a private
 compiled pattern; output interleaves nondeterministically at chunk
 granularity under a mutex (grab.cc:218-226).
 
-Here -n maps to device-level data parallelism instead of host threads:
-the corpus streams through the engine's fixed-shape scan pipeline (the
-automaton is already resident on every device; see parallel/scan_step
-for the sharded mesh step), and per-file output is emitted in walk
-order — deterministic, a strict strengthening of the reference's
-sorted-output conformance methodology (README.md:209-216).
+Here -n maps to device-level data parallelism: the engine's
+CorpusPipeline packs the corpus into fixed-shape batches exactly as in
+the single-device path, and the ShardedScanner (parallel/sharded)
+consumes N batches per step — one per shard of a 1-D mesh, automaton
+replicated, candidate counts psum'd over ICI. Per-file output is
+emitted in walk order — deterministic, a strict strengthening of the
+reference's sorted-output conformance methodology (README.md:209-216),
+and byte-identical to -n 1 because the packer layout is unchanged.
 """
 
 from __future__ import annotations
 
 from typing import Callable
-
-from grab_tpu.ingest.walker import walk_files
 
 
 def run_parallel(
@@ -26,9 +26,11 @@ def run_parallel(
     emit: Callable[[bytes], None],
     n_shards: int,
 ) -> int:
-    """Scan ``root`` recursively through the batched device pipeline.
+    """Scan ``root`` recursively with an ``n_shards``-device mesh.
 
     Returns total bytes scanned (for --stats)."""
+    if engine._scanner is None:
+        engine.cfg.n_shards = max(1, n_shards)
     engine.cfg.output.recursive = True
     total = 0
 

@@ -1,0 +1,217 @@
+"""ShardedScanner: the multi-device data-parallel scan step.
+
+This is the production `-n N` path — the TPU equivalent of the
+reference's multicore orchestrator (/root/reference/src/main.cc:86-100,
+163-230: round-robin file striding across N pinned threads, one
+compiled pattern per thread). Mapping:
+
+  * one 1-D ``jax.sharding.Mesh`` over N chips (``shards`` axis);
+  * the compiled automaton (SMEM literal tables / transition tables) is
+    REPLICATED on every chip — the analog of each thread compiling its
+    own pattern copy (main.cc:195-199);
+  * each device step consumes N packer batches, stacked on a leading
+    shard axis and placed with ``NamedSharding(mesh, P("shards", ...))``
+    — each chip scans one batch with the identical fixed-shape kernel;
+  * the global candidate count rides ``jax.lax.psum`` over ICI —
+    replacing the reference's stdout mutex (grab.cc:56, 218-226) —
+    so a clean group (the dominant case on miss-heavy scans,
+    README.md:125-127) costs ONE scalar pull for all N shards;
+  * per-shard packed flags stay device-local until the host decodes
+    them, and output order is restored by the pipeline's deterministic
+    per-file merge — `-n N` output is byte-identical to `-n 1` because
+    the packer layout is untouched; only submission is grouped.
+
+The per-shard bodies reuse DeviceScanner's own machinery, so every
+engine mode (literal core-word / bloom ensemble, class sequences,
+gather-DFA, jnp fallbacks on the CPU test platform) shards the same
+way.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from grab_tpu.parallel.scan_step import make_mesh
+from grab_tpu.scan_pipeline import DeviceScanner
+
+
+def _shard_map():
+    try:
+        from jax import shard_map  # jax >= 0.4.35 spelling
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def _wrap_shard_map(body, mesh, in_specs, out_specs):
+    shard_map = _shard_map()
+    try:
+        # pallas_call inside shard_map: outputs carry no vma metadata,
+        # so the replication checker must be off
+        return shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+class ShardedScanner(DeviceScanner):
+    """DeviceScanner over an N-device mesh: ``submit_group`` takes up to
+    N packer buffers (one per shard) and runs them as one sharded step."""
+
+    def __init__(self, compiled, n_shards: int, buf_size: Optional[int] = None,
+                 **kw):
+        self.mesh = make_mesh(n_shards)
+        self.n_shards = int(self.mesh.devices.size)
+        super().__init__(compiled, buf_size=buf_size, **kw)
+        self.group_size = self.n_shards
+        self._sharded_fn = None
+        self._in_sharding = None
+
+    # -- sharded program ------------------------------------------------
+
+    def _build_sharded(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        nb = self.buf_size // self.block
+
+        if self.mode == "gdfa":
+            from grab_tpu.ops.pallas_gatherdfa import gather_dfa_bitmap
+
+            g = self._gdfa
+            tab = self._jnp.asarray(g.tables.tab)
+
+            def body(w3):  # [1, steps*128, 128] per shard
+                bm = gather_dfa_bitmap(
+                    w3[0], tab, g.tables.n_classes, g.tables.start,
+                    g.tables.accept_bits, interpret=g.interpret,
+                )
+                total = jax.lax.psum(
+                    jnp.count_nonzero(bm).astype(jnp.int32), "shards"
+                )
+                return total, bm[None]
+
+            fn = _wrap_shard_map(
+                body, mesh, (P("shards", None, None),),
+                (P(), P("shards", None, None)),
+            )
+            self._in_sharding = NamedSharding(mesh, P("shards", None, None))
+            return jax.jit(fn)
+
+        if getattr(self, "_input_words", False):
+            members = self._cw_list
+
+            def body(w3):  # [1, rows + PAD_ROWS, 128] per shard
+                tot = jnp.int32(0)
+                outs = []
+                for s in members:
+                    t, pk = s.packed(w3[0])
+                    tot = tot + t
+                    outs.append(pk[None])
+                total = jax.lax.psum(tot, "shards")
+                return (total, *outs)
+
+            fn = _wrap_shard_map(
+                body, mesh, (P("shards", None, None),),
+                (P(), *[P("shards", None) for _ in members]),
+            )
+            self._in_sharding = NamedSharding(mesh, P("shards", None, None))
+            return jax.jit(fn)
+
+        counts_fn = self._fn
+
+        def body(d2):  # [1, buf_size] uint8 per shard
+            counts = counts_fn(d2[0])
+            flags = (counts > 0).astype(jnp.uint32)
+            tot = flags.sum(dtype=jnp.int32)
+            powers = jnp.left_shift(
+                jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32)
+            )
+            packed = (flags.reshape(nb // 32, 32) * powers[None, :]).sum(
+                axis=1, dtype=jnp.uint32
+            )
+            total = jax.lax.psum(tot, "shards")
+            return total, packed[None]
+
+        fn = _wrap_shard_map(
+            body, mesh, (P("shards", None),), (P(), P("shards", None))
+        )
+        import jax as _jax
+        from jax.sharding import NamedSharding as NS
+
+        self._in_sharding = NS(mesh, P("shards", None))
+        return _jax.jit(fn)
+
+    # -- host-side prep (mirrors DeviceScanner.submit) -------------------
+
+    def _prep_one(self, buf: np.ndarray) -> np.ndarray:
+        if self.mode == "gdfa":
+            return self._gdfa._transpose(np.asarray(buf[: self.buf_size]))
+        if getattr(self, "_input_words", False):
+            from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
+
+            want = self.buf_size + PAD_ROWS * LANES * 4
+            if buf.shape[0] < want:  # caller without the packer's tail
+                buf = np.concatenate(
+                    [buf, np.zeros(want - buf.shape[0], dtype=np.uint8)]
+                )
+            return buf[:want].view("<i4").reshape(-1, 128)
+        return np.asarray(buf[: self.buf_size])
+
+    # -- group submit/resolve --------------------------------------------
+
+    def submit_group(self, bufs: List[np.ndarray]):
+        """Dispatch up to n_shards packer buffers as one sharded step;
+        short groups (stream tail) are padded with zero shards, whose
+        segments-free flags the pipeline never reads."""
+        import jax
+
+        assert 0 < len(bufs) <= self.n_shards, (len(bufs), self.n_shards)
+        if self._sharded_fn is None:
+            self._sharded_fn = self._build_sharded()
+        shards = [self._prep_one(b) for b in bufs]
+        n_real = len(shards)
+        while len(shards) < self.n_shards:
+            shards.append(np.zeros_like(shards[0]))
+        x = jax.device_put(np.stack(shards), self._in_sharding)
+        handles = self._sharded_fn(x)
+        return (n_real,) + tuple(handles)
+
+    def resolve_group(self, handles) -> List[np.ndarray]:
+        """→ per-batch int32 [buf_size/block] candidate flags, in
+        submit order. A zero psum total short-circuits every shard with
+        one 4-byte device pull."""
+        n_real, total, rest = handles[0], handles[1], handles[2:]
+        nb = self.buf_size // self.block
+        if int(total) == 0:
+            return [np.zeros(nb, dtype=np.int32) for _ in range(n_real)]
+        if self.mode == "gdfa":
+            bm3 = np.asarray(rest[0])
+            return [self._gdfa.flags_np(bm3[s], nb) for s in range(n_real)]
+        if getattr(self, "_input_words", False):
+            mats = [np.asarray(r) for r in rest]  # one [S, rows/32] per member
+            out = []
+            for s in range(n_real):
+                flags = np.zeros(nb, dtype=np.int32)
+                for member, mat in zip(self._cw_list, mats):
+                    np.maximum(flags, member.flags_np(mat[s], nb), out=flags)
+                out.append(flags)
+            return out
+        packed = np.asarray(rest[0])  # [S, nb/32] uint32
+        out = []
+        for s in range(n_real):
+            bits = packed[s].view(np.uint32)
+            flags = (
+                (bits[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+            )
+            out.append(flags.reshape(nb).astype(np.int32))
+        return out

@@ -51,6 +51,8 @@ def enable_compilation_cache():
 class DeviceScanner:
     """Wraps the jitted fixed-shape candidate scan."""
 
+    group_size = 1  # batches consumed per submit (ShardedScanner: N)
+
     def __init__(
         self,
         compiled,
@@ -399,40 +401,61 @@ class CorpusPipeline:
         from grab_tpu.ingest.packer import BatchPacker
 
         block = self.scanner.block
+        group_size = getattr(self.scanner, "group_size", 1)
         packer = BatchPacker(self.scanner.buf_size, block, self.halo)
         # in-flight bookkeeping, keyed by file index
         inflight: Dict[int, list] = {}  # idx -> [path, data, counts, final]
         packed_done: set = set()  # fully packed, awaiting their last flush
         # double buffering: submitted batches resolve one flush later,
         # so device upload+scan overlap host packing of the next batch
-        submitted = deque()  # (batch, handles, files_done_before_batch)
+        submitted = deque()  # (batches, handles, files_done_before_group)
+        pending: List = []  # batches awaiting a full shard group
         emitted = 0
         total = 0
 
         def submit_batch(batch):
-            self.batches_run += 1
-            handles = self.scanner.submit(batch.buf)
-            submitted.append((batch, handles, frozenset(packed_done)))
+            """Queue one packer batch; a sharded scanner consumes
+            group_size batches per device step (one per mesh shard —
+            the data-parallel axis of main.cc:86-100), a single-device
+            scanner submits immediately."""
+            pending.append(batch)
+            if len(pending) >= group_size:
+                flush_group()
+
+        def flush_group():
+            if not pending:
+                return
+            self.batches_run += len(pending)
+            if group_size == 1:
+                handles = self.scanner.submit(pending[0].buf)
+            else:
+                handles = self.scanner.submit_group([b.buf for b in pending])
+            submitted.append((list(pending), handles, frozenset(packed_done)))
+            pending.clear()
             packed_done.clear()
             while len(submitted) > 1:
                 apply_one()
 
         def apply_one():
-            """Resolve the oldest submitted batch and fold its flags
-            into the owning files; files fully packed before that batch
+            """Resolve the oldest submitted group and fold its flags
+            into the owning files; files fully packed before that group
             became final once it is applied."""
-            batch, handles, done_set = submitted.popleft()
-            counts = self.scanner.resolve(handles)
-            for seg in batch.segments:
-                st = inflight[seg.file_idx]
-                b0 = seg.buf_off // block
-                nb = -(-seg.length // block)
-                f0 = seg.file_off // block
-                fc = st[2]
-                lim = min(f0 + nb, fc.shape[0])
-                np.maximum(
-                    fc[f0:lim], counts[b0 : b0 + (lim - f0)], out=fc[f0:lim]
-                )
+            batches, handles, done_set = submitted.popleft()
+            if group_size == 1:
+                counts_list = [self.scanner.resolve(handles)]
+            else:
+                counts_list = self.scanner.resolve_group(handles)
+            for batch, counts in zip(batches, counts_list):
+                for seg in batch.segments:
+                    st = inflight[seg.file_idx]
+                    b0 = seg.buf_off // block
+                    nb = -(-seg.length // block)
+                    f0 = seg.file_off // block
+                    fc = st[2]
+                    lim = min(f0 + nb, fc.shape[0])
+                    np.maximum(
+                        fc[f0:lim], counts[b0 : b0 + (lim - f0)], out=fc[f0:lim]
+                    )
             for i in done_set:
                 inflight[i][3] = True
 
@@ -455,6 +478,7 @@ class CorpusPipeline:
         final = packer.finish()
         if final is not None:
             submit_batch(final)
+        flush_group()
         while submitted:
             apply_one()
         for i in packed_done:

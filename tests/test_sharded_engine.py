@@ -1,0 +1,104 @@
+"""-n N production path: the ShardedScanner inside the Engine.
+
+The contract (VERDICT round 1, item 1): ``tpugrep -n 8 -r <pat> <tree>``
+on an 8-device CPU mesh shards packer batches across the mesh inside
+CorpusPipeline and produces byte-identical output to ``-n 1`` — the
+packer layout is untouched, only submission is grouped, so candidate
+flags (and hence the replayed output grammar) cannot differ.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grab_tpu.cli import main as cli_main
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+
+BUF = 64 << 10  # small fixed buffer → many batches per corpus
+
+
+def _corpus(rng, n_files=6, base=120_000):
+    files = []
+    for i in range(n_files):
+        n = base + rng.integers(0, 30_000)
+        data = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8))
+        # newline structure + planted needles
+        for p in range(0, n, 97):
+            data[p] = 0x0A
+        for p in range(500, n - 40, 7919):
+            data[p : p + 8] = b"needle%02d" % (i % 100)
+        files.append((f"mem://f{i}", bytes(data)))
+    return files
+
+
+def _scan(files, pattern, n_shards, mode="pcre1"):
+    cfg = EngineConfig(
+        output=OutputConfig(recursive=True),
+        mode=mode,
+        scan_buf_size=BUF,
+        n_shards=n_shards,
+    )
+    eng = Engine([pattern], cfg)
+    out = bytearray()
+    eng.scan_corpus(iter(files), out.extend)
+    return bytes(out), eng
+
+
+@pytest.mark.parametrize(
+    "pattern,mode",
+    [
+        (b"needle03", "literal"),  # literal kernel path
+        (rb"needle[0-9]+", "pcre1"),  # factor-prefiltered regex
+        (rb"[l-n]eedle[0-9][0-9]", "pcre1"),  # class-sequence path
+    ],
+)
+def test_sharded_output_identical(pattern, mode):
+    rng = np.random.default_rng(7)
+    files = _corpus(rng)
+    out1, eng1 = _scan(files, pattern, 1, mode)
+    out8, eng8 = _scan(files, pattern, 8, mode)
+    assert out1, "corpus must produce matches for the test to mean anything"
+    assert out8 == out1
+    # the sharded path actually ran group submissions over the mesh
+    assert eng8._scanner is not None and eng8._scanner.group_size == 8
+    assert eng8.stats.device_batches >= 8
+
+
+def test_sharded_miss_is_clean():
+    rng = np.random.default_rng(8)
+    files = _corpus(rng)
+    out8, eng8 = _scan(files, b"qZx9kWv3", 8, "literal")
+    assert out8 == b""
+    assert eng8.stats.clean_files == len(files)
+
+
+def test_cli_n8_matches_single(tmp_path):
+    rng = np.random.default_rng(9)
+    d = tmp_path / "tree"
+    (d / "sub").mkdir(parents=True)
+    for i, (name, data) in enumerate(_corpus(rng, n_files=4, base=20_000)):
+        p = d / ("sub" if i % 2 else ".") / f"f{i}.txt"
+        p.write_bytes(data)
+
+    def run(argv):
+        buf = bytearray()
+
+        class W:
+            def write(self, b):
+                buf.extend(b)
+
+            def flush(self):
+                pass
+
+        rc = cli_main(argv, out=W())
+        return rc, bytes(buf)
+
+    # -n 8 quarters the chunk (main.cc:172-173); -L -L quarters it too,
+    # so the flush boundaries (and hence output) must agree exactly
+    rc8, out8 = run(["-n", "8", "-r", "needle0[0-9]", str(d)])
+    rc1, outL = run(["-L", "-L", "-r", "needle0[0-9]", str(d)])
+    assert rc8 == 0 and rc1 == 0
+    assert out8 == outL
+    assert out8  # matched something
