@@ -13,9 +13,11 @@ Supported syntax:
   ``\\d \\D \\w \\W \\s \\S \\h \\n \\r \\t \\f \\v \\0 \\a \\e
   \\xHH \\x{...} \\cX \\Q...\\E`` and backreferences ``\\1``-``\\9``.
 
-Unsupported constructs (lookaround, subroutine calls, conditionals,
-script runs, \\p{...}) raise RegexSyntaxError; the engine surfaces that
-as the reference surfaces pcre_compile errors (grab.cc:107).
+Lookaround ``(?=..) (?!..) (?<=..) (?<!..)`` is supported (exact
+engines only — it disables DFA coverage; see tests/test_lookaround_flags).
+Unsupported constructs (subroutine calls, conditionals, script runs,
+\\p{...}) raise RegexSyntaxError; the engine surfaces that as the
+reference surfaces pcre_compile errors (grab.cc:107).
 """
 
 from __future__ import annotations

@@ -1,0 +1,99 @@
+"""Bucketed _MultiMatcher routing (VERDICT weak item 8).
+
+A -H batch of K patterns used to probe all K matchers per candidate
+window; routing scans the window ONCE with an overlapping alternation
+of the mandatory factors and probes only the owners found. Pins:
+
+  * routing is built for big literal batches,
+  * results are identical to the probe-everything oracle on random
+    windows (including overlapping/prefix factors),
+  * engine output with a 100-literal + regex batch matches the
+    unrouted oracle byte-for-byte.
+"""
+
+import numpy as np
+
+from grab_tpu.engine import Engine, EngineConfig, _MultiMatcher
+from grab_tpu.format.emitter import OutputConfig
+
+
+def _mk_engine(patterns, mode="pcre1"):
+    cfg = EngineConfig(
+        output=OutputConfig(recursive=True), mode=mode, scan_buf_size=64 << 10
+    )
+    return Engine(patterns, cfg)
+
+
+def test_routing_built_for_literal_batch():
+    pats = [b"alpha%03d" % i for i in range(50)]
+    eng = _mk_engine(pats, "literal")
+    m = eng._exact
+    assert isinstance(m, _MultiMatcher) and m._route
+    assert not m._always  # every literal is routable
+
+
+def test_routing_equals_probe_all():
+    rng = np.random.default_rng(5)
+    pats = (
+        [b"alpha%02d" % i for i in range(20)]
+        + [b"alp", b"alpha", b"lpha0"]  # prefix/overlap factors
+        + [rb"beta[0-9]{2}x", rb"gam+a7"]
+    )
+    eng = _mk_engine(pats)
+    m = eng._exact
+    assert isinstance(m, _MultiMatcher) and m._route
+
+    n = 40_000
+    data = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8))
+    for p in range(0, n, 61):
+        data[p] = 0x0A
+    for p, s in [
+        (100, b"alpha07"),
+        (161, b"alpha0"),  # contains factor prefix cases
+        (300, b"lpha03"),
+        (5000, b"beta42x"),
+        (9000, b"gammma7"),
+        (9040, b"alpalpha19"),
+    ]:
+        data[p : p + len(s)] = s
+    data = bytes(data)
+
+    for lo in range(0, n - 200, 157):
+        hi = data.find(b"\n", lo + 50)
+        hi = n if hi < 0 else hi
+        got = m.search(data, lo, hi, alo=0, ahi=n)
+        want = m._search_all(data, lo, hi, 0, n)
+        assert got == want, (lo, hi, got, want)
+
+
+def test_engine_mixed_batch_routed_output():
+    rng = np.random.default_rng(6)
+    pats = [b"lit%03dword" % i for i in range(100)] + [
+        rb"rex[0-9]+end",
+        rb"qu+ux",
+    ]
+    n = 300_000
+    data = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8))
+    for p in range(0, n, 89):
+        data[p] = 0x0A
+    for p, s in [
+        (1000, b"lit042word"),
+        (50_000, b"rex123end"),
+        (100_000, b"quuuux"),
+        (200_000, b"lit099word"),
+    ]:
+        data[p : p + len(s)] = s
+    data = bytes(data)
+
+    eng = _mk_engine(pats)
+    assert isinstance(eng._exact, _MultiMatcher) and eng._exact._route
+    out = bytearray()
+    eng.scan_data("mem://x", data, out.extend)
+
+    # oracle: identical engine with routing disabled
+    eng2 = _mk_engine(pats)
+    eng2._exact._route = False
+    out2 = bytearray()
+    eng2.scan_data("mem://x", data, out2.extend)
+    assert bytes(out) == bytes(out2)
+    assert b"lit042word" in bytes(out) and b"rex123end" in bytes(out)
