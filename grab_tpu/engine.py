@@ -452,6 +452,79 @@ class Engine:
         st.device_batches = getattr(pipeline, "batches_run", 0)
         return 0
 
+    def scan_corpus_paths(
+        self,
+        entries: Iterable[Tuple[str, int]],
+        emit: Callable[[bytes], None],
+        on_done: Optional[Callable[[str], None]] = None,
+    ) -> int:
+        """Scan (path, size) pairs without opening them in Python: the
+        pipeline fills fixed-shape scan buffers straight from disk via
+        the native pread pool (ingest/native gt_fill2), and only files
+        with candidate blocks are opened for the exact replay — the
+        disk→HBM stream the reference gets from mmap + page faults
+        (grab.cc:137-169), minus any host copy for clean files."""
+        import time
+
+        st = self.stats
+        if not self._device_usable():
+            for path, size in entries:
+                try:
+                    data = self._open_data(path, size)
+                except OSError as e:
+                    print(
+                        f"{path}: Engine::scan_file::open: {e.strerror}",
+                        file=sys.stderr,
+                    )
+                    continue
+                st.files_scanned += 1
+                st.bytes_scanned += size
+                t0 = time.monotonic()
+                self._replay(path, data, None, emit)
+                st.wall_replay += time.monotonic() - t0
+                _close_quietly(data)
+                if on_done is not None:
+                    on_done(path)
+            return 0
+        from grab_tpu.scan_pipeline import CorpusPipeline
+
+        pipeline = CorpusPipeline(self._get_scanner())
+        t_last = time.monotonic()
+        for path, size, counts, err in pipeline.run_paths(entries):
+            now = time.monotonic()
+            st.wall_scan += now - t_last
+            if err:
+                print(
+                    f"{path}: Engine::scan_file::open: {os.strerror(err)}",
+                    file=sys.stderr,
+                )
+                t_last = time.monotonic()
+                continue
+            st.files_scanned += 1
+            st.bytes_scanned += size
+            st.candidate_blocks += int((counts > 0).sum())
+            if counts.any():
+                t0 = time.monotonic()
+                try:
+                    data = self._open_data(path, size)
+                except OSError as e:
+                    print(
+                        f"{path}: Engine::scan_file::open: {e.strerror}",
+                        file=sys.stderr,
+                    )
+                    t_last = time.monotonic()
+                    continue
+                self._replay(path, data, counts, emit)
+                _close_quietly(data)
+                st.wall_replay += time.monotonic() - t0
+            else:
+                st.clean_files += 1
+            if on_done is not None:
+                on_done(path)
+            t_last = time.monotonic()
+        st.device_batches = getattr(pipeline, "batches_run", 0)
+        return 0
+
     def scan_data(self, path: str, data: bytes, emit: Callable[[bytes], None]) -> int:
         """Scan one in-memory buffer."""
         if self.compiled.min_len > len(data):
@@ -493,6 +566,20 @@ class Engine:
     def _walk_data_iter(
         self, root: str, manifest=None
     ) -> Iterator[Tuple[str, object]]:
+        for path, size in self._walk_entries(root, manifest):
+            try:
+                yield path, self._open_data(path, size)
+            except OSError as e:
+                print(
+                    f"{path}: Engine::scan_file::open: {e.strerror}",
+                    file=sys.stderr,
+                )
+
+    def _walk_entries(
+        self, root: str, manifest=None
+    ) -> Iterator[Tuple[str, int]]:
+        """Pruned (path, size) stream from the deterministic walk —
+        metadata only (grab.cc:133-135's skip-without-open)."""
         for entry in walk_files(root):
             self.stats.files_seen += 1
             if self.compiled.min_len > entry.size:
@@ -501,68 +588,27 @@ class Engine:
             if manifest is not None and manifest.is_done(entry.path, entry.size):
                 self.stats.files_pruned += 1
                 continue
-            try:
-                yield entry.path, self._open_data(entry.path, entry.size)
-            except OSError as e:
-                print(
-                    f"{entry.path}: Engine::scan_file::open: {e.strerror}",
-                    file=sys.stderr,
-                )
+            yield entry.path, entry.size
 
     def find_recursive(
         self, root: str, emit: Callable[[bytes], None], manifest=None
     ) -> int:
         self.cfg.output.recursive = True
-        if manifest is None:
-            return self.scan_corpus(self._walk_data_iter(root), emit)
-
+        entries = self._walk_entries(root, manifest)
         sizes = {}
 
         def tracked():
-            for path, data in self._walk_data_iter(root, manifest):
-                sizes[path] = len(data)
-                yield path, data
+            for path, size in entries:
+                sizes[path] = size
+                yield path, size
 
-        def emit_and_mark(path):
-            def inner(buf):
-                emit(buf)
-
-            return inner
-
-        # scan_corpus emits per file in order; mark completion as each
-        # file's replay finishes by wrapping the per-file loop
-        rc = self._scan_corpus_with_completion(
-            tracked(), emit, lambda p: manifest.mark_done(p, sizes.get(p, -1))
-        )
-        manifest.close()
+        on_done = None
+        if manifest is not None:
+            on_done = lambda p: manifest.mark_done(p, sizes.get(p, -1))
+        rc = self.scan_corpus_paths(tracked(), emit, on_done=on_done)
+        if manifest is not None:
+            manifest.close()
         return rc
-
-    def _scan_corpus_with_completion(self, files, emit, on_done) -> int:
-        import time
-
-        st = self.stats
-        if not self._device_usable():
-            for path, data in files:
-                st.files_scanned += 1
-                st.bytes_scanned += len(data)
-                self._replay(path, data, None, emit)
-                on_done(path)
-            return 0
-        from grab_tpu.scan_pipeline import CorpusPipeline
-
-        pipeline = CorpusPipeline(self._get_scanner())
-        for path, data, counts in pipeline.run(files):
-            st.files_scanned += 1
-            st.bytes_scanned += len(data)
-            st.candidate_blocks += int((counts > 0).sum())
-            if counts.any():
-                self._replay(path, data, counts, emit)
-            else:
-                st.clean_files += 1
-            _close_quietly(data)
-            on_done(path)
-        st.device_batches = getattr(pipeline, "batches_run", 0)
-        return 0
 
 
 def _close_quietly(data):

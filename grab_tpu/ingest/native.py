@@ -35,12 +35,20 @@ _WALK_CB = ctypes.CFUNCTYPE(None, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void
 _ERR_CB = ctypes.CFUNCTYPE(None, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p)
 
 
+def _stale() -> bool:
+    try:
+        src = os.path.getmtime(os.path.join(_NATIVE_DIR, "ingest.cc"))
+        return os.path.getmtime(_SO_PATH) < src
+    except OSError:
+        return True
+
+
 def _load():
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    if not os.path.exists(_SO_PATH):
+    if _stale():
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
@@ -49,13 +57,14 @@ def _load():
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_SO_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
     lib.gt_abi_version.restype = ctypes.c_int
-    if lib.gt_abi_version() != 1:
+    if lib.gt_abi_version() < 1:
         return None
     lib.gt_walk.restype = ctypes.c_int
     lib.gt_walk.argtypes = [ctypes.c_char_p, _WALK_CB, _ERR_CB, ctypes.c_void_p]
@@ -66,6 +75,23 @@ def _load():
         ctypes.c_int32,
         ctypes.c_int32,
     ]
+    if lib.gt_abi_version() >= 2:
+        lib.gt_fill2.restype = ctypes.c_int
+        lib.gt_fill2.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(_Seg),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.gt_pwalk.restype = ctypes.c_int
+        lib.gt_pwalk.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            _WALK_CB,
+            _ERR_CB,
+            ctypes.c_void_p,
+        ]
     _lib = lib
     return lib
 
@@ -75,9 +101,15 @@ def available() -> bool:
 
 
 def walk_native(
-    root: str, on_error: Optional[Callable[[str, str], None]] = None
+    root: str,
+    on_error: Optional[Callable[[str, str], None]] = None,
+    workers: int = 1,
 ) -> Optional[List[Tuple[str, int]]]:
-    """Native walk; returns None if the library is unavailable."""
+    """Native walk; returns None if the library is unavailable.
+
+    ``workers > 1`` uses the parallel thread-pool walk (gt_pwalk —
+    greppin's parallel nftw counterpart, README.md:137-139); output
+    order is identical to the serial walk by construction."""
     lib = _load()
     if lib is None:
         return None
@@ -96,7 +128,11 @@ def walk_native(
         else:
             print(f"{p}: {m}", file=sys.stderr)
 
-    lib.gt_walk(root.encode("utf-8", "surrogateescape"), cb, err, None)
+    rootb = root.encode("utf-8", "surrogateescape")
+    if workers > 1 and hasattr(lib, "gt_pwalk"):
+        lib.gt_pwalk(rootb, workers, cb, err, None)
+    else:
+        lib.gt_walk(rootb, cb, err, None)
     return out
 
 
@@ -118,3 +154,64 @@ def fill_native(
         arr[i].length = length
     ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     return int(lib.gt_fill(ptr, arr, n, nthreads))
+
+
+def fill_segments(
+    buf: np.ndarray,
+    segments: List[Tuple[bytes, int, int, int]],
+    nthreads: int = 8,
+) -> List[int]:
+    """Fill ``buf`` from (path, file_off, buf_off, length) segments;
+    returns a per-segment errno list (0 = ok). Uses the native pread
+    pool (GIL-free, parallel — the replacement for the reference's
+    mmap streaming, grab.cc:137-169) when available, else a Python
+    os.pread fallback with identical semantics."""
+    n = len(segments)
+    lib = _load()
+    if lib is not None and hasattr(lib, "gt_fill2"):
+        arr = (_Seg * n)()
+        for i, (path, foff, boff, length) in enumerate(segments):
+            arr[i].path = path
+            arr[i].file_off = foff
+            arr[i].buf_off = boff
+            arr[i].length = length
+        failed = (ctypes.c_int32 * n)()
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        lib.gt_fill2(ptr, arr, n, nthreads, failed)
+        return list(failed)
+    # Python fallback: sequential preads, one fd per distinct path run
+    errs = [0] * n
+    fd, fd_path = -1, None
+    try:
+        for i, (path, foff, boff, length) in enumerate(segments):
+            if path != fd_path:
+                if fd >= 0:
+                    os.close(fd)
+                    fd = -1
+                fd_path = path
+                try:
+                    fd = os.open(path, os.O_RDONLY | os.O_NOCTTY)
+                except OSError as e:
+                    fd = -1
+                    errs[i] = e.errno or 1
+                    continue
+            if fd < 0:
+                errs[i] = errs[i] or 1
+                continue
+            done = 0
+            while done < length:
+                try:
+                    chunk = os.pread(fd, length - done, foff + done)
+                except OSError as e:
+                    errs[i] = e.errno or 1
+                    break
+                if not chunk:
+                    break  # file shrank since stat: tail stays zero
+                buf[boff + done : boff + done + len(chunk)] = np.frombuffer(
+                    chunk, dtype=np.uint8
+                )
+                done += len(chunk)
+    finally:
+        if fd >= 0:
+            os.close(fd)
+    return errs

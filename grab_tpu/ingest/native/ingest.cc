@@ -16,14 +16,18 @@
 #include <algorithm>
 #include <atomic>
 #include <cerrno>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <dirent.h>
 #include <fcntl.h>
+#include <mutex>
 #include <string>
 #include <sys/stat.h>
 #include <thread>
 #include <unistd.h>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -85,6 +89,154 @@ int gt_walk(const char *root, gt_walk_cb cb, gt_err_cb err_cb, void *ud) {
   return 0;
 }
 
+// ── parallel walk ────────────────────────────────────────────────────
+//
+// greppin's headline ingest feature is a lockfree parallel nftw so
+// cores work during tree discovery (/root/reference/README.md:44-47,
+// 137-139; source not mounted). This is its counterpart: a thread
+// pool drains a shared directory queue (readdir + lstat are the
+// costly syscalls), storing per-directory entry lists; a serial
+// assembly pass then replays the results in EXACTLY the serial
+// walker's order (sorted names, files inline, subdirs after), so
+// `gt_pwalk(root, N, ...)` and `gt_walk(root, ...)` emit identical
+// sequences — determinism the reference only gets modulo `sort`
+// (README.md:209-216). Callbacks fire only from the calling thread
+// (assembly), which keeps ctypes/GIL interaction trivial.
+
+namespace {
+
+struct PEnt {
+  // kind: 0 = regular file, 1 = subdir, 2 = per-entry error
+  int kind;
+  std::string name;
+  int64_t size;
+  std::string msg;
+};
+
+struct PDir {
+  std::vector<PEnt> ents;  // sorted by name
+  bool open_error = false;
+  std::string open_msg;
+};
+
+}  // namespace
+
+static void pwalk_scan_dir(const std::string &dir, PDir &out,
+                           std::vector<std::string> &subdirs) {
+  DIR *d = opendir(dir.c_str());
+  if (!d) {
+    out.open_error = true;
+    out.open_msg = strerror(errno);
+    return;
+  }
+  std::vector<std::string> names;
+  struct dirent *ent;
+  while ((ent = readdir(d)) != nullptr) {
+    if (strcmp(ent->d_name, ".") == 0 || strcmp(ent->d_name, "..") == 0)
+      continue;
+    names.emplace_back(ent->d_name);
+  }
+  closedir(d);
+  std::sort(names.begin(), names.end());
+  struct stat st;
+  for (const auto &n : names) {
+    std::string p = dir + "/" + n;
+    if (lstat(p.c_str(), &st) < 0) {
+      out.ents.push_back({2, n, 0, strerror(errno)});
+      continue;
+    }
+    if (S_ISREG(st.st_mode)) {
+      out.ents.push_back({0, n, (int64_t)st.st_size, {}});
+    } else if (S_ISDIR(st.st_mode)) {
+      out.ents.push_back({1, n, 0, {}});
+      subdirs.push_back(std::move(p));
+    }
+  }
+}
+
+int gt_pwalk(const char *root, int32_t nthreads, gt_walk_cb cb,
+             gt_err_cb err_cb, void *ud) {
+  struct stat st;
+  if (lstat(root, &st) < 0) {
+    if (err_cb) err_cb(root, strerror(errno), ud);
+    return 0;
+  }
+  if (S_ISREG(st.st_mode)) {
+    cb(root, (int64_t)st.st_size, ud);
+    return 0;
+  }
+  if (!S_ISDIR(st.st_mode)) return 0;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+
+  std::unordered_map<std::string, PDir> results;
+  std::deque<std::string> queue{root};
+  std::mutex mu;
+  std::condition_variable cv;
+  int32_t active = 0;
+  bool finished = false;
+
+  auto worker = [&]() {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      cv.wait(lk, [&] { return finished || !queue.empty(); });
+      if (queue.empty()) return;  // finished
+      std::string dir = std::move(queue.front());
+      queue.pop_front();
+      ++active;
+      lk.unlock();
+      PDir res;
+      std::vector<std::string> subdirs;
+      pwalk_scan_dir(dir, res, subdirs);
+      lk.lock();
+      results.emplace(std::move(dir), std::move(res));
+      for (auto &s : subdirs) queue.push_back(std::move(s));
+      --active;
+      if (!subdirs.empty())
+        cv.notify_all();
+      else if (queue.empty() && active == 0) {
+        finished = true;
+        cv.notify_all();
+      }
+    }
+  };
+
+  {
+    std::vector<std::thread> threads;
+    threads.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+
+  // serial assembly: replay in the serial walker's exact order
+  std::vector<std::string> stack{root};
+  while (!stack.empty()) {
+    std::string dir = std::move(stack.back());
+    stack.pop_back();
+    auto it = results.find(dir);
+    if (it == results.end()) continue;  // raced away
+    PDir &res = it->second;
+    if (res.open_error) {
+      if (err_cb) err_cb(dir.c_str(), res.open_msg.c_str(), ud);
+      continue;
+    }
+    std::vector<std::string> subdirs;
+    for (const auto &e : res.ents) {
+      std::string p = dir + "/" + e.name;
+      if (e.kind == 0) {
+        cb(p.c_str(), e.size, ud);
+      } else if (e.kind == 2) {
+        if (err_cb) err_cb(p.c_str(), e.msg.c_str(), ud);
+      } else {
+        subdirs.push_back(std::move(p));
+      }
+    }
+    for (auto sit = subdirs.rbegin(); sit != subdirs.rend(); ++sit)
+      stack.push_back(std::move(*sit));
+  }
+  return 0;
+}
+
 typedef struct {
   const char *path;   // file to read
   int64_t file_off;   // offset within the file
@@ -94,11 +246,13 @@ typedef struct {
 
 // Fill buf from segments using up to nthreads preading workers.
 // O_NOATIME is attempted like the reference (grab.cc:139-143) and
-// silently dropped on EPERM. Returns number of failed segments
-// (failed segments leave zeros; the caller treats missing bytes as
-// scan misses and reports the file error from its own stat pass).
-int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
-            int32_t nthreads) {
+// silently dropped on EPERM. Returns number of failed segments.
+// If failed != NULL it has nsegs entries; a failed segment i sets
+// failed[i] to the (positive) errno so the caller can report the
+// reference's per-file "path: strerror" line (grab.cc:267-268) and
+// skip the file. Failed segments leave zeros in buf.
+int gt_fill2(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
+             int32_t nthreads, int32_t *failed) {
   if (nthreads < 1) nthreads = 1;
   if (nthreads > 64) nthreads = 64;
   std::atomic<int32_t> next{0};
@@ -118,14 +272,21 @@ int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
 #endif
       if (fd < 0) {
         failures.fetch_add(1);
+        if (failed) failed[i] = errno > 0 ? errno : EIO;
         continue;
       }
       int64_t done = 0;
       while (done < s.length) {
         ssize_t r = pread(fd, buf + s.buf_off + done, s.length - done,
                           s.file_off + done);
-        if (r <= 0) {
+        if (r < 0) {
           failures.fetch_add(1);
+          if (failed) failed[i] = errno > 0 ? errno : EIO;
+          break;
+        }
+        if (r == 0) {
+          // file shrank since the walk's stat: the tail stays zero and
+          // the caller sees a short read, not an error
           break;
         }
         done += r;
@@ -134,6 +295,8 @@ int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
     }
   };
 
+  if (failed)
+    for (int32_t i = 0; i < nsegs; ++i) failed[i] = 0;
   if (nthreads == 1 || nsegs <= 1) {
     worker();
   } else {
@@ -146,7 +309,12 @@ int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
   return failures.load();
 }
 
+int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
+            int32_t nthreads) {
+  return gt_fill2(buf, segs, nsegs, nthreads, nullptr);
+}
+
 // Simple self-description for the loader's version handshake.
-int gt_abi_version(void) { return 1; }
+int gt_abi_version(void) { return 2; }
 
 }  // extern "C"

@@ -5,6 +5,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cerrno>
 #include <fcntl.h>
 #include <string>
 #include <sys/stat.h>
@@ -21,7 +22,9 @@ typedef struct {
   int64_t length;
 } gt_seg;
 int gt_walk(const char *, gt_walk_cb, gt_err_cb, void *);
+int gt_pwalk(const char *, int32_t, gt_walk_cb, gt_err_cb, void *);
 int gt_fill(uint8_t *, const gt_seg *, int32_t, int32_t);
+int gt_fill2(uint8_t *, const gt_seg *, int32_t, int32_t, int32_t *);
 int gt_abi_version(void);
 }
 
@@ -32,7 +35,7 @@ static void collect(const char *path, int64_t size, void *) {
 }
 
 int main() {
-  assert(gt_abi_version() == 1);
+  assert(gt_abi_version() == 2);
 
   char tmpl[] = "/tmp/gtingest_test_XXXXXX";
   char *dir = mkdtemp(tmpl);
@@ -59,6 +62,14 @@ int main() {
   assert(g_files[1].find("b.txt") != std::string::npos);
   assert(g_files[2].find("c.txt") != std::string::npos);
 
+  // parallel walk: identical sequence, any thread count
+  for (int nt : {1, 2, 8}) {
+    std::vector<std::string> serial = g_files;
+    g_files.clear();
+    gt_pwalk(d.c_str(), nt, collect, nullptr, nullptr);
+    assert(g_files == serial);
+  }
+
   uint8_t buf[64];
   memset(buf, 0, sizeof buf);
   std::string bpath = d + "/b.txt";
@@ -74,6 +85,16 @@ int main() {
   // error containment: nonexistent file fails without crashing
   gt_seg bad = {"/nonexistent/x", 0, 0, 4};
   assert(gt_fill(buf, &bad, 1, 1) == 1);
+
+  // gt_fill2: per-segment errno reporting (ok segment stays 0)
+  gt_seg mix[2] = {
+      {bpath.c_str(), 0, 0, 5},
+      {"/nonexistent/x", 0, 8, 4},
+  };
+  int32_t failed[2] = {-1, -1};
+  assert(gt_fill2(buf, mix, 2, 2, failed) == 1);
+  assert(failed[0] == 0);
+  assert(failed[1] == ENOENT);
 
   printf("smoke_test OK\n");
   return 0;

@@ -43,6 +43,8 @@ class Segment:
 class Batch:
     buf: np.ndarray  # uint8 [buf_size]
     segments: List[Segment]
+    filled: bool = True  # False: segments are descriptors; buf awaits
+    # a fill pass (native pread pool / Python fallback) before submit
 
 
 class BatchPacker:
@@ -67,18 +69,46 @@ class BatchPacker:
     def _flush(self) -> Optional[Batch]:
         if not self._segments:
             return None
-        batch = Batch(self._buf, self._segments)
+        batch = Batch(self._buf, self._segments, filled=self._filled)
         self._buf = np.zeros(self.buf_size + self.tail, dtype=np.uint8)
         self._used = 0
         self._segments = []
+        self._filled = True
         return batch
+
+    _filled = True
 
     def feed(self, file_idx: int, data) -> Iterator[Batch]:
         """Pack one file's bytes; yields full batches as they close.
 
         ``data`` is anything with len() and the buffer protocol
         (bytes, mmap, np array)."""
-        size = len(data)
+        for seg, batch in self._plan(file_idx, len(data)):
+            if seg is not None:
+                view = np.frombuffer(
+                    data, dtype=np.uint8, count=seg.length, offset=seg.file_off
+                )
+                self._buf[seg.buf_off : seg.buf_off + seg.length] = view
+            if batch is not None:
+                yield batch
+
+    def feed_size(self, file_idx: int, size: int) -> Iterator[Batch]:
+        """Pack one file by SIZE only: segments are descriptors and the
+        batch is yielded unfilled (``filled=False``) — the pipeline
+        fills it with the native pread pool (ingest/native gt_fill) or
+        the Python fallback, so scan buffers are populated without
+        GIL-bound per-segment copies and clean files are never opened
+        in Python at all (the reference's I/O loop IS its scan loop,
+        grab.cc:137-169; ours is the fill pass)."""
+        for seg, batch in self._plan(file_idx, size):
+            if seg is not None:
+                self._filled = False  # this buffer now has descriptors
+            if batch is not None:
+                yield batch
+
+    def _plan(self, file_idx: int, size: int):
+        """Shared packing math: yields (segment_or_None, batch_or_None)
+        steps; a closing buffer yields its Batch."""
         pos = 0
         if size == 0:
             return
@@ -88,7 +118,7 @@ class BatchPacker:
             if free < min(self.min_seg, remaining + (-remaining % self.block)):
                 b = self._flush()
                 if b:
-                    yield b
+                    yield None, b
                 continue
             if remaining <= free:
                 seg_len = remaining
@@ -96,10 +126,10 @@ class BatchPacker:
                 # continuation: keep the next segment's file offset
                 # block-aligned (halo is a block multiple)
                 seg_len = (free // self.block) * self.block
-            view = np.frombuffer(data, dtype=np.uint8, count=seg_len, offset=pos)
-            self._buf[self._used : self._used + seg_len] = view
-            self._segments.append(Segment(file_idx, pos, self._used, seg_len))
+            seg = Segment(file_idx, pos, self._used, seg_len)
+            self._segments.append(seg)
             self._used += seg_len + (-seg_len % self.block)
+            yield seg, None
             if pos + seg_len >= size:
                 return
             pos += seg_len - self.halo  # overlap: spans ≤ halo never lost

@@ -34,11 +34,11 @@ def run_parallel(
     engine.cfg.output.recursive = True
     total = 0
 
-    def files():
+    def entries():
         nonlocal total
-        for path, data in engine._walk_data_iter(root):
-            total += len(data)
-            yield path, data
+        for path, size in engine._walk_entries(root):
+            total += size
+            yield path, size
 
-    engine.scan_corpus(files(), emit)
+    engine.scan_corpus_paths(entries(), emit)
     return total

@@ -396,6 +396,26 @@ class CorpusPipeline:
     def run(
         self, files: Iterable[Tuple[str, object]]
     ) -> Iterator[Tuple[str, object, np.ndarray]]:
+        """(path, data) pairs → (path, data, counts), input order."""
+        for path, data, counts, _err in self._stream(files, by_size=False):
+            yield path, data, counts
+
+    def run_paths(
+        self, entries: Iterable[Tuple[str, int]], fill_threads: int = 8
+    ) -> Iterator[Tuple[str, int, np.ndarray, int]]:
+        """(path, size) pairs → (path, size, counts, errno), input
+        order. Buffers are filled by the native pread pool (gt_fill2)
+        — parallel, GIL-free — or the Python fallback; files are never
+        opened on the Python side, so a clean file costs a stat + N
+        preads and nothing else. errno != 0 marks a file that could
+        not be read (reference behavior: report and continue,
+        grab.cc:267-268)."""
+        self._fill_threads = fill_threads
+        yield from self._stream(entries, by_size=True)
+
+    def _stream(
+        self, items: Iterable[Tuple[str, object]], by_size: bool
+    ) -> Iterator[Tuple[str, object, np.ndarray, int]]:
         from collections import deque
 
         from grab_tpu.ingest.packer import BatchPacker
@@ -404,7 +424,7 @@ class CorpusPipeline:
         group_size = getattr(self.scanner, "group_size", 1)
         packer = BatchPacker(self.scanner.buf_size, block, self.halo)
         # in-flight bookkeeping, keyed by file index
-        inflight: Dict[int, list] = {}  # idx -> [path, data, counts, final]
+        inflight: Dict[int, list] = {}  # idx -> [path, payload, counts, final, errno]
         packed_done: set = set()  # fully packed, awaiting their last flush
         # double buffering: submitted batches resolve one flush later,
         # so device upload+scan overlap host packing of the next batch
@@ -412,6 +432,29 @@ class CorpusPipeline:
         pending: List = []  # batches awaiting a full shard group
         emitted = 0
         total = 0
+
+        def fill_batch(batch):
+            """Populate an unfilled (descriptor-only) batch via the
+            pread pool; read failures mark the owning files."""
+            from grab_tpu.ingest.native import fill_segments
+
+            jobs = [
+                (
+                    inflight[s.file_idx][0].encode("utf-8", "surrogateescape"),
+                    s.file_off,
+                    s.buf_off,
+                    s.length,
+                )
+                for s in batch.segments
+            ]
+            errs = fill_segments(
+                batch.buf, jobs, getattr(self, "_fill_threads", 8)
+            )
+            for seg, e in zip(batch.segments, errs):
+                if e:
+                    st = inflight[seg.file_idx]
+                    st[4] = st[4] or int(e)
+            batch.filled = True
 
         def submit_batch(batch):
             """Queue one packer batch; a sharded scanner consumes
@@ -426,6 +469,9 @@ class CorpusPipeline:
             if not pending:
                 return
             self.batches_run += len(pending)
+            for b in pending:
+                if not b.filled:
+                    fill_batch(b)
             if group_size == 1:
                 handles = self.scanner.submit(pending[0].buf)
             else:
@@ -463,15 +509,23 @@ class CorpusPipeline:
             nonlocal emitted
             while emitted < total and emitted in inflight and inflight[emitted][3]:
                 st = inflight.pop(emitted)
-                yield (st[0], st[1], st[2])
+                yield (st[0], st[1], st[2], st[4])
                 emitted += 1
 
-        for path, data in files:
+        for path, payload in items:
             idx = total
             total += 1
-            nblocks = -(-len(data) // block)
-            inflight[idx] = [path, data, np.zeros(nblocks, dtype=np.int32), False]
-            for batch in packer.feed(idx, data):
+            size = payload if by_size else len(payload)
+            nblocks = -(-size // block)
+            inflight[idx] = [
+                path, payload, np.zeros(nblocks, dtype=np.int32), False, 0,
+            ]
+            feed = (
+                packer.feed_size(idx, size)
+                if by_size
+                else packer.feed(idx, payload)
+            )
+            for batch in feed:
                 submit_batch(batch)
                 yield from drain()
             packed_done.add(idx)

@@ -3,9 +3,10 @@
 The greppin branch ships `spot`, a parallel file finder built on the
 same lockfree parallel nftw walker (/root/reference/README.md:144-148:
 ``spot -n 4 / 'secret.*\\.doc'``). This is its counterpart on our
-ingest stack: the native C++ walker (thread-pool variant pending)
-enumerates the tree, and the pattern engine — the same compiler the
-scan engine uses — matches *path names* instead of file contents.
+ingest stack: the native C++ walker (gt_pwalk thread pool for -n > 1,
+deterministic serial-order output) enumerates the tree, and the
+pattern engine — the same compiler the scan engine uses — matches
+*path names* instead of file contents.
 
 Usage: spot [-n <workers>] <start-dir> <regex>
 """
@@ -46,7 +47,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 255
 
     out = sys.stdout
-    entries = native.walk_native(root)
+    entries = native.walk_native(root, workers=max(1, workers))
     if entries is None:
         entries = [(e.path, e.size) for e in walk_files(root)]
     for path, _size in entries:

@@ -1,0 +1,54 @@
+"""Parallel tree discovery (gt_pwalk) — greppin's parallel nftw
+counterpart (README.md:137-148). The thread pool drains directories
+concurrently; a serial assembly pass replays results in exactly the
+serial walker's order, so -n N discovery output is deterministic and
+identical to -n 1."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from grab_tpu.ingest import native
+from grab_tpu.ingest.walker import walk_files
+
+
+def _wide_tree(tmp_path, rng, dirs=40, files_per=12):
+    root = tmp_path / "wide"
+    for d in range(dirs):
+        sub = root / f"d{d:03d}" / (f"e{d%7}" if d % 3 else ".")
+        sub.mkdir(parents=True, exist_ok=True)
+        for f in range(files_per):
+            (sub / f"file{f:02d}.txt").write_bytes(b"x" * (d + f))
+    (root / "d000" / "secret.doc").write_bytes(b"s")
+    return root
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_pwalk_matches_serial_walk(tmp_path):
+    rng = np.random.default_rng(31)
+    root = _wide_tree(tmp_path, rng)
+    serial = [(e.path, e.size) for e in walk_files(str(root))]
+    for workers in (1, 2, 8):
+        par = native.walk_native(str(root), workers=workers)
+        assert par == serial, f"workers={workers}"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_spot_n_parallel_identical_output(tmp_path):
+    rng = np.random.default_rng(32)
+    root = _wide_tree(tmp_path, rng)
+
+    def run(argv):
+        return subprocess.run(
+            [sys.executable, "-m", "grab_tpu.spot", *argv],
+            capture_output=True,
+            timeout=120,
+        )
+
+    r1 = run([str(root), r"secret.*\.doc"])
+    r4 = run(["-n", "4", str(root), r"secret.*\.doc"])
+    assert r1.returncode == 0 and r4.returncode == 0
+    assert r4.stdout == r1.stdout
+    assert b"secret.doc" in r1.stdout

@@ -1,0 +1,141 @@
+"""Path-based ingest: the native pread-pool fill in the hot pipeline.
+
+Round-1 VERDICT missing item 4: gt_fill existed but the engine filled
+scan buffers with GIL-bound Python copies. Now CorpusPipeline.run_paths
+packs by (path, size) descriptors and fills buffers with gt_fill2 (or
+the Python os.pread fallback); files are only opened on the Python
+side when they have candidate blocks. Pins:
+
+  * both fill backends produce byte-identical engine output,
+  * output matches the legacy data-based pipeline,
+  * unreadable files report and are skipped (walk continues),
+  * clean files are never opened for replay (stats.clean_files).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+from grab_tpu.ingest import native
+from grab_tpu.ingest.packer import BatchPacker
+
+BUF = 64 << 10
+
+
+def _tree(tmp_path, rng, n_files=5):
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    for i in range(n_files):
+        n = 30_000 + int(rng.integers(0, 150_000))
+        data = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8))
+        for p in range(0, n, 97):
+            data[p] = 0x0A
+        for p in range(700, n - 20, 9973):
+            data[p : p + 8] = b"needle%02d" % i
+        (d / ("sub" if i % 2 else ".") / f"f{i}.bin").write_bytes(bytes(data))
+    return d
+
+
+def _engine(pattern, mode="pcre1"):
+    cfg = EngineConfig(
+        output=OutputConfig(recursive=True), mode=mode, scan_buf_size=BUF
+    )
+    return Engine([pattern], cfg)
+
+
+def _run_paths(root, pattern, mode="pcre1"):
+    eng = _engine(pattern, mode)
+    out = bytearray()
+    eng.find_recursive(str(root), out.extend)
+    return bytes(out), eng
+
+
+def _run_data(root, pattern, mode="pcre1"):
+    """Legacy oracle: open every file, stream data through scan_corpus."""
+    eng = _engine(pattern, mode)
+    eng.cfg.output.recursive = True
+    out = bytearray()
+    eng.scan_corpus(eng._walk_data_iter(str(root)), out.extend)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("pattern,mode", [
+    (b"needle03", "literal"),
+    (rb"needle[0-9]+", "pcre1"),
+])
+def test_path_pipeline_matches_data_pipeline(tmp_path, pattern, mode):
+    rng = np.random.default_rng(21)
+    root = _tree(tmp_path, rng)
+    out_paths, eng = _run_paths(root, pattern, mode)
+    out_data = _run_data(root, pattern, mode)
+    assert out_paths == out_data
+    assert out_paths  # matched something
+
+
+def test_python_fallback_fill_identical(tmp_path, monkeypatch):
+    rng = np.random.default_rng(22)
+    root = _tree(tmp_path, rng)
+    out_native, _ = _run_paths(root, b"needle02", "literal")
+    # force the Python os.pread fallback
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_attempted", True)
+    out_py, _ = _run_paths(root, b"needle02", "literal")
+    assert out_py == out_native
+
+
+def test_unreadable_file_contained(tmp_path, capsys):
+    rng = np.random.default_rng(23)
+    root = _tree(tmp_path, rng, n_files=3)
+    bad = root / "m_unreadable.bin"
+    bad.write_bytes(b"needle01" + b"x" * 60_000)
+    os.chmod(bad, 0)
+    if os.access(bad, os.R_OK):
+        pytest.skip("running as root: chmod 0 still readable")
+    out, eng = _run_paths(root, b"needle01", "literal")
+    err = capsys.readouterr().err
+    assert "m_unreadable.bin" in err and "Engine::scan_file" in err
+    # the other files still scanned
+    assert b"f1.bin" in out
+
+
+def test_clean_files_not_opened(tmp_path):
+    rng = np.random.default_rng(24)
+    root = _tree(tmp_path, rng)
+    out, eng = _run_paths(root, b"zQx9##none##", "literal")
+    assert out == b""
+    assert eng.stats.clean_files == eng.stats.files_scanned > 0
+
+
+def test_feed_size_layout_matches_feed():
+    """The descriptor packer must plan the identical segment layout as
+    the copying packer (same batches, offsets, halos)."""
+    rng = np.random.default_rng(25)
+    sizes = [1, 511, 512, 4096, 70_000, 65_536, 130_001]
+    pk_a = BatchPacker(BUF)
+    pk_b = BatchPacker(BUF)
+    segs_a, segs_b = [], []
+    for idx, size in enumerate(sizes):
+        data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        for b in pk_a.feed(idx, data):
+            segs_a.extend(
+                (s.file_idx, s.file_off, s.buf_off, s.length) for s in b.segments
+            )
+        for b in pk_b.feed_size(idx, size):
+            assert not b.filled
+            segs_b.extend(
+                (s.file_idx, s.file_off, s.buf_off, s.length) for s in b.segments
+            )
+    fa, fb = pk_a.finish(), pk_b.finish()
+    if fa is not None:
+        segs_a.extend(
+            (s.file_idx, s.file_off, s.buf_off, s.length) for s in fa.segments
+        )
+    if fb is not None:
+        assert not fb.filled
+        segs_b.extend(
+            (s.file_idx, s.file_off, s.buf_off, s.length) for s in fb.segments
+        )
+    assert segs_a == segs_b
