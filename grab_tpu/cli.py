@@ -18,6 +18,15 @@ README.md:16-31):
   -H      multi-pattern batch mode: the pattern argument is a file with
           one pattern per line (hyperscan batch, README.md:63-92)
   --stats print scan statistics to stderr (off the parity path)
+  --hosts N --pid P --coordinator HOST:PORT
+          multi-host mode (BASELINE config 5): run the SAME command on
+          each of N hosts (or let the launcher set JAX_NUM_PROCESSES /
+          JAX_PROCESS_ID / JAX_COORDINATOR_ADDRESS); host-striped walk,
+          per-host scan, psum'd counts, host 0 emits the globally
+          ordered merge (parallel/hostrun.py)
+  --outdir D
+          shared-directory fallback for multi-host outputs larger than
+          the DCN gather cap
 
 Exit codes follow the reference: 0 on success regardless of matches,
 255 on setup errors (SURVEY §3.5).
@@ -53,6 +62,10 @@ def parse_args(argv: List[str]):
         "stats": False,
         "resume": None,
         "trace": None,
+        "hosts": 0,
+        "pid": None,
+        "coordinator": None,
+        "outdir": None,
     }
     chunk_size = 1 << 30
     args = []
@@ -69,6 +82,21 @@ def parse_args(argv: List[str]):
             # with tensorboard / xprof; off the parity path
             i += 1
             opts["trace"] = argv[i]
+        elif a == "--hosts":
+            # BASELINE config 5: one command per host (main.cc:163-230's
+            # multicore entry, lifted to jax.distributed across hosts)
+            i += 1
+            opts["hosts"] = int(argv[i])
+        elif a == "--pid":
+            i += 1
+            opts["pid"] = int(argv[i])
+        elif a == "--coordinator":
+            i += 1
+            opts["coordinator"] = argv[i]
+        elif a == "--outdir":
+            # shared-dir fallback for outputs beyond the DCN gather cap
+            i += 1
+            opts["outdir"] = argv[i]
         elif a == "--":
             args.extend(argv[i + 1 :])
             break
@@ -116,9 +144,16 @@ def parse_args(argv: List[str]):
 def _enable_compilation_cache():
     """Persist XLA compilations across processes (first-compile on the
     tunneled TPU backend costs minutes; the cache makes repeat CLI
-    invocations start in seconds)."""
+    invocations start in seconds). Also honors GRAB_TPU_PLATFORM
+    (e.g. =cpu): environments whose sitecustomize pre-imports jax and
+    pins JAX_PLATFORMS make the standard env var ineffective, so tests
+    and CPU-only deployments need a post-import override."""
     try:
         import jax
+
+        plat = os.environ.get("GRAB_TPU_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
 
         cache_dir = os.environ.get(
             "GRAB_TPU_CACHE", os.path.expanduser("~/.cache/grab_tpu_xla")
@@ -218,7 +253,30 @@ def main(
 
         manifest = ResumeManifest(opts["resume"])
 
+    multihost = bool(
+        opts["hosts"] or os.environ.get("JAX_NUM_PROCESSES")
+    )
+    if multihost and not opts["recursive"]:
+        print("Multihost support only for recursive grabs.", file=err)
+        return 255
+
     with trace_ctx:
+        if multihost:
+            from grab_tpu.parallel.hostrun import run_multihost
+
+            rc = run_multihost(
+                engine,
+                paths[0],
+                emit,
+                err=err,
+                coordinator=opts["coordinator"],
+                num_processes=opts["hosts"] or None,
+                process_id=opts["pid"],
+                outdir=opts["outdir"],
+                stats=opts["stats"],
+            )
+            out.flush()
+            return rc
         if opts["recursive"]:
             if opts["cores"] > 1 and manifest is None:
                 from grab_tpu.parallel.runner import run_parallel

@@ -1,0 +1,214 @@
+"""Multi-host scan entry: BASELINE config 5 as ONE command per host.
+
+The reference's multicore mode is one command (`grab -n N -r pat dir`,
+/root/reference/src/main.cc:163-230); greppin's conformance recipe
+compares sorted output (README.md:209-216). The multi-host TPU
+equivalent, runnable as::
+
+    tpugrep --hosts N --pid P --coordinator HOST:PORT -r <pat> <dir>
+
+on each of N hosts (or with JAX_NUM_PROCESSES / JAX_PROCESS_ID /
+JAX_COORDINATOR_ADDRESS set by the launcher), does:
+
+  1. jax.distributed.initialize — the DCN control plane;
+  2. deterministic global walk on every host (sorted, physical,
+     main.cc:74-83's phase 1) — metadata only, no file bytes move;
+  3. round-robin host striping of the file list (main.cc:94 parity:
+     ``i += nthreads``) — each host scans only files it can read
+     locally; bytes never cross hosts;
+  4. per-host scan through the standard Engine pipeline (optionally
+     sharded over the host's local devices with -n);
+  5. global match count via psum over the full mesh (ICI intra-host,
+     DCN across hosts) — replacing the reference's stdout mutex;
+  6. output collection WITHOUT a shared filesystem: each host's
+     per-file output pieces ride the same collective fabric as the
+     scan (fixed-shape uint8 all-gather via
+     jax.experimental.multihost_utils.process_allgather), and host 0
+     emits the globally ordered merge keyed by file index — the
+     deterministic order the reference only achieves modulo `sort`.
+
+For output volumes too large for the DCN gather (> ``gather_cap``
+bytes per host), hosts fall back to writing ``{host}.{file_index}.out``
+pieces into --outdir (a shared directory, merged by host 0 via
+merge_host_outputs) — the round-1 scheme, now the fallback rather than
+the only story.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from grab_tpu.ingest.walker import walk_files
+from grab_tpu.parallel.multihost import (
+    host_shard,
+    init_distributed,
+    merge_host_outputs,
+    psum_total,
+)
+
+GATHER_CAP = 64 << 20  # per-host output bytes the DCN gather will carry
+
+
+def _gather_pieces(
+    pieces: List[Tuple[int, bytes]], n_hosts: int
+) -> Optional[List[Tuple[int, bytes]]]:
+    """All-gather (file_index, output_bytes) pieces across hosts over
+    the collective fabric. Returns the globally merged, file-index
+    ordered list on every host, or None if any host's payload exceeds
+    GATHER_CAP (callers fall back to the shared-dir scheme)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    # serialize: [n_pieces][ (idx, len, bytes) ... ] with fixed header
+    blob = bytearray()
+    for idx, buf in sorted(pieces):
+        blob += int(idx).to_bytes(8, "little")
+        blob += len(buf).to_bytes(8, "little")
+        blob += buf
+    local_len = len(blob)
+    # agree on the padded size (max over hosts), then gather payloads
+    lens = multihost_utils.process_allgather(
+        np.asarray([local_len], dtype=np.int64)
+    ).reshape(-1)
+    pad = int(lens.max())
+    if pad > GATHER_CAP:
+        return None
+    arr = np.zeros(pad, dtype=np.uint8)
+    arr[:local_len] = np.frombuffer(bytes(blob), dtype=np.uint8)
+    gathered = multihost_utils.process_allgather(arr)  # [n_hosts, pad]
+    gathered = np.asarray(gathered).reshape(-1, pad) if pad else np.zeros(
+        (len(lens), 0), np.uint8
+    )
+    merged: List[Tuple[int, bytes]] = []
+    for h in range(gathered.shape[0]):
+        raw = gathered[h][: int(lens[h])].tobytes()
+        pos = 0
+        while pos < len(raw):
+            idx = int.from_bytes(raw[pos : pos + 8], "little")
+            n = int.from_bytes(raw[pos + 8 : pos + 16], "little")
+            merged.append((idx, raw[pos + 16 : pos + 16 + n]))
+            pos += 16 + n
+    merged.sort(key=lambda t: t[0])
+    return merged
+
+
+def run_multihost(
+    engine,
+    root: str,
+    emit: Callable[[bytes], None],
+    err=None,
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    outdir: Optional[str] = None,
+    stats: bool = False,
+) -> int:
+    """Distributed-init → host-striped walk → scan → psum → ordered
+    merge. Returns the process exit code; only host 0 emits output.
+
+    Collective transports chatter on fd 1 (gloo's connectFullMesh
+    banner on the CPU backend, for one); results are emitted only
+    after the merge, so fd 1 is pointed at stderr for the whole
+    distributed phase to keep the parity stream byte-clean."""
+    err = err or sys.stderr
+    saved_fd1 = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+    try:
+        return _run_multihost(
+            engine, root, emit, err, coordinator, num_processes,
+            process_id, outdir, stats, saved_fd1,
+        )
+    finally:
+        sys.stdout.flush()
+        os.dup2(saved_fd1, 1)
+        os.close(saved_fd1)
+
+
+def _run_multihost(
+    engine, root, emit, err, coordinator, num_processes, process_id,
+    outdir, stats, saved_fd1,
+) -> int:
+    def emit_clean(buf: bytes):
+        # restore the real stdout for result emission
+        sys.stdout.flush()
+        os.dup2(saved_fd1, 1)
+        emit(buf)
+
+    host, n_hosts = init_distributed(coordinator, num_processes, process_id)
+
+    engine.cfg.output.recursive = True
+    # phase 1 (main.cc:178): the same deterministic sorted walk on every
+    # host — metadata only, so no cross-host bytes; entries are globally
+    # indexed before striping so output order is defined
+    entries = list(walk_files(root))
+    mine = host_shard(entries, host, n_hosts)
+
+    pieces: List[Tuple[int, bytes]] = []
+    match_lines = 0
+
+    gidx_of = {}
+
+    def my_entries():
+        for gidx, entry in mine:
+            engine.stats.files_seen += 1
+            if engine.compiled.min_len > entry.size:
+                engine.stats.files_pruned += 1
+                continue
+            gidx_of[entry.path] = gidx
+            yield entry.path, entry.size
+
+    # scan local files through the standard pipelined path-based scan
+    # (native pread-pool fill, double-buffered device batches); capture
+    # each file's output as one piece keyed by the GLOBAL file index.
+    # scan_corpus_paths emits strictly per file in order and calls
+    # on_done(path) as each file's replay completes, so slicing the
+    # stream at on_done boundaries is exact.
+    cur = bytearray()
+
+    def on_done(path: str):
+        nonlocal match_lines
+        if cur:
+            pieces.append((gidx_of[path], bytes(cur)))
+            match_lines += cur.count(b"\n")
+            cur.clear()
+
+    engine.scan_corpus_paths(my_entries(), cur.extend, on_done=on_done)
+
+    # global match-line count over the whole cluster (ICI/DCN psum)
+    total = psum_total(match_lines)
+
+    merged = _gather_pieces(pieces, n_hosts)
+    if merged is None:
+        # payload too large for the DCN gather: shared-dir fallback
+        if not outdir:
+            print(
+                "tpugrep: output exceeds the gather cap and no --outdir "
+                "given for the shared-directory fallback",
+                file=err,
+            )
+            return 255
+        os.makedirs(outdir, exist_ok=True)
+        for gidx, buf in pieces:
+            with open(os.path.join(outdir, f"{host}.{gidx}.out"), "wb") as f:
+                f.write(buf)
+        _barrier()
+        if host == 0:
+            merge_host_outputs(outdir, emit_clean)
+    elif host == 0:
+        for _, buf in merged:
+            emit_clean(buf)
+    if stats and host == 0:
+        # off the parity path (SURVEY §5): the psum'd global count
+        print(f"tpugrep: {total} match lines across {n_hosts} hosts", file=err)
+    return 0
+
+
+def _barrier():
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("tpugrep_outputs")

@@ -148,3 +148,59 @@ def test_two_process_distributed_psum_and_merge(tmp_path):
     n = merge_host_outputs(outdir, chunks.append)
     assert n == 6
     assert b"".join(chunks) == b"".join(f"file{i}\n".encode() for i in range(6))
+
+
+def test_two_tpugrep_cli_processes(tmp_path):
+    """VERDICT #2 done-criterion: config 5 as ONE command per host.
+
+    Two real `tpugrep --hosts 2 --pid P --coordinator ...` processes
+    scan a striped corpus; host 0's stdout must equal the single
+    process run byte-for-byte (globally ordered merge over the DCN
+    gather — no shared output directory involved)."""
+    import numpy as np
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(6):
+        n = 20_000 + 1000 * i
+        b = bytearray(rng.integers(32, 127, size=n, dtype=np.uint8).tobytes())
+        pos = 500 + 777 * i
+        b[pos : pos + 8] = b"needleXY"
+        (corpus / f"f{i:02d}.txt").write_bytes(bytes(b))
+
+    env = dict(os.environ)
+    env["GRAB_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    single = subprocess.run(
+        [sys.executable, "-m", "grab_tpu.cli", "-r", "-O", "-l", "-S",
+         "needleXY", str(corpus)],
+        capture_output=True, env=env, cwd=REPO, timeout=150,
+    )
+    assert single.returncode == 0, single.stderr.decode()[-2000:]
+    assert single.stdout.count(b"Match at offset") == 6
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "grab_tpu.cli",
+             "--hosts", "2", "--pid", str(pid),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--stats", "-r", "-O", "-l", "-S", "needleXY", str(corpus)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs, errs = [], []
+    for p in procs:
+        out, perr = p.communicate(timeout=150)
+        assert p.returncode == 0, perr.decode()[-2000:]
+        outs.append(out)
+        errs.append(perr.decode())
+    assert outs[0] == single.stdout, outs[0][:300]
+    assert outs[1] == b""  # only host 0 emits
+    assert "6 match lines across 2 hosts" in errs[0]
