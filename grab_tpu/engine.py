@@ -362,10 +362,13 @@ class Engine:
         if isinstance(self._exact, _NeverMatch):
             return False  # no output possible; skip all device work
         if not cp.covered and (cp.dfa is None or cp.dfa.n_states > 2048):
-            # prefilter plan doesn't cover every pattern and there is no
-            # device-sized automaton (backrefs or state blowup) →
-            # host-only scan
-            return False
+            # prefilter plan doesn't cover every pattern and there is
+            # no device-sized automaton (backrefs or state blowup) —
+            # unless a mandatory class-run gives the device a sound
+            # prefilter anyway (regex/alphabet.py)
+            from grab_tpu.scan_pipeline import DeviceScanner
+
+            return DeviceScanner._alpha_eligible(cp.alpha_plan)
         return True
 
     def _get_scanner(self):

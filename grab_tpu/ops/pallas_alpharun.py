@@ -1,0 +1,330 @@
+"""Alphabet-run prefilter kernel: gather-free candidate scan for
+factor-less regexes.
+
+Patterns with no literal factor and no usable class sequence fall to
+the gather-DFA kernel, which is VPU-gather-bound at ~94 GB/s
+(ops/pallas_gatherdfa, tools/bench_dfa_variants.py). But EVERY
+automatable pattern admits one more necessary condition that needs no
+gathers at all: a match of byte-length >= L consists of L consecutive
+bytes that ALL belong to the pattern's match alphabet Π (the bytes
+that can appear anywhere inside a match — regex/alphabet.py derives Π
+from the anchored union DFA). So candidate match starts are exactly
+the start positions of in-Π runs of length >= L, and run detection is
+range compares + log2(L) shifted ANDs — pure VPU work at
+corewords-class throughput.
+
+Two kernel shapes, chosen by L = min match length:
+
+  * coarse (L >= 7): a run of L bytes must contain W = (L-3)//4
+    word-ALIGNED fully-in-Π words; detect word-runs of W' =
+    pow2floor(min(W, 8)) full words by doubling (<= 3 lane-rolled
+    ANDs). Cheapest and tightest for long minimum lengths
+    (e.g. [0-9]{16}: p^32-grade selectivity on the aligned bytes).
+  * fine (L < 7): per-byte membership packed 4 bits per word; byte-runs
+    of L' = pow2floor(L) in {1, 2, 4} by doubling with intra-word bit
+    shifts + one-word lane carry.
+
+Both mark the word containing the run start — the same row-bitmap →
+packed-block-flags contract as ops/pallas_corewords — and the engine's
+line-narrowed exact replay does the rest. Soundness: W' and L' are
+floor'd, so the detected condition is implied by (never stronger than)
+"some match starts here".
+
+Selectivity is corpus-dependent (Π = [a-z] flags every English word),
+so eligibility is gated by an expected flag density under a built-in
+text/code byte-frequency prior: dense plans fall back to the
+gather-DFA, which is insensitive to hit density.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from grab_tpu.ops.pallas_corewords import (
+    BLOCK,
+    LANES,
+    PAD_ROWS,
+    _bitmap_rows,
+    decode_packed_flags,
+    np_bitmap_rows,
+    packed_block_flags,
+)
+
+MAX_RANGES = 8  # membership cost is ~3 ops per range per byte position
+MAX_WORDS = 8  # coarse word-run cap (3 doubling steps)
+DENSITY_CAP = 0.02  # flag-density prior above which the plan is refused
+
+
+def _pow2floor(x: int) -> int:
+    p = 1
+    while p * 2 <= x:
+        p *= 2
+    return p
+
+
+def plan_for(min_len: int) -> Tuple[str, int]:
+    """→ (mode, units): ("coarse", W') full-word run or ("fine", L')
+    byte run. Sound for any match length >= min_len."""
+    L = max(1, int(min_len))
+    if L >= 7:
+        return "coarse", _pow2floor(min((L - 3) // 4, MAX_WORDS))
+    return "fine", _pow2floor(min(L, 4))
+
+
+def _text_freq() -> np.ndarray:
+    """Rough byte-frequency prior for text/code corpora (used only to
+    estimate filter selectivity; never affects correctness)."""
+    f = np.full(256, 2e-4)
+    letters = {
+        "e": 0.090, "t": 0.066, "a": 0.060, "o": 0.055, "i": 0.052,
+        "n": 0.050, "s": 0.047, "r": 0.044, "h": 0.038, "l": 0.030,
+        "d": 0.028, "c": 0.022, "u": 0.020, "m": 0.018, "f": 0.016,
+        "p": 0.014, "g": 0.014, "w": 0.012, "y": 0.012, "b": 0.010,
+        "v": 0.007, "k": 0.006, "x": 0.0015, "j": 0.001, "q": 0.0008,
+        "z": 0.0008,
+    }
+    for ch, p in letters.items():
+        f[ord(ch)] = p
+        f[ord(ch) - 32] = 0.0035  # uppercase
+    f[ord(" ")] = 0.150
+    f[ord("\n")] = 0.020
+    f[ord("\t")] = 0.008
+    for d in b"0123456789":
+        f[d] = 0.004
+    for ch in ".,;:'\"-_=/*#(){}<>[]+!?&|\\@%^~$`":
+        f[ord(ch)] = 0.002
+    return f / f.sum()
+
+
+_FREQ = _text_freq()
+
+
+def flag_density(ranges: Sequence[Tuple[int, int]], min_len: int) -> float:
+    """Expected per-word flag probability under the text prior."""
+    p = 0.0
+    for lo, hi in ranges:
+        p += float(_FREQ[lo : hi + 1].sum())
+    p = min(p, 1.0)
+    mode, units = plan_for(min_len)
+    if mode == "coarse":
+        return p ** (4 * units)
+    return min(1.0, 4 * p**units)
+
+
+def alpharun_eligible(
+    ranges: Optional[Sequence[Tuple[int, int]]], min_len: int
+) -> bool:
+    if not ranges or len(ranges) > MAX_RANGES:
+        return False
+    if min_len < 1:
+        return False
+    return flag_density(ranges, min_len) <= DENSITY_CAP
+
+
+_H = 0x80808080  # per-byte high bits
+_L7 = 0x7F7F7F7F
+_L1 = 0x01010101
+
+
+def _build_kernel(
+    ranges: Tuple[Tuple[int, int], ...], mode: str, units: int, tile_rows: int
+):
+    import jax.numpy as jnp
+
+    def kernel(a_ref, b_ref, bm_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        H = jnp.uint32(_H)
+        L7 = jnp.uint32(_L7)
+        xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+        xx = pltpu.bitcast(xx, jnp.uint32)
+        E = tile_rows + PAD_ROWS
+        col = jax.lax.broadcasted_iota(jnp.int32, (E, LANES), 1)
+
+        def ge(n: int):
+            """SWAR per-byte (byte >= n) indicator in each byte's high
+            bit — all 4 bytes of the word in ~4 vector ops (exact: the
+            carry into bit 7 never crosses byte lanes)."""
+            if n <= 0:
+                return jnp.full_like(xx, H)
+            if n > 256:
+                return jnp.zeros_like(xx)
+            if n <= 128:
+                return (((xx & L7) + jnp.uint32((128 - n) * _L1)) | xx) & H
+            return (((xx & L7) + jnp.uint32((256 - n) * _L1)) & xx) & H
+
+        # membership mask M: bit 8k+7 = byte k in Π
+        M = None
+        for lo, hi in ranges:
+            t = ge(lo) & ~ge(hi + 1)
+            M = t if M is None else (M | t)
+        M = M & H
+
+        def wshift(S, a: int):
+            """S at word index +a (lane roll + one-row carry)."""
+            if a == 0:
+                return S
+            nxt_row = pltpu.roll(S, E - 1, 0)  # [r] = S[r+1]
+            same = pltpu.roll(S, LANES - a, 1)
+            nxt = pltpu.roll(nxt_row, LANES - a, 1)
+            return jnp.where(col < LANES - a, same, nxt)
+
+        if mode == "coarse":
+            # word fully in Π, then word-run doubling
+            S = (M == H).astype(jnp.int32)
+            j = 1
+            while j < units:
+                S = S & wshift(S, j)
+                j *= 2
+            hit = S[0:tile_rows] != 0
+        else:
+            # byte-run doubling directly on the H-bit mask: a byte
+            # shift of j is a bit shift of 8j with carry from the next
+            # word; shifts move H bits to H bits, so stray bits in
+            # non-H positions never reach the verdict
+            S = M
+            j = 1
+            while j < units:
+                a, b = divmod(j, 4)
+                wa = wshift(S, a)
+                if b == 0:
+                    sh = wa
+                else:
+                    wa1 = wshift(S, a + 1)
+                    sh = (wa >> jnp.uint32(8 * b)) | (
+                        wa1 << jnp.uint32(32 - 8 * b)
+                    )
+                S = S & sh
+                j *= 2
+            hit = (S & H)[0:tile_rows] != 0
+        bm_ref[:] = _bitmap_rows(hit, tile_rows)
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("ranges", "mode", "units", "tile_rows", "interpret")
+)
+def alpharun_word_bitmap(
+    words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
+    ranges: Tuple[Tuple[int, int], ...],
+    mode: str,
+    units: int,
+    tile_rows: int = 2048,
+    interpret: bool = False,
+):
+    """→ row bitmap: int32 [rows/32, 128] (see pallas_corewords)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0] - PAD_ROWS
+    assert rows % tile_rows == 0, (rows, tile_rows)
+    assert tile_rows % 32 == 0, tile_rows
+    ntiles = rows // tile_rows
+    kernel = _build_kernel(ranges, mode, units, tile_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows // 32, LANES), jnp.int32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (PAD_ROWS, LANES),
+                lambda i: ((i + 1) * (tile_rows // PAD_ROWS), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows // 32, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(words2d, words2d)
+
+
+def np_alpharun_bitmap(
+    words2d: np.ndarray, ranges, min_len: int
+) -> np.ndarray:
+    """Numpy oracle (identical semantics, linear byte view)."""
+    rows = words2d.shape[0] - PAD_ROWS
+    data = words2d.view(np.uint8).reshape(-1)
+    member = np.zeros(data.shape[0], dtype=bool)
+    for lo, hi in ranges:
+        member |= (data >= lo) & (data <= hi)
+    mode, units = plan_for(min_len)
+    if mode == "coarse":
+        S = member.reshape(-1, 4).all(axis=1)  # per word, incl pad
+        j = 1
+        while j < units:
+            shifted = np.zeros_like(S)
+            shifted[: S.shape[0] - j] = S[j:]
+            S &= shifted
+            j *= 2
+        hit_w = S
+    else:
+        S = member.copy()
+        j = 1
+        while j < units:
+            shifted = np.zeros_like(S)
+            shifted[: S.shape[0] - j] = S[j:]
+            S &= shifted
+            j *= 2
+        hit_w = S.reshape(-1, 4).any(axis=1)
+    return np_bitmap_rows(hit_w[: rows * LANES].reshape(rows, LANES))
+
+
+class AlphaRunScanner:
+    """Host-facing wrapper, same contract as ClassSeqScanner."""
+
+    def __init__(
+        self,
+        ranges: Sequence[Tuple[int, int]],
+        min_len: int,
+        tile_rows: int = 2048,
+        interpret: bool = False,
+    ):
+        self.ranges = tuple((int(lo), int(hi)) for lo, hi in ranges)
+        self.min_len = int(min_len)
+        self.mode, self.units = plan_for(min_len)
+        self.tile_rows = tile_rows
+        self.interpret = interpret
+        self.probe_back = 8  # run start may sit up to one word before
+        self.probe_fwd = 8
+
+    def bitmap(self, words2d):
+        return alpharun_word_bitmap(
+            words2d,
+            self.ranges,
+            self.mode,
+            self.units,
+            tile_rows=self.tile_rows,
+            interpret=self.interpret,
+        )
+
+    def packed(self, words2d):
+        return packed_block_flags(self.bitmap(words2d))
+
+    def flags_np(self, packed, n_blocks: int) -> np.ndarray:
+        return decode_packed_flags(
+            packed, n_blocks, self.probe_back, self.probe_fwd
+        )
+
+
+def ranges_of(alpha: np.ndarray) -> Tuple[Tuple[int, int], ...]:
+    """bool[256] → sorted (lo, hi) runs."""
+    out = []
+    b = 0
+    while b < 256:
+        if alpha[b]:
+            lo = b
+            while b + 1 < 256 and alpha[b + 1]:
+                b += 1
+            out.append((lo, b))
+        b += 1
+    return tuple(out)

@@ -6,26 +6,35 @@ the only way it vectorizes is MANY independent streams: the corpus is
 re-laid out stream-major into S = 16384 segments (128 sublane rows x
 128 lanes, one word of every stream per grid step), each stream walks
 its own bytes, and the per-element state vector lives in VMEM scratch
-across grid steps. Transitions use the measured-viable 128-entry lane
-gather (jnp.take_along_axis axis=1, ~1.2 ms/GB per gather — see
-docs/BENCH.md):
+across grid steps.
 
-    cls    = clsmap[byte]          (two 128-entry tables + hi-bit select)
-    state  = T[state * C + cls]    (one 128-entry gather)
-    hit   |= (accept_bits >> state) & 1
+Per-byte cost is what bounds throughput (the walk is VPU-issue-bound,
+not HBM-bound — tools/bench_dfa_variants.py), so the kernel is built
+around exactly TWO 128-entry lane gathers per byte:
 
-Eligibility: n_states * n_classes <= 128 (the gather table) and
-n_states <= 32 (accept bitmask + spare index headroom), and the
-pattern's max match length must fit the inter-stream halo so matches
-spanning a stream boundary are seen whole by the next stream
-(the reference's 4 KiB chunk-overlap trick at stream scale,
-/root/reference/src/grab.cc:151-154). Hits mark match END positions;
-block-level decode + the engine's line-narrowed replay recover starts.
+    pk     = cls_pk[b & 127]            (lo class in bits 0-7, hi in 8-15)
+    cls    = (pk >> ((b>>7)<<3)) & 0xFF
+    state  = T'[state + cls]            (T' entries pre-multiplied by C)
+    hit   |= state >= accept_floor      (states renumbered: accepting last)
+
+measured 94 GB/s on v5e vs 67 GB/s for the round-1 three-gather /
+accept-bitmask form — and the threshold accept removes the 32-state
+bitmask cap (the remaining cap is the gather table itself:
+n_states * n_classes <= 128).
+
+Eligibility: n_states * n_classes <= 128, and the pattern's max match
+length must fit the inter-stream halo so matches spanning a stream
+boundary are seen whole by the next stream (the reference's 4 KiB
+chunk-overlap trick at stream scale, /root/reference/src/grab.cc:151-154).
+Hits mark match END positions; block-level decode + the engine's
+line-narrowed replay recover starts.
 
 This serves patterns with neither literal factors nor useful class
 sequences exactly, and tightens candidates for patterns whose class
 sequences are weak (e.g. ``[0-9]{3}[a-z]{2}``: the class-seq kernel
-flags any digit run, the DFA only flags completed matches).
+flags any digit run, the DFA only flags completed matches). Patterns
+whose DFA alphabet is narrow take the alphabet-run prefilter
+(ops/pallas_alpharun) instead — gather-free and several times faster.
 """
 
 from __future__ import annotations
@@ -42,47 +51,58 @@ STREAM_ROWS = 128  # sublane rows of streams per grid step
 N_STREAMS = STREAM_ROWS * LANES  # 16384
 HALO = 128  # bytes shared between adjacent streams
 MAX_IDX = 128  # states * classes must fit one lane-gather table
-MAX_STATES = 32  # accept bitmask fits one int32
 
 
 def dfa_eligible(dfa, max_len) -> bool:
     return (
         dfa is not None
         and dfa.n_states * dfa.n_classes <= MAX_IDX
-        and dfa.n_states <= MAX_STATES
         and max_len is not None
         and max_len <= HALO - 8
     )
 
 
 class GatherDfaTables:
-    """Device tables for one DFA."""
+    """Device tables for one DFA.
+
+    States are renumbered so every accepting state id is >= every
+    non-accepting id: accept detection is then one compare against
+    ``accept_floor`` instead of a 32-bit mask probe, which both saves
+    an op per byte and lifts the state-count cap to the gather-table
+    limit. Transition entries are pre-multiplied by n_classes so the
+    per-byte index is one add (state is carried prescaled).
+    """
 
     def __init__(self, dfa):
         assert dfa.n_states * dfa.n_classes <= MAX_IDX
-        assert dfa.n_states <= MAX_STATES
-        self.n_classes = dfa.n_classes
-        self.start = int(dfa.start)
-        trans = np.zeros(LANES, dtype=np.int32)
-        flat = dfa.table.reshape(-1)
-        trans[: flat.shape[0]] = flat
-        cls_lo = np.zeros(LANES, dtype=np.int32)
-        cls_hi = np.zeros(LANES, dtype=np.int32)
-        cls_lo[:] = dfa.class_map[:128]
-        cls_hi[:] = dfa.class_map[128:]
-        accept_bits = 0
-        for s in range(dfa.n_states):
-            if dfa.accept_mask[s]:
-                accept_bits |= 1 << s
-        # tables stacked as one int32 [4, 128] input: trans, cls_lo,
-        # cls_hi, row 3 unused (kept for alignment/extension)
-        self.tab = np.stack(
-            [trans, cls_lo, cls_hi, np.zeros(LANES, dtype=np.int32)]
+        C = self.n_classes = dfa.n_classes
+        acc = np.asarray(dfa.accept_mask, dtype=bool)
+        order = np.concatenate(
+            [np.flatnonzero(~acc), np.flatnonzero(acc)]
+        )  # new id -> old id
+        perm = np.empty(dfa.n_states, dtype=np.int64)  # old id -> new id
+        perm[order] = np.arange(dfa.n_states)
+        n_acc = int(acc.sum())
+        self.accept_floor = (dfa.n_states - n_acc) * C if n_acc else (
+            dfa.n_states * C + 1
         )
-        self.accept_bits = accept_bits
+        self.start = int(perm[dfa.start]) * C
+        # prescaled, renumbered transitions: T'[new_s*C + c] = perm[old]*C
+        trans = np.zeros(LANES, dtype=np.int32)
+        told = np.asarray(dfa.table)
+        for old_s in range(dfa.n_states):
+            new_s = int(perm[old_s])
+            trans[new_s * C : new_s * C + C] = perm[told[old_s]] * C
+        # packed class map: low half in bits 0-7, high half in bits 8-15
+        cls_pk = np.zeros(LANES, dtype=np.int32)
+        cm = np.asarray(dfa.class_map, dtype=np.int64)
+        cls_pk[:128] = cm[:128] | (cm[128:] << 8)
+        self.tab = np.stack(
+            [trans, cls_pk, np.zeros(LANES, np.int32), np.zeros(LANES, np.int32)]
+        )
 
 
-def _build_kernel(n_classes: int, start: int, accept_bits: int, n_steps: int):
+def _build_kernel(start: int, accept_floor: int, n_steps: int):
     import jax.numpy as jnp
 
     def kernel(tab_ref, a_ref, bm_ref, state_ref):
@@ -93,6 +113,7 @@ def _build_kernel(n_classes: int, start: int, accept_bits: int, n_steps: int):
 
         @pl.when(g == 0)
         def _():
+            # state carried pre-multiplied by n_classes
             state_ref[:] = jnp.full(
                 (STREAM_ROWS, LANES), start, dtype=jnp.int32
             )
@@ -102,16 +123,14 @@ def _build_kernel(n_classes: int, start: int, accept_bits: int, n_steps: int):
         row = lambda i: jnp.broadcast_to(
             tab_ref[i].reshape(1, LANES), (STREAM_ROWS, LANES)
         )
-        trans, cls_lo, cls_hi = row(0), row(1), row(2)
+        trans, cls_pk = row(0), row(1)
         hit = None
         for k in range(4):
             b = ((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
-            lo = jnp.take_along_axis(cls_lo, b & 127, axis=1)
-            hi = jnp.take_along_axis(cls_hi, b & 127, axis=1)
-            cls = jnp.where(b < 128, lo, hi)
-            idx = state * n_classes + cls
-            state = jnp.take_along_axis(trans, idx, axis=1)
-            acc = ((jnp.int32(accept_bits) >> state) & 1) != 0
+            pk = jnp.take_along_axis(cls_pk, b & 127, axis=1)
+            cls = (pk >> ((b >> 7) << 3)) & 0xFF
+            state = jnp.take_along_axis(trans, state + cls, axis=1)
+            acc = state >= accept_floor
             hit = acc if hit is None else jnp.logical_or(hit, acc)
         state_ref[:] = state
         # word-granular hit bitmap, 16 rows per int32 so each step
@@ -126,14 +145,13 @@ def _build_kernel(n_classes: int, start: int, accept_bits: int, n_steps: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_classes", "start", "accept_bits", "interpret"))
+@partial(jax.jit, static_argnames=("start", "accept_floor", "interpret"))
 def gather_dfa_bitmap(
     words2d,  # int32 [n_steps * 128, 128]: word g of stream (r, c) at
     # row g*128 + r — stream-major transposed layout
     tab,  # int32 [4, 128]
-    n_classes: int,
     start: int,
-    accept_bits: int,
+    accept_floor: int,
     interpret: bool = False,
 ):
     """→ hit bitmap int32 [rows/16, 128] (16 rows per word) in the
@@ -145,7 +163,7 @@ def gather_dfa_bitmap(
     rows = words2d.shape[0]
     assert rows % STREAM_ROWS == 0
     n_steps = rows // STREAM_ROWS
-    kernel = _build_kernel(n_classes, start, accept_bits, n_steps)
+    kernel = _build_kernel(start, accept_floor, n_steps)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows // 16, LANES), jnp.int32),
@@ -180,10 +198,10 @@ def np_gather_dfa_bitmap(words2d: np.ndarray, tables: GatherDfaTables):
         h = np.zeros((STREAM_ROWS, LANES), dtype=bool)
         for k in range(4):
             b = ((w >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(np.int64)
-            cls = np.where(b < 128, tab[1][b & 127], tab[2][b & 127])
-            idx = state * tables.n_classes + cls
-            state = tab[0][idx]
-            h |= ((tables.accept_bits >> state) & 1) != 0
+            pk = tab[1][b & 127]
+            cls = (pk >> ((b >> 7) << 3)) & 0xFF
+            state = tab[0][state + cls]
+            h |= state >= tables.accept_floor
         hit[g * STREAM_ROWS : (g + 1) * STREAM_ROWS] = h
     r16 = np.arange(rows, dtype=np.uint32) & 15
     weighted = np.where(hit, np.uint32(1) << r16[:, None], np.uint32(0))
@@ -245,9 +263,8 @@ class GatherDfaScanner:
         bm = gather_dfa_bitmap(
             jnp.asarray(w2d),
             self._tab,
-            self.tables.n_classes,
             self.tables.start,
-            self.tables.accept_bits,
+            self.tables.accept_floor,
             interpret=self.interpret,
         )
         return bm  # device array; decode maps geometry on host

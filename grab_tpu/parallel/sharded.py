@@ -92,8 +92,8 @@ class ShardedScanner(DeviceScanner):
 
             def body(w3):  # [1, steps*128, 128] per shard
                 bm = gather_dfa_bitmap(
-                    w3[0], tab, g.tables.n_classes, g.tables.start,
-                    g.tables.accept_bits, interpret=g.interpret,
+                    w3[0], tab, g.tables.start,
+                    g.tables.accept_floor, interpret=g.interpret,
                 )
                 total = jax.lax.psum(
                     jnp.count_nonzero(bm).astype(jnp.int32), "shards"

@@ -1,0 +1,173 @@
+"""Mandatory class-run analysis: the strongest (byte-class, length)
+pair such that EVERY match contains `length` consecutive bytes of the
+class.
+
+This drives the alphabet-run device prefilter (ops/pallas_alpharun)
+for patterns the literal/class-sequence planners cannot cover: the
+filter scans for in-class runs of the guaranteed length at
+corewords-class throughput, and the host replay verifies candidates
+exactly. Because the analysis is purely structural (an AST walk, like
+min_len — the PCRE_INFO_MINLENGTH analog, /root/reference/src/grab.cc:120),
+it works even where no DFA exists: backreference patterns and
+state-blowup automata get a device scan tier they otherwise lack.
+
+Examples:
+  ``.{0,2}[0-9]{10}``  → (digits, 10): the optional dot context would
+                          dilute a whole-match alphabet; the run
+                          analysis sees the mandatory digit block.
+  ``([0-9]{6})\\1``     → (digits, 6): not automatable at all, but the
+                          first group still guarantees a digit run.
+  ``[0-9]{3}[a-z]{2}`` → max(digits:3, lower:2, union:5) by estimated
+                          selectivity under the text prior.
+
+Soundness: for every candidate class X the computed run length is a
+lower bound over EVERY match of the pattern (alternations take the
+min, optional repeats contribute zero, lookarounds count as their
+consumed bytes: none), so "no X-run of that length here" implies "no
+match starts here"; the chosen candidate only changes selectivity,
+never correctness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Tuple
+
+from grab_tpu.regex import ast as A
+
+
+@dataclass(frozen=True)
+class _Run:
+    interior: int  # guaranteed in-X run length within every match
+    prefix: int  # guaranteed leading in-X run
+    suffix: int  # guaranteed trailing in-X run
+    whole: bool  # every match consists solely of X bytes
+    mn: int  # min match length
+
+    @staticmethod
+    def zero_width(whole: bool = True) -> "_Run":
+        return _Run(0, 0, 0, whole, 0)
+
+
+def _combine(a: _Run, b: _Run) -> _Run:
+    return _Run(
+        interior=max(a.interior, b.interior, a.suffix + b.prefix),
+        prefix=(a.mn + b.prefix) if a.whole else a.prefix,
+        suffix=(b.mn + a.suffix) if b.whole else b.suffix,
+        whole=a.whole and b.whole,
+        mn=a.mn + b.mn,
+    )
+
+
+def _info(n: A.Node, in_x: Callable[[int], bool]) -> _Run:
+    if isinstance(n, (A.Empty, A.Anchor, A.Look)):
+        return _Run.zero_width()
+    if isinstance(n, A.Backref):
+        # referenced text is opaque here: contributes nothing, breaks
+        # run continuity conservatively
+        return _Run(0, 0, 0, False, 0)
+    if isinstance(n, A.CharClass):
+        if in_x(n.mask):
+            return _Run(1, 1, 1, True, 1)
+        return _Run(0, 0, 0, False, 1)
+    if isinstance(n, A.Group):
+        return _info(n.node, in_x)
+    if isinstance(n, A.Alt):
+        rs = [_info(b, in_x) for b in n.branches]
+        return _Run(
+            interior=min(r.interior for r in rs),
+            prefix=min(r.prefix for r in rs),
+            suffix=min(r.suffix for r in rs),
+            whole=all(r.whole for r in rs),
+            mn=min(r.mn for r in rs),
+        )
+    if isinstance(n, A.Concat):
+        acc = _Run.zero_width()
+        for p in n.parts:
+            acc = _combine(acc, _info(p, in_x))
+        return acc
+    if isinstance(n, A.Repeat):
+        r = _info(n.node, in_x)
+        if n.lo == 0:
+            # may match empty: no guarantees beyond wholeness
+            return _Run(0, 0, 0, r.whole, 0)
+        if r.whole:
+            mn = n.lo * r.mn
+            return _Run(mn, mn, mn, True, mn)
+        interior = r.interior
+        if n.lo >= 2:
+            interior = max(interior, r.suffix + r.prefix)
+        return _Run(interior, r.prefix, r.suffix, False, n.lo * r.mn)
+    raise TypeError(f"unknown node {n!r}")
+
+
+def _collect_masks(n: A.Node, out: set) -> None:
+    if isinstance(n, A.CharClass):
+        out.add(n.mask)
+    elif isinstance(n, A.Group):
+        _collect_masks(n.node, out)
+    elif isinstance(n, A.Alt):
+        for b in n.branches:
+            _collect_masks(b, out)
+    elif isinstance(n, A.Concat):
+        for p in n.parts:
+            _collect_masks(p, out)
+    elif isinstance(n, A.Repeat):
+        _collect_masks(n.node, out)
+    elif isinstance(n, A.Look):
+        pass  # zero-width: its bytes are not match bytes
+    # Empty/Anchor/Backref: no classes
+
+
+def mask_ranges(mask: int) -> Tuple[Tuple[int, int], ...]:
+    """256-bit class mask → sorted (lo, hi) byte ranges."""
+    out = []
+    b = 0
+    while b < 256:
+        if (mask >> b) & 1:
+            lo = b
+            while b + 1 < 256 and (mask >> (b + 1)) & 1:
+                b += 1
+            out.append((lo, b))
+        b += 1
+    return tuple(out)
+
+
+def class_run(asts: List[A.Node], mask: int) -> int:
+    """Guaranteed in-class run length over every match of every pattern."""
+    in_x = lambda m: (m | mask) == mask
+    return min(_info(t, in_x).interior for t in asts)
+
+
+def best_class_run(
+    asts: List[A.Node],
+) -> Optional[Tuple[Tuple[Tuple[int, int], ...], int]]:
+    """→ (byte ranges, run length) of the most selective eligible
+    class-run plan, or None. Selectivity is judged by the text-prior
+    flag density in ops/pallas_alpharun (pure heuristic — any eligible
+    candidate is sound)."""
+    from grab_tpu.ops.pallas_alpharun import alpharun_eligible, flag_density
+
+    masks: set = set()
+    union = 0
+    for t in asts:
+        _collect_masks(t, masks)
+    for m in masks:
+        union |= m
+    masks.add(union)
+    best = None
+    for mask in masks:
+        if mask == 0:
+            continue
+        runlen = class_run(asts, mask)
+        if runlen < 1:
+            continue
+        ranges = mask_ranges(mask)
+        if not alpharun_eligible(ranges, runlen):
+            continue
+        d = flag_density(ranges, runlen)
+        if best is None or d < best[0]:
+            best = (d, ranges, runlen)
+    if best is None:
+        return None
+    return best[1], best[2]

@@ -38,6 +38,9 @@ class CompiledPattern:
     literals: Optional[List[bytes]]  # prefilter factor alternatives (len >= 3)
     class_seqs: Optional[List[tuple]]  # class-mask prefilter sequences
     covered: bool  # literals ∪ class_seqs covers every pattern (device-sound)
+    alpha_plan: Optional[tuple]  # ((lo, hi) byte ranges, run length):
+    # mandatory class-run prefilter plan for factor-less patterns —
+    # works even without a DFA (regex/alphabet.py + ops/pallas_alpharun)
     has_captures: bool
     needs_verify: bool  # device candidates are a superset → host must verify
     literal_mode: bool  # compiled via -S (plain literals, no regex parse)
@@ -115,6 +118,15 @@ def compile_multi(
     if class_seqs is not None and len(class_seqs) > 32:
         class_seqs, covered = None, False
 
+    alpha_plan: Optional[tuple] = None
+    if not covered:
+        # factor-less patterns: the mandatory class-run prefilter is
+        # the device tier above the gather-DFA — and the ONLY device
+        # tier for backrefs / state-blowup patterns (dfa is None)
+        from grab_tpu.regex.alphabet import best_class_run
+
+        alpha_plan = best_class_run(asts)
+
     caps = any(A.has_captures(t) for t in asts)
     anchors = any(A.has_anchors(t) for t in asts)
     backrefs = any(A.has_backrefs(t) for t in asts)
@@ -134,6 +146,7 @@ def compile_multi(
         literals=lits,
         class_seqs=class_seqs,
         covered=covered,
+        alpha_plan=alpha_plan,
         has_captures=caps,
         needs_verify=needs_verify,
         literal_mode=literal_mode,

@@ -106,6 +106,7 @@ class DeviceScanner:
             self.mode = "dfa"
             self._dfa = cp.dfa
             self._max_len = cp.max_len
+            self._alpha_plan = cp.alpha_plan
             from grab_tpu.ops.dfa_scan import expand_byte_table
 
             self._table = jnp.asarray(
@@ -113,10 +114,22 @@ class DeviceScanner:
             )
             self._accept = jnp.asarray(cp.dfa.accept_mask)
             self._start = jnp.int32(cp.dfa.start)
+        elif cp.alpha_plan is not None and self._alpha_eligible(cp.alpha_plan):
+            # no device-sized automaton (backrefs, state blowup) but a
+            # mandatory class-run exists: the alphabet-run kernel is
+            # the device scan, host matchers verify candidates exactly
+            self.mode = "alpha"
+            self._alpha_plan = cp.alpha_plan
         else:
             raise ValueError("pattern has no device-scannable form")
         self._fn = self._build()
         self._compact = None  # lazy (total, packed-flags) wrapper
+
+    @staticmethod
+    def _alpha_eligible(plan) -> bool:
+        from grab_tpu.ops.pallas_alpharun import alpharun_eligible
+
+        return plan is not None and alpharun_eligible(plan[0], plan[1])
 
     def _build(self):
         import jax
@@ -138,17 +151,35 @@ class DeviceScanner:
         import jax.numpy as jnp
 
         block = self.block
-        if self.mode == "dfa":
-            # Gather-based DFA kernel (ops/pallas_gatherdfa): exact
-            # automaton walk over 16k parallel streams, for small DFAs
-            # with bounded match length. Larger automata fall back to
-            # the jnp reference walk. Only patterns with neither
-            # literal factors nor class sequences land here.
+        if self.mode in ("dfa", "alpha"):
+            # Factor-less patterns, fastest sound tier first:
+            #   1. alphabet-run prefilter (ops/pallas_alpharun) —
+            #      gather-free mandatory-class-run scan at
+            #      corewords-class throughput; eligible when the
+            #      text-prior flag density is low;
+            #   2. gather-DFA kernel (ops/pallas_gatherdfa) — exact
+            #      automaton walk over 16k streams, ~94 GB/s, for
+            #      small DFAs with bounded match length;
+            #   3. jnp reference walk (latency-bound last resort).
+            from grab_tpu.ops.pallas_alpharun import AlphaRunScanner
             from grab_tpu.ops.pallas_gatherdfa import (
                 GatherDfaScanner,
                 dfa_eligible,
             )
 
+            if self._alpha_eligible(getattr(self, "_alpha_plan", None)):
+                ranges, runlen = self._alpha_plan
+                self._input_words = True
+                tile_rows = min(2048, self.buf_size // self.block)
+                sc = AlphaRunScanner(
+                    ranges,
+                    runlen,
+                    tile_rows=tile_rows,
+                    interpret=self._interpret,
+                )
+                self._cw_list = [sc]
+                self.mode = "alpha"
+                return lambda words2d: [sc.packed(words2d)]
             if dfa_eligible(self._dfa, self._max_len) and self.buf_size >= (
                 8 << 20
             ):
@@ -239,6 +270,36 @@ class DeviceScanner:
                 return bitmap_block_counts(bm, block)
 
             return lambda data: fn(self._table, self._accept, self._start, data)
+
+        if self.mode == "alpha":
+            # jnp mandatory-class-run filter (CPU reference for the
+            # pallas_alpharun kernel): member mask + log-shift run
+            # detection; counts flag blocks containing run starts
+            ranges, runlen = self._alpha_plan
+            from grab_tpu.ops.pallas_alpharun import plan_for
+
+            _, units = plan_for(runlen)
+            run_bytes = units * (4 if plan_for(runlen)[0] == "coarse" else 1)
+
+            @jax.jit
+            def fn(data):  # uint8 [buf_size]
+                member = None
+                for lo, hi in ranges:
+                    t = jnp.logical_and(data >= lo, data <= hi)
+                    member = t if member is None else jnp.logical_or(member, t)
+                S = member
+                j = 1
+                while j < run_bytes:
+                    shifted = jnp.concatenate(
+                        [S[j:], jnp.zeros((j,), dtype=bool)]
+                    )
+                    S = jnp.logical_and(S, shifted)
+                    j *= 2
+                return jnp.sum(
+                    S.reshape(-1, block).astype(jnp.int32), axis=1
+                )
+
+            return fn
 
         if self.mode == "class_seq":
             from grab_tpu.ops.class_prefilter import class_prefilter_bitmap

@@ -1,0 +1,239 @@
+"""Mandatory class-run analysis + alphabet-run prefilter kernel.
+
+The device tier above the gather-DFA for factor-less patterns
+(regex/alphabet.py + ops/pallas_alpharun): every match must contain a
+guaranteed-length run of bytes from a guaranteed class; the kernel
+finds such runs gather-free. Pins:
+
+  * the AST run analysis on alternation/option/backref/lookaround
+    structure (soundness: lower bounds over every match),
+  * kernel == numpy oracle (interpret mode, coarse + fine shapes),
+  * oracle superset property vs brute-force regex matches,
+  * selectivity gating (dense alphabets are refused),
+  * end-to-end engine equality device-vs-host on an uncovered pattern.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grab_tpu.ops.pallas_alpharun import (
+    AlphaRunScanner,
+    alpharun_eligible,
+    alpharun_word_bitmap,
+    flag_density,
+    np_alpharun_bitmap,
+    plan_for,
+)
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS
+from grab_tpu.regex.alphabet import best_class_run, class_run, mask_ranges
+from grab_tpu.regex.parser import parse
+
+DIGITS = sum(1 << b for b in range(48, 58))
+LOWER = sum(1 << b for b in range(97, 123))
+
+
+def asts(*pats):
+    return [parse(p) for p in pats]
+
+
+# -- run analysis ------------------------------------------------------
+
+
+def test_run_analysis_basic():
+    assert class_run(asts(rb"[0-9]{10}"), DIGITS) == 10
+    # optional context does not dilute the mandatory block
+    assert class_run(asts(rb".{0,2}[0-9]{10}"), DIGITS) == 10
+    # alternation takes the min
+    assert class_run(asts(rb"[0-9]{8}x|y[0-9]{4}"), DIGITS) == 4
+    # lo=0 repeats guarantee nothing
+    assert class_run(asts(rb"([0-9]+)?x"), DIGITS) == 0
+    # adjacent repeats join across the junction
+    assert class_run(asts(rb"([0-9]{2}){3}"), DIGITS) == 6
+    # mixed classes: per-class and union runs
+    a = asts(rb"[0-9]{3}[a-z]{2}")
+    assert class_run(a, DIGITS) == 3
+    assert class_run(a, LOWER) == 2
+    assert class_run(a, DIGITS | LOWER) == 5
+
+
+def test_run_analysis_backref_and_look():
+    # backref text is opaque, but the captured group still guarantees
+    # its own run
+    assert class_run(asts(rb"([0-9]{6})\1"), DIGITS) == 6
+    # lookaround is zero-width: consumed bytes only
+    assert class_run(asts(rb"(?=[a-z])[0-9]{5}"), DIGITS) == 5
+
+
+def test_best_class_run_picks_selective():
+    plan = best_class_run(asts(rb".{0,2}[0-9]{10}"))
+    assert plan is not None
+    ranges, runlen = plan
+    assert ranges == ((48, 57),) and runlen == 10
+    # dense alphabet with tiny run: refused
+    assert best_class_run(asts(rb"[a-zA-Z]")) is None
+
+
+def test_mask_ranges():
+    assert mask_ranges(DIGITS) == ((48, 57),)
+    assert mask_ranges((1 << 10) | (1 << 12) | (1 << 13)) == (
+        (10, 10),
+        (12, 13),
+    )
+
+
+def test_eligibility_gating():
+    assert alpharun_eligible(((48, 57),), 5)
+    assert not alpharun_eligible(((97, 122),), 1)  # [a-z] any: dense
+    assert not alpharun_eligible(None, 5)
+    assert flag_density(((48, 57),), 10) < flag_density(((48, 57),), 4)
+
+
+# -- kernel vs oracle --------------------------------------------------
+
+
+def _words(buf: np.ndarray, rows: int) -> np.ndarray:
+    want = rows * LANES * 4
+    buf = np.concatenate(
+        [buf[:want], np.zeros(max(0, want - buf.shape[0]), np.uint8)]
+    )
+    w = buf.view("<i4").reshape(rows, LANES)
+    return np.concatenate([w, np.zeros((PAD_ROWS, LANES), "<i4")])
+
+
+@pytest.mark.parametrize("min_len", [1, 2, 3, 5, 7, 12, 40])
+def test_kernel_matches_oracle(min_len):
+    rng = np.random.default_rng(min_len)
+    rows = 64
+    buf = rng.integers(32, 127, size=rows * LANES * 4, dtype=np.uint8)
+    # plant digit runs of assorted lengths at assorted alignments
+    for pos, ln in [(3, 60), (517, 12), (1025, 7), (2048, 5), (4999, 3),
+                    (6000, 2), (9003, 1), (12345, 41)]:
+        buf[pos : pos + ln] = rng.integers(48, 58, size=ln, dtype=np.uint8)
+    w2d = _words(buf, rows)
+    ranges = ((48, 57),)
+    mode, units = plan_for(min_len)
+    got = np.asarray(
+        alpharun_word_bitmap(
+            jnp.asarray(w2d), ranges, mode, units, tile_rows=32, interpret=True
+        )
+    )
+    want = np_alpharun_bitmap(w2d, ranges, min_len)
+    assert (got == want).all(), (mode, units)
+
+
+def test_kernel_multi_range_classes():
+    rng = np.random.default_rng(9)
+    rows = 32
+    buf = rng.integers(0, 256, size=rows * LANES * 4, dtype=np.uint8)
+    ranges = ((48, 57), (65, 70), (97, 102))  # hex digits
+    for pos, ln in [(100, 40), (2000, 16), (5000, 9)]:
+        buf[pos : pos + ln] = np.frombuffer(
+            (b"0aF9bC4dE8" * 4)[:ln], np.uint8
+        )
+    w2d = _words(buf, rows)
+    for min_len in (4, 16):
+        mode, units = plan_for(min_len)
+        got = np.asarray(
+            alpharun_word_bitmap(
+                jnp.asarray(w2d), ranges, mode, units, tile_rows=32,
+                interpret=True,
+            )
+        )
+        assert (got == np_alpharun_bitmap(w2d, ranges, min_len)).all()
+
+
+def test_oracle_superset_of_real_matches():
+    """Every regex match start must fall in a flagged word (the
+    CandidateSearcher superset contract)."""
+    rng = np.random.default_rng(17)
+    rows = 32
+    n = rows * LANES * 4
+    buf = rng.integers(32, 127, size=n, dtype=np.uint8)
+    for pos in range(40, n - 20, 997):
+        buf[pos : pos + 11] = np.frombuffer(b"##12345678##", np.uint8)[:11]
+    pattern = re.compile(rb"[0-9]{8}")
+    min_len = 8
+    w2d = _words(buf, rows)
+    bm = np_alpharun_bitmap(w2d, ((48, 57),), min_len).view(np.uint32)
+    flagged_words = set()
+    for g in range(bm.shape[0]):
+        for lane in range(LANES):
+            bits = int(bm[g, lane])
+            for b in range(32):
+                if (bits >> b) & 1:
+                    flagged_words.add((g * 32 + b) * LANES + lane)
+    data = buf.tobytes()
+    hits = 0
+    for m in pattern.finditer(data):
+        hits += 1
+        # coarse mode flags ceil(start/4): the word containing the
+        # start or the one after (the decoder's probe_back covers it)
+        w = m.start() // 4
+        assert w in flagged_words or (w + 1) in flagged_words, m.start()
+    assert hits > 10
+
+
+# -- end-to-end --------------------------------------------------------
+
+
+def _run_engine(pattern, root, device):
+    from grab_tpu.engine import Engine, EngineConfig
+    from grab_tpu.format.emitter import OutputConfig
+
+    cfg = EngineConfig(
+        output=OutputConfig(recursive=True),
+        mode="pcre1",
+        scan_buf_size=64 << 10,
+        device=device,
+    )
+    eng = Engine([pattern], cfg)
+    out = bytearray()
+    eng.find_recursive(str(root), out.extend)
+    return bytes(out), eng
+
+
+def test_engine_alpha_mode_end_to_end(tmp_path):
+    rng = np.random.default_rng(23)
+    d = tmp_path / "c"
+    d.mkdir()
+    for i in range(3):
+        n = 50_000 + 7000 * i
+        data = bytearray(rng.integers(32, 127, size=n, dtype=np.uint8))
+        for p in range(0, n, 93):
+            data[p] = 0x0A
+        for p in range(500 + i * 37, n - 24, 4999):
+            data[p : p + 13] = b"x91827364550x"[:13]
+        (d / f"f{i}.txt").write_bytes(bytes(data))
+
+    pat = rb".{0,2}[0-9]{11}"  # uncovered → alpha plan (digits, 11)
+    from grab_tpu.regex.compiler import compile_multi
+
+    cp = compile_multi([pat])
+    assert not cp.covered and cp.alpha_plan == (((48, 57),), 11)
+
+    via_device, eng = _run_engine(pat, d, device="auto")
+    host_only, _ = _run_engine(pat, d, device="none")
+    assert via_device == host_only
+    assert eng.stats.candidate_blocks > 0 or b"" == via_device
+
+
+def test_device_scanner_mode_alpha_interpret():
+    """The pallas kernel path end-to-end through DeviceScanner."""
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import DeviceScanner
+
+    cp = compile_multi([rb".{0,2}[0-9]{11}"])
+    sc = DeviceScanner(cp, buf_size=64 << 10, pallas_interpret=True)
+    assert sc.mode == "alpha"
+    rng = np.random.default_rng(31)
+    buf = rng.integers(32, 127, size=sc.buf_size, dtype=np.uint8)
+    buf[1000:1011] = np.frombuffer(b"91827364550", np.uint8)
+    flags = sc.scan(buf)
+    assert flags[1000 // BLOCK] == 1
+    # a clean buffer stays clean (letters only: no digit runs)
+    clean = rng.integers(97, 123, size=sc.buf_size, dtype=np.uint8)
+    assert sc.scan(clean).sum() == 0

@@ -48,9 +48,8 @@ def test_kernel_matches_numpy_oracle(pattern):
     bm = gather_dfa_bitmap(
         jnp.asarray(w2d),
         jnp.asarray(tables.tab),
-        tables.n_classes,
         tables.start,
-        tables.accept_bits,
+        tables.accept_floor,
         interpret=True,
     )
     assert (np.asarray(bm) == bm_np).all()

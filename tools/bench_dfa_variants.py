@@ -1,0 +1,228 @@
+"""Microbenchmark: gather-DFA kernel variants on the real chip.
+
+VERDICT round-1 item #3: lift the DFA device path from 67 GB/s toward
+roofline. The per-byte cost model is VPU-issue-bound (~15 vector ops
+per corpus byte in the round-1 kernel: 3 gathers + ~12 ALU ops). The
+candidate optimizations measured here:
+
+  v0  round-1 kernel (2 class gathers + select, trans gather, bitmask
+      accept) — baseline
+  v1  packed class table (hi<<8|lo in one int32): 2 gathers/byte
+  v2  v1 + prescaled transitions (entries pre-multiplied by n_classes)
+      + accept-by-threshold (states renumbered so accepting states are
+      the high ids): 2 gathers + ~7 ALU ops/byte, and the 32-state
+      accept-bitmask cap disappears
+  v3  v2 with the byte->class map folded away entirely by indexing
+      transitions on raw low-7 bits where the DFA's classes split on
+      bit 7 cleanly (eligibility probe only)
+  s0  sublane gather probe: jnp.take_along_axis(tbl[N,128], idx, 0)
+      — does Mosaic lower a per-lane gather along sublanes, and at
+      what cost? (If viable, tables grow to N entries per lane and the
+      n_states*n_classes <= 128 cap lifts.)
+
+Run on the tunneled chip with the axon_timing differencing protocol
+(see bench.py): K-chained jitted scans over distinct runtime tables,
+difference two K values.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from grab_tpu.scan_pipeline import enable_compilation_cache
+
+LANES = 128
+STREAM_ROWS = 128
+
+
+def build_variant(variant: str, n_classes: int, start: int, accept_bits: int,
+                  accept_floor: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(tab_ref, a_ref, bm_ref, state_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            state_ref[:] = jnp.full((STREAM_ROWS, LANES), start, jnp.int32)
+
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        state = state_ref[:]
+        row = lambda i: jnp.broadcast_to(
+            tab_ref[i].reshape(1, LANES), (STREAM_ROWS, LANES))
+        hit = None
+        if variant == "v0":
+            trans, cls_lo, cls_hi = row(0), row(1), row(2)
+            for k in range(4):
+                b = ((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                lo = jnp.take_along_axis(cls_lo, b & 127, axis=1)
+                hi = jnp.take_along_axis(cls_hi, b & 127, axis=1)
+                cls = jnp.where(b < 128, lo, hi)
+                idx = state * n_classes + cls
+                state = jnp.take_along_axis(trans, idx, axis=1)
+                acc = ((jnp.int32(accept_bits) >> state) & 1) != 0
+                hit = acc if hit is None else jnp.logical_or(hit, acc)
+        elif variant == "v1":
+            trans, cls_pk = row(0), row(1)
+            for k in range(4):
+                b = ((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                pk = jnp.take_along_axis(cls_pk, b & 127, axis=1)
+                cls = (pk >> ((b >> 7) << 3)) & 0xFF
+                idx = state * n_classes + cls
+                state = jnp.take_along_axis(trans, idx, axis=1)
+                acc = ((jnp.int32(accept_bits) >> state) & 1) != 0
+                hit = acc if hit is None else jnp.logical_or(hit, acc)
+        elif variant == "v2":
+            # trans entries pre-multiplied by n_classes; accept iff
+            # prescaled value >= accept_floor (renumbered states)
+            transs, cls_pk = row(0), row(1)
+            state = state * n_classes  # carry prescaled
+            for k in range(4):
+                b = ((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                pk = jnp.take_along_axis(cls_pk, b & 127, axis=1)
+                cls = (pk >> ((b >> 7) << 3)) & 0xFF
+                state = jnp.take_along_axis(transs, state + cls, axis=1)
+                acc = state >= accept_floor
+                hit = acc if hit is None else jnp.logical_or(hit, acc)
+            state = state // n_classes
+        elif variant == "v3":
+            # raw low-7-bit indexing (no class map): trans[state*128+b&127]
+            # only a probe of gather cost at full 128-wide class space:
+            # requires n_states <= 1 for the 128-entry table, so walk a
+            # 1-state automaton — measures pure per-byte gather+ALU floor
+            transs = row(0)
+            for k in range(4):
+                b = ((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                state = jnp.take_along_axis(transs, b & 127, axis=1)
+                acc = state >= accept_floor
+                hit = acc if hit is None else jnp.logical_or(hit, acc)
+        state_ref[:] = jnp.where(
+            jnp.full((STREAM_ROWS, LANES), True), state, state)
+        pw = jnp.int32(1) << jax.lax.broadcasted_iota(
+            jnp.int32, (1, 16, LANES), 1)
+        h3 = hit.reshape(STREAM_ROWS // 16, 16, LANES)
+        bm_ref[:] = jnp.sum(jnp.where(h3, pw, 0), axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("variant", "n_classes", "start",
+                                   "accept_bits", "accept_floor"))
+def run_variant(words2d, tab, variant, n_classes, start, accept_bits,
+                accept_floor):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0]
+    n_steps = rows // STREAM_ROWS
+    kernel = build_variant(variant, n_classes, start, accept_bits, accept_floor)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows // 16, LANES), jnp.int32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((STREAM_ROWS, LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((STREAM_ROWS // 16, LANES), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((STREAM_ROWS, LANES), jnp.int32)],
+    )(tab, words2d)
+
+
+def sublane_gather_probe():
+    """Does take_along_axis(tbl[N,128], idx[128,128], axis=0) lower?"""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = 256
+
+    def kernel(tab_ref, idx_ref, out_ref):
+        idx = idx_ref[:] & (N - 1)
+        out_ref[:] = jnp.take_along_axis(
+            jnp.broadcast_to(tab_ref[:], (N, LANES)), idx, axis=0)
+
+    @jax.jit
+    def run(tab, idx):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((STREAM_ROWS, LANES), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(tab, idx)
+
+    tab = jnp.asarray(np.arange(N * LANES, dtype=np.int32).reshape(N, LANES))
+    idx = jnp.asarray(
+        np.random.default_rng(0).integers(0, N, (STREAM_ROWS, LANES), np.int32))
+    try:
+        out = np.asarray(run(tab, idx))
+        want = np.take_along_axis(np.asarray(tab), np.asarray(idx) % N, 0)
+        ok = np.array_equal(out, want)
+        return f"sublane gather (N={N}): lowers, correct={ok}"
+    except Exception as e:
+        return f"sublane gather: FAILS ({type(e).__name__}: {str(e)[:200]})"
+
+
+def main():
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() != "cpu"
+    n_mb = int(os.environ.get("GRAB_TPU_BENCH_MB", "512" if on_tpu else "4"))
+    n = n_mb << 20
+    print(f"backend={jax.default_backend()} n={n_mb}MB", file=sys.stderr)
+
+    print(sublane_gather_probe(), file=sys.stderr)
+
+    rng = np.random.default_rng(42)
+    buf = rng.integers(97, 123, size=n, dtype=np.uint8)
+    # a plausible small DFA: 8 states x 10 classes = 80 <= 128
+    n_classes, start = 10, 0
+    accept_bits = 1 << 7
+    accept_floor = 7 * n_classes
+    rows = n // (4 * LANES)
+    rows -= rows % STREAM_ROWS
+    words2d = jnp.asarray(buf[: rows * 4 * LANES].view("<i4").reshape(-1, LANES))
+    words2d.block_until_ready()
+
+    K_HI, K_LO = 8, 4
+    for variant in ("v0", "v1", "v2", "v3"):
+        tabs = lambda k: jnp.asarray(
+            np.random.default_rng(1).integers(
+                0, 60, (k, 4, LANES), np.int32))
+
+        @jax.jit
+        def chained(tt, words):
+            def body(acc, tab):
+                bm = run_variant(words, tab, variant, n_classes, start,
+                                 accept_bits, accept_floor)
+                return acc + jnp.sum(bm, dtype=jnp.int32), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), tt)
+            return acc
+
+        th, tl = tabs(K_HI), tabs(K_LO)
+        int(chained(th, words2d)); int(chained(tl, words2d))  # warm
+
+        def best(tt, reps=5):
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.time(); int(chained(tt, words2d))
+                b = min(b, time.time() - t0)
+            return b
+
+        dt = max(best(th) - best(tl), 1e-9) / (K_HI - K_LO)
+        print(f"{variant}: {rows*4*LANES/dt/1e9:7.1f} GB/s  ({dt*1e3:.2f} ms/scan)",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
