@@ -17,6 +17,10 @@ README.md:16-31):
   -S      literal (fixed-string) mode (greppin, README.md:25-26)
   -H      multi-pattern batch mode: the pattern argument is a file with
           one pattern per line (hyperscan batch, README.md:63-92)
+  -E      exact mode (ours): one logical chunk per file — no
+          4 KiB-overlap duplicates and no missed chunk-spanning
+          matches (the reference's documented limitation,
+          README.md:116-119)
   --stats print scan statistics to stderr (off the parity path)
   --hosts N --pid P --coordinator HOST:PORT
           multi-host mode (BASELINE config 5): run the SAME command on
@@ -41,7 +45,7 @@ from typing import List, Optional
 from grab_tpu.engine import Engine, EngineConfig
 from grab_tpu.format.emitter import OutputConfig
 
-USAGE = "Usage: {p} [-rR] [-I] [-O] [-L] [-l] [-s] [-n <cores>] [-2] [-S] [-H] <regex> <path>\n"
+USAGE = "Usage: {p} [-rR] [-I] [-O] [-L] [-l] [-s] [-n <cores>] [-2] [-S] [-H] [-E] <regex> <path>\n"
 
 MIN_CHUNK = 1 << 25  # 32 MiB floor (main.cc:134-135)
 
@@ -57,6 +61,7 @@ def parse_args(argv: List[str]):
         "low_mem": False,
         "cores": 0,
         "pcre2": False,
+        "exact": False,
         "literal": False,
         "multi": False,
         "stats": False,
@@ -121,6 +126,13 @@ def parse_args(argv: List[str]):
                         chunk_size = MIN_CHUNK
                 elif c == "2":
                     opts["pcre2"] = True
+                elif c == "E":
+                    # exact mode (ours, not in the reference): one
+                    # logical chunk per file — no 4 KiB-overlap
+                    # duplicate reports and no missed matches spanning
+                    # chunk boundaries (the reference's documented
+                    # limitation, README.md:116-119 / grab.cc:151-154)
+                    opts["exact"] = True
                 elif c == "S":
                     opts["literal"] = True
                 elif c == "H":
@@ -202,6 +214,8 @@ def main(
         return 255
     if opts["cores"] > 1:
         chunk_size >>= 2  # main.cc:172-173
+    if opts["exact"]:
+        chunk_size = 1 << 62  # one chunk per file: exact, no duplicates
 
     out_cfg = OutputConfig(
         colored=opts["color"] and is_tty,

@@ -1,0 +1,84 @@
+"""-E exact mode: beat the reference's chunk-boundary limitation.
+
+The reference scans 1 GiB chunks with a 4 KiB overlap: matches inside
+the overlap print TWICE, matches longer than 4 KiB spanning a boundary
+are MISSED (/root/reference/README.md:116-119, grab.cc:151-154). Parity
+mode replays both quirks byte-for-byte; ``-E`` collapses each file to
+one logical chunk so every match is found exactly once regardless of
+length or position — a capability the reference documents as a
+limitation.
+"""
+
+import numpy as np
+
+from grab_tpu.cli import parse_args
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+
+CHUNK = 64 << 10  # small chunk so boundaries are cheap to hit
+OVERLAP = 0x1000
+
+
+def _engine(pattern, chunk_size, mode="pcre1"):
+    cfg = EngineConfig(
+        output=OutputConfig(
+            print_offset=True, print_line=False, chunk_size=chunk_size
+        ),
+        mode=mode,
+        scan_buf_size=64 << 10,
+    )
+    return Engine([pattern], cfg)
+
+
+def _scan(pattern, data, chunk_size, mode="pcre1"):
+    eng = _engine(pattern, chunk_size, mode)
+    out = bytearray()
+    assert eng.scan_data("f.bin", bytes(data), out.extend) == 0
+    return bytes(out)
+
+
+def _base(n, seed=1):
+    rng = np.random.default_rng(seed)
+    b = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8).tobytes())
+    for i in range(0, n, 97):
+        b[i] = 0x0A
+    return b
+
+
+def test_overlap_duplicate_gone_in_exact_mode():
+    n = CHUNK + (8 << 10)
+    b = _base(n)
+    # plant entirely inside the overlap window of the first boundary:
+    # bytes [CHUNK - OVERLAP, CHUNK) are scanned by both chunks
+    pos = CHUNK - OVERLAP + 100
+    b[pos : pos + 8] = b"needleXY"
+    parity = _scan(b"needleXY", b, CHUNK, mode="literal")
+    exact = _scan(b"needleXY", b, 1 << 62, mode="literal")
+    want = f"Match at offset {pos}\n".encode()
+    assert parity == want * 2  # reference quirk: duplicate report
+    assert exact == want  # -E: exactly once
+
+
+def test_long_spanning_match_found_in_exact_mode():
+    n = 2 * CHUNK
+    b = _base(n, seed=2)
+    # a match longer than the 4 KiB overlap, crossing the chunk
+    # boundary: start before (CHUNK - OVERLAP), end after CHUNK
+    start = CHUNK - OVERLAP - 100
+    run = OVERLAP + 300
+    b[start] = ord("A")
+    b[start + 1 : start + 1 + run] = b"5" * run
+    b[start + 1 + run] = ord("B")
+    pat = rb"A[0-9]{100,}B"  # matches the whole >4 KiB digit run
+    parity = _scan(pat, b, CHUNK)
+    exact = _scan(pat, b, 1 << 62)
+    assert parity == b""  # reference quirk: spanning match missed
+    assert exact == f"Match at offset {start}\n".encode()
+
+
+def test_cli_parses_exact_flag():
+    opts, chunk, args = parse_args(["-rEO", "pat", "dir"])
+    assert opts["exact"] and opts["recursive"] and opts["offsets"]
+    opts, chunk, args = parse_args(["-E", "-r", "pat", "dir"])
+    assert opts["exact"]
+    assert args == ["pat", "dir"]
