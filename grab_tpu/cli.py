@@ -227,7 +227,12 @@ def main(
         chunk_size=chunk_size,
     )
     mode = "literal" if opts["literal"] else ("pcre2" if opts["pcre2"] else "pcre1")
-    cfg = EngineConfig(output=out_cfg, mode=mode, n_shards=max(1, opts["cores"]))
+    cfg = EngineConfig(
+        output=out_cfg,
+        mode=mode,
+        n_shards=max(1, opts["cores"]),
+        exact=opts["exact"],
+    )
 
     if opts["multi"]:
         # -H: pattern argument is a file of patterns, one per line

@@ -78,19 +78,43 @@ class CandidateSearcher:
     assuming the candidate index covers every true match position
     (superset property, enforced by kernel tests)."""
 
-    def __init__(self, matcher, index: CandidateIndex, line_narrow: bool):
+    def __init__(
+        self,
+        matcher,
+        index: CandidateIndex,
+        line_narrow: bool,
+        max_len=None,
+    ):
         self.matcher = matcher
         self.index = index
         self.line_narrow = line_narrow  # pattern cannot match \n
+        self.max_len = max_len  # bounds flag→start distance when known
 
     def __call__(self, data: bytes, lo: int, hi: int, alo: int, ahi: int):
         if self.index.counts is None:
             return self.matcher.search(data, lo, hi, alo=alo, ahi=ahi)
         if not self.line_narrow:
-            # cannot narrow to lines; any candidate → full window scan
             if not self.index.any_in(lo, hi):
                 return None
-            return self.matcher.search(data, lo, hi, alo=alo, ahi=ahi)
+            if self.max_len is None:
+                # flags bound no window: full remaining-window scan
+                return self.matcher.search(data, lo, hi, alo=alo, ahi=ahi)
+            # newline-capable but bounded: a flag marks a position
+            # inside the match, so starts lie within max_len of a
+            # flagged block — scan only those neighborhoods (was: one
+            # flag → full remaining window, r1 VERDICT weak #5)
+            M = int(self.max_len) + 8
+            pos = lo
+            for b_lo, b_hi in self.index.flagged_blocks(lo, hi):
+                win_lo = max(pos, b_lo - M)
+                win_hi = min(hi, b_hi + M)
+                if win_lo >= win_hi:
+                    continue
+                m = self.matcher.search(data, win_lo, win_hi, alo=alo, ahi=ahi)
+                if m is not None:
+                    return m
+                pos = max(pos, win_hi)  # starts below win_hi cleared
+            return None
         pos = lo
         for b_lo, b_hi in self.index.flagged_blocks(lo, hi):
             if b_hi <= pos:
@@ -270,6 +294,8 @@ class EngineConfig:
     pcre1_quirks: bool = True  # replicate the ovector[3] capture quirk
     scan_buf_size: Optional[int] = None  # fixed device buffer (None = auto)
     n_shards: int = 1  # -n N: data-parallel scan over an N-device mesh
+    exact: bool = False  # -E: no chunk quirks; forces host-only scan
+    # when the device path cannot guarantee trigger-in-halo coverage
 
 
 class Engine:
@@ -369,6 +395,20 @@ class Engine:
             from grab_tpu.scan_pipeline import DeviceScanner
 
             return DeviceScanner._alpha_eligible(cp.alpha_plan)
+        if self.cfg.exact and not cp.covered:
+            # -E promises every match at any length. Covered plans and
+            # the class-run prefilter have tiny trigger windows (<= 32
+            # bytes <= the 4 KiB segment halo), but the DFA-walk tier
+            # marks match ENDS: a match longer than the halo can start
+            # before the stream segment and never reach accept inside
+            # it. Unless the plan guarantees trigger-in-halo, scan on
+            # the host (exact by construction).
+            from grab_tpu.scan_pipeline import HALO, DeviceScanner
+
+            if DeviceScanner._alpha_eligible(cp.alpha_plan):
+                return True
+            if cp.max_len is None or cp.max_len > HALO - 8:
+                return False
         return True
 
     def _get_scanner(self):
@@ -412,7 +452,9 @@ class Engine:
         emit: Callable[[bytes], None],
     ):
         index = CandidateIndex(counts, CANDIDATE_BLOCK)
-        searcher = CandidateSearcher(self._exact, index, self._line_narrow)
+        searcher = CandidateSearcher(
+            self._exact, index, self._line_narrow, max_len=self.compiled.max_len
+        )
         replayer = ChunkReplayer(self.cfg.output, searcher, self.compiled.min_len)
         replayer.scan_buffer(path, data, emit)
 

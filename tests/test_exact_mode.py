@@ -82,3 +82,59 @@ def test_cli_parses_exact_flag():
     opts, chunk, args = parse_args(["-E", "-r", "pat", "dir"])
     assert opts["exact"]
     assert args == ["pat", "dir"]
+
+
+def test_bounded_multiline_patterns_scan_only_flag_neighborhoods():
+    """r1 VERDICT weak #5: a newline-capable pattern used to turn one
+    flagged block into a full remaining-window scan. With max_len
+    known, only flag neighborhoods are probed."""
+    from grab_tpu.engine import CandidateIndex, CandidateSearcher
+
+    class Spy:
+        def __init__(self):
+            self.windows = []
+
+        def search(self, data, lo, hi, alo=None, ahi=None):
+            self.windows.append((lo, hi))
+            return None
+
+    n_blocks = 200
+    counts = np.zeros(n_blocks, dtype=np.int32)
+    counts[50] = 1
+    counts[150] = 1
+    spy = Spy()
+    s = CandidateSearcher(
+        spy, CandidateIndex(counts, 512), line_narrow=False, max_len=16
+    )
+    data = b"x" * (n_blocks * 512)
+    assert s(data, 0, len(data), 0, len(data)) is None
+    assert len(spy.windows) == 2
+    for lo, hi in spy.windows:
+        assert hi - lo <= 512 + 2 * (16 + 8)
+    # unbounded max_len keeps the sound full-window behavior
+    spy2 = Spy()
+    s2 = CandidateSearcher(
+        spy2, CandidateIndex(counts, 512), line_narrow=False, max_len=None
+    )
+    assert s2(data, 0, len(data), 0, len(data)) is None
+    assert spy2.windows == [(0, len(data))]
+
+
+def test_exact_forces_host_for_unbounded_dfa_walk(tmp_path):
+    """-E with a DFA-walk plan whose matches can outgrow the stream
+    halo: the device cannot guarantee coverage, so the engine scans on
+    the host — and finds a >4 KiB match the device tier could miss."""
+    from grab_tpu.regex.compiler import compile_multi
+
+    # uncovered, alpharun-ineligible (dense alphabet), unbounded
+    pat = rb".{0,2}(?:[0-9a-zA-Z]{4})+"
+    cp = compile_multi([pat])
+    if cp.covered or cp.alpha_plan is not None:
+        import pytest
+
+        pytest.skip("pattern unexpectedly has a covered plan")
+    eng_exact = _engine(pat, 1 << 62)
+    eng_exact.cfg.exact = True
+    assert not eng_exact._device_usable()
+    eng_parity = _engine(pat, 1 << 62)
+    assert eng_parity._device_usable() == (cp.dfa is not None and cp.dfa.n_states <= 2048)
