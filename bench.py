@@ -245,19 +245,40 @@ def secondary_metrics():
         ),
     )
 
-    # gather-DFA: exact [0-9]{5} automaton, stream-major layout
+    # run-SWAR DFA: exact [0-9]{5} automaton (the production DFA path;
+    # one transition gather per byte, SWAR run classes)
     from grab_tpu.ops.pallas_gatherdfa import (
         STREAM_ROWS,
         GatherDfaTables,
+        RunDfaTables,
         gather_dfa_bitmap,
+        plan_dfa,
+        run_dfa_bitmap,
     )
     from grab_tpu.regex.compiler import compile_multi
 
     cp = compile_multi([rb"[0-9]{5}"])
-    tables = GatherDfaTables(cp.dfa)
+    plan = plan_dfa(cp.dfa, cp.max_len)
+    assert plan[0] == "run", plan
+    rt = RunDfaTables(cp.dfa, plan[1])
     g_rows = (rows // STREAM_ROWS) * STREAM_ROWS
     gw = np.ascontiguousarray(w[:g_rows])
     gstack = make_stack(gw, 8)
+    rtab = jnp.asarray(rt.tab)
+    emit(
+        "rundfa_bytes_per_sec",
+        measure(
+            lambda x: run_dfa_bitmap(
+                x, rtab, rt.thresholds, rt.m, rt.layout, rt.start,
+                rt.accept_floor
+            ),
+            gstack,
+        ),
+    )
+
+    # class-gather DFA fallback: fragmented class map (2 gathers/byte)
+    cpf = compile_multi([rb"[acegikmoqsuwy]{3}"])
+    tables = GatherDfaTables(cpf.dfa)
     tab = jnp.asarray(tables.tab)
     emit(
         "gatherdfa_bytes_per_sec",

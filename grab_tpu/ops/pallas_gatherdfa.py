@@ -1,4 +1,4 @@
-"""Gather-based DFA scan kernel: exact automata for factor-less regexes.
+"""Gather-based DFA scan kernels: exact automata for factor-less regexes.
 
 The north-star design calls for the compiled byte-class DFA's inner
 loop to run as a Pallas kernel. A DFA walk is sequential per byte, so
@@ -8,33 +8,48 @@ re-laid out stream-major into S = 16384 segments (128 sublane rows x
 its own bytes, and the per-element state vector lives in VMEM scratch
 across grid steps.
 
-Per-byte cost is what bounds throughput (the walk is VPU-issue-bound,
-not HBM-bound — tools/bench_dfa_variants.py), so the kernel is built
-around exactly TWO 128-entry lane gathers per byte:
+Per-byte cost is what bounds throughput, and the walk is
+VPU-GATHER-issue-bound, not HBM- or ALU-bound: the measured 1-gather
+floor is 161 GB/s while ALU ops ride along almost free
+(tools/bench_dfa_variants.py). Two kernel families, chosen per DFA:
+
+**run-SWAR** (the fast path, ONE gather per byte, 127-132 GB/s):
+byte→class maps are runs of constant class over byte ranges, so the
+class of a byte is recoverable without a table lookup: run index =
+Σ SWAR (byte >= threshold) indicators, computed for all four bytes of
+an int32 word in ~6 vector ops per threshold. The transition gather
+indexes a [state, run] table whose entries are packed to lift the
+128-lane capacity cap:
+
+    direct  int32 entries, prescaled by m   n_states * n_runs <= 128
+    pack2   2x16-bit, prescaled by m        n_states * n_runs <= 256
+    pack4   4x8-bit, unprescaled (mul)      n_states * n_runs <= 512
+
+pack4 admits 64-state automata with up to 8 class runs — the round-1
+cap (n_states * n_classes <= 128) is lifted 4x.
+
+**class-gather** (fallback, TWO gathers per byte, ~90-95 GB/s): for
+class maps too fragmented for run arithmetic (> MAX_RUNS runs) but
+with n_states * n_classes <= 128:
 
     pk     = cls_pk[b & 127]            (lo class in bits 0-7, hi in 8-15)
     cls    = (pk >> ((b>>7)<<3)) & 0xFF
     state  = T'[state + cls]            (T' entries pre-multiplied by C)
     hit   |= state >= accept_floor      (states renumbered: accepting last)
 
-measured 94 GB/s on v5e vs 67 GB/s for the round-1 three-gather /
-accept-bitmask form — and the threshold accept removes the 32-state
-bitmask cap (the remaining cap is the gather table itself:
-n_states * n_classes <= 128).
-
-Eligibility: n_states * n_classes <= 128, and the pattern's max match
-length must fit the inter-stream halo so matches spanning a stream
-boundary are seen whole by the next stream (the reference's 4 KiB
-chunk-overlap trick at stream scale, /root/reference/src/grab.cc:151-154).
-Hits mark match END positions; block-level decode + the engine's
-line-narrowed replay recover starts.
+Eligibility (both): the pattern's max match length must fit the
+inter-stream halo so matches spanning a stream boundary are seen whole
+by the next stream (the reference's 4 KiB chunk-overlap trick at
+stream scale, /root/reference/src/grab.cc:151-154). Hits mark match
+END positions; block-level decode + the engine's line-narrowed replay
+recover starts.
 
 This serves patterns with neither literal factors nor useful class
 sequences exactly, and tightens candidates for patterns whose class
 sequences are weak (e.g. ``[0-9]{3}[a-z]{2}``: the class-seq kernel
 flags any digit run, the DFA only flags completed matches). Patterns
 whose DFA alphabet is narrow take the alphabet-run prefilter
-(ops/pallas_alpharun) instead — gather-free and several times faster.
+(ops/pallas_alpharun) instead — gather-free and faster still.
 """
 
 from __future__ import annotations
@@ -50,42 +65,73 @@ from grab_tpu.ops.pallas_corewords import BLOCK, LANES, decode_packed_flags
 STREAM_ROWS = 128  # sublane rows of streams per grid step
 N_STREAMS = STREAM_ROWS * LANES  # 16384
 HALO = 128  # bytes shared between adjacent streams
-MAX_IDX = 128  # states * classes must fit one lane-gather table
+MAX_IDX = 128  # states * classes cap for the class-gather fallback
+MAX_RUN_IDX = 512  # states * runs cap for the run-SWAR pack4 layout
+MAX_RUNS = 16  # SWAR membership costs ~6 ops per threshold per word
+
+
+def class_runs(class_map: np.ndarray):
+    """Decompose the byte→class map into maximal runs of constant
+    class. → (thresholds, run_classes): run i covers
+    [thresholds[i-1], thresholds[i]) with class run_classes[i]
+    (thresholds[-1] exclusive end omitted; run 0 starts at 0)."""
+    cm = np.asarray(class_map, dtype=np.int64)
+    starts = [0]
+    for b in range(1, 256):
+        if cm[b] != cm[b - 1]:
+            starts.append(b)
+    thresholds = tuple(starts[1:])
+    run_classes = tuple(int(cm[s]) for s in starts)
+    return thresholds, run_classes
+
+
+def plan_dfa(dfa, max_len):
+    """→ ("run", layout) | ("cls",) | None — which kernel family (and
+    packing layout) serves this automaton exactly on device."""
+    if dfa is None or max_len is None or max_len > HALO - 8:
+        return None
+    thresholds, _ = class_runs(dfa.class_map)
+    m = len(thresholds) + 1
+    if m <= MAX_RUNS:
+        cap = dfa.n_states * m
+        if cap <= MAX_IDX:
+            return ("run", "direct")
+        if cap <= 2 * MAX_IDX:
+            return ("run", "pack2")
+        if cap <= MAX_RUN_IDX:
+            return ("run", "pack4")
+    if dfa.n_states * dfa.n_classes <= MAX_IDX:
+        return ("cls",)
+    return None
 
 
 def dfa_eligible(dfa, max_len) -> bool:
-    return (
-        dfa is not None
-        and dfa.n_states * dfa.n_classes <= MAX_IDX
-        and max_len is not None
-        and max_len <= HALO - 8
-    )
+    return plan_dfa(dfa, max_len) is not None
+
+
+def _accept_last_perm(dfa):
+    """Renumber states so every accepting id >= every non-accepting id:
+    accept detection is one compare against a floor instead of a mask
+    probe. → (perm old→new, n_nonaccepting)."""
+    acc = np.asarray(dfa.accept_mask, dtype=bool)
+    order = np.concatenate([np.flatnonzero(~acc), np.flatnonzero(acc)])
+    perm = np.empty(dfa.n_states, dtype=np.int64)
+    perm[order] = np.arange(dfa.n_states)
+    return perm, dfa.n_states - int(acc.sum())
 
 
 class GatherDfaTables:
-    """Device tables for one DFA.
-
-    States are renumbered so every accepting state id is >= every
-    non-accepting id: accept detection is then one compare against
-    ``accept_floor`` instead of a 32-bit mask probe, which both saves
-    an op per byte and lifts the state-count cap to the gather-table
-    limit. Transition entries are pre-multiplied by n_classes so the
-    per-byte index is one add (state is carried prescaled).
+    """Class-gather family device tables (fallback for fragmented
+    class maps). Transition entries are pre-multiplied by n_classes so
+    the per-byte index is one add (state is carried prescaled).
     """
 
     def __init__(self, dfa):
         assert dfa.n_states * dfa.n_classes <= MAX_IDX
         C = self.n_classes = dfa.n_classes
-        acc = np.asarray(dfa.accept_mask, dtype=bool)
-        order = np.concatenate(
-            [np.flatnonzero(~acc), np.flatnonzero(acc)]
-        )  # new id -> old id
-        perm = np.empty(dfa.n_states, dtype=np.int64)  # old id -> new id
-        perm[order] = np.arange(dfa.n_states)
-        n_acc = int(acc.sum())
-        self.accept_floor = (dfa.n_states - n_acc) * C if n_acc else (
-            dfa.n_states * C + 1
-        )
+        perm, n_nonacc = _accept_last_perm(dfa)
+        has_acc = n_nonacc < dfa.n_states
+        self.accept_floor = n_nonacc * C if has_acc else (dfa.n_states * C + 1)
         self.start = int(perm[dfa.start]) * C
         # prescaled, renumbered transitions: T'[new_s*C + c] = perm[old]*C
         trans = np.zeros(LANES, dtype=np.int32)
@@ -100,6 +146,52 @@ class GatherDfaTables:
         self.tab = np.stack(
             [trans, cls_pk, np.zeros(LANES, np.int32), np.zeros(LANES, np.int32)]
         )
+
+
+class RunDfaTables:
+    """Run-SWAR family device tables: [state, run] transitions packed
+    per layout. ``thresholds`` are the run starts (static: baked into
+    the kernel as SWAR constants); entries are renumbered accept-last.
+    """
+
+    def __init__(self, dfa, layout: str):
+        self.layout = layout
+        thresholds, run_classes = class_runs(dfa.class_map)
+        self.thresholds = thresholds
+        m = self.m = len(thresholds) + 1
+        perm, n_nonacc = _accept_last_perm(dfa)
+        has_acc = n_nonacc < dfa.n_states
+        told = np.asarray(dfa.table)
+        S = dfa.n_states
+        assert S * m <= {"direct": 128, "pack2": 256, "pack4": 512}[layout]
+        # run-indexed, renumbered transition entries T[new_s*m + r]
+        flat = np.zeros(S * m, dtype=np.int64)
+        for old_s in range(S):
+            new_s = int(perm[old_s])
+            for r, c in enumerate(run_classes):
+                flat[new_s * m + r] = perm[told[old_s, c]]
+        tab = np.zeros(LANES, dtype=np.int32)
+        if layout == "direct":
+            tab[: S * m] = flat * m  # prescaled
+            self.start = int(perm[dfa.start]) * m
+            self.accept_floor = n_nonacc * m if has_acc else S * m + 1
+        elif layout == "pack2":
+            pre = flat * m  # prescaled, < S*m <= 256: fits 16 bits
+            pk = np.zeros(2 * LANES, dtype=np.int64)
+            pk[: S * m] = pre
+            tab[:] = pk[0::2] | (pk[1::2] << 16)
+            self.start = int(perm[dfa.start]) * m
+            self.accept_floor = n_nonacc * m if has_acc else S * m + 1
+        else:  # pack4: unprescaled 8-bit states, mul by m in-kernel
+            assert S <= 256
+            pk = np.zeros(4 * LANES, dtype=np.int64)
+            pk[: S * m] = flat
+            tab[:] = pk[0::4] | (pk[1::4] << 8) | (pk[2::4] << 16) | (
+                pk[3::4] << 24
+            )
+            self.start = int(perm[dfa.start])
+            self.accept_floor = n_nonacc if has_acc else S + 1
+        self.tab = tab.reshape(1, LANES)
 
 
 def _build_kernel(start: int, accept_floor: int, n_steps: int):
@@ -185,6 +277,157 @@ def gather_dfa_bitmap(
     )(tab, words2d)
 
 
+_H = 0x80808080
+_L7 = 0x7F7F7F7F
+_L1 = 0x01010101
+
+
+def _build_run_kernel(
+    thresholds: Tuple[int, ...],
+    m: int,
+    layout: str,
+    start: int,
+    accept_floor: int,
+):
+    import jax.numpy as jnp
+
+    def kernel(tab_ref, a_ref, bm_ref, state_ref):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            state_ref[:] = jnp.full((STREAM_ROWS, LANES), start, jnp.int32)
+
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        state = state_ref[:]
+        trans = jnp.broadcast_to(
+            tab_ref[0].reshape(1, LANES), (STREAM_ROWS, LANES)
+        )
+        H, L7 = jnp.uint32(_H), jnp.uint32(_L7)
+
+        def ge(n: int):
+            """SWAR per-byte (byte >= n) indicator in each byte's high
+            bit — all 4 bytes of the word at once."""
+            if n <= 128:
+                return (((x & L7) + jnp.uint32((128 - n) * _L1)) | x) & H
+            return (((x & L7) + jnp.uint32((256 - n) * _L1)) & x) & H
+
+        # per-byte run index, accumulated one byte lane each (run
+        # counts < 128: no cross-byte carry)
+        acc = None
+        for t in thresholds:
+            ind = ge(t) >> jnp.uint32(7)
+            acc = ind if acc is None else acc + ind
+        acc = (
+            acc.astype(jnp.int32)
+            if acc is not None
+            else jnp.zeros_like(x, dtype=jnp.int32)
+        )
+        hit = None
+        for k in range(4):
+            run = (acc >> jnp.int32(8 * k)) & 0xFF
+            if layout == "direct":
+                state = jnp.take_along_axis(trans, state + run, axis=1)
+            elif layout == "pack2":
+                idx = state + run
+                w = jnp.take_along_axis(trans, idx >> 1, axis=1)
+                state = (w >> ((idx & 1) << 4)) & 0xFFFF
+            else:  # pack4
+                idx = state * m + run
+                w = jnp.take_along_axis(trans, idx >> 2, axis=1)
+                state = (w >> ((idx & 3) << 3)) & 0xFF
+            acc2 = state >= accept_floor
+            hit = acc2 if hit is None else jnp.logical_or(hit, acc2)
+        state_ref[:] = state
+        pw = jnp.int32(1) << jax.lax.broadcasted_iota(
+            jnp.int32, (1, 16, LANES), 1
+        )
+        h3 = hit.reshape(STREAM_ROWS // 16, 16, LANES)
+        bm_ref[:] = jnp.sum(jnp.where(h3, pw, 0), axis=1)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("thresholds", "m", "layout", "start", "accept_floor",
+                     "interpret"),
+)
+def run_dfa_bitmap(
+    words2d,  # int32 [n_steps * 128, 128], stream-major (see above)
+    tab,  # int32 [1, 128]
+    thresholds: Tuple[int, ...],
+    m: int,
+    layout: str,
+    start: int,
+    accept_floor: int,
+    interpret: bool = False,
+):
+    """Run-SWAR DFA walk → hit bitmap int32 [rows/16, 128] (16 rows
+    per word) in the transposed geometry."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0]
+    assert rows % STREAM_ROWS == 0
+    n_steps = rows // STREAM_ROWS
+    kernel = _build_run_kernel(thresholds, m, layout, start, accept_floor)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows // 16, LANES), jnp.int32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (STREAM_ROWS, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (STREAM_ROWS // 16, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((STREAM_ROWS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(tab, words2d)
+
+
+def np_run_dfa_bitmap(words2d: np.ndarray, tables: RunDfaTables):
+    """Numpy oracle for the run-SWAR kernel (same transposed geometry)."""
+    rows = words2d.shape[0]
+    n_steps = rows // STREAM_ROWS
+    x = words2d.view(np.uint32).reshape(n_steps, STREAM_ROWS, LANES)
+    m, layout = tables.m, tables.layout
+    tab = tables.tab.reshape(-1).astype(np.int64)
+    state = np.full((STREAM_ROWS, LANES), tables.start, dtype=np.int64)
+    hit = np.zeros((rows, LANES), dtype=bool)
+    for g in range(n_steps):
+        w = x[g]
+        h = np.zeros((STREAM_ROWS, LANES), dtype=bool)
+        for k in range(4):
+            b = ((w >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(np.int64)
+            run = np.zeros_like(b)
+            for t in tables.thresholds:
+                run += b >= t
+            if layout == "direct":
+                state = tab[state + run]
+            elif layout == "pack2":
+                idx = state + run
+                state = (tab[idx >> 1] >> ((idx & 1) << 4)) & 0xFFFF
+            else:
+                idx = state * m + run
+                state = (tab[idx >> 2] >> ((idx & 3) << 3)) & 0xFF
+            h |= state >= tables.accept_floor
+        hit[g * STREAM_ROWS : (g + 1) * STREAM_ROWS] = h
+    r16 = np.arange(rows, dtype=np.uint32) & 15
+    weighted = np.where(hit, np.uint32(1) << r16[:, None], np.uint32(0))
+    return (
+        weighted.reshape(rows // 16, 16, LANES).sum(axis=1, dtype=np.uint32)
+    ).view(np.int32)
+
+
 def np_gather_dfa_bitmap(words2d: np.ndarray, tables: GatherDfaTables):
     """Numpy oracle for the kernel (same transposed geometry)."""
     rows = words2d.shape[0]
@@ -221,8 +464,13 @@ class GatherDfaScanner:
     def __init__(self, dfa, max_len, buf_size: int, interpret: bool = False):
         import jax.numpy as jnp
 
-        assert dfa_eligible(dfa, max_len)
-        self.tables = GatherDfaTables(dfa)
+        plan = plan_dfa(dfa, max_len)
+        assert plan is not None
+        self.plan = plan
+        if plan[0] == "run":
+            self.tables = RunDfaTables(dfa, plan[1])
+        else:
+            self.tables = GatherDfaTables(dfa)
         self._tab = jnp.asarray(self.tables.tab)
         self.interpret = interpret
         self.buf_size = buf_size
@@ -260,13 +508,26 @@ class GatherDfaScanner:
         import jax.numpy as jnp
 
         w2d = self._transpose(np.asarray(buf))
-        bm = gather_dfa_bitmap(
-            jnp.asarray(w2d),
-            self._tab,
-            self.tables.start,
-            self.tables.accept_floor,
-            interpret=self.interpret,
-        )
+        if self.plan[0] == "run":
+            t = self.tables
+            bm = run_dfa_bitmap(
+                jnp.asarray(w2d),
+                self._tab,
+                t.thresholds,
+                t.m,
+                t.layout,
+                t.start,
+                t.accept_floor,
+                interpret=self.interpret,
+            )
+        else:
+            bm = gather_dfa_bitmap(
+                jnp.asarray(w2d),
+                self._tab,
+                self.tables.start,
+                self.tables.accept_floor,
+                interpret=self.interpret,
+            )
         return bm  # device array; decode maps geometry on host
 
     def flags_np(self, bm, n_blocks: int) -> np.ndarray:

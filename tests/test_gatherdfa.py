@@ -13,9 +13,14 @@ from grab_tpu.ops.pallas_gatherdfa import (
     STREAM_ROWS,
     GatherDfaScanner,
     GatherDfaTables,
+    RunDfaTables,
+    class_runs,
     dfa_eligible,
     gather_dfa_bitmap,
     np_gather_dfa_bitmap,
+    np_run_dfa_bitmap,
+    plan_dfa,
+    run_dfa_bitmap,
 )
 from grab_tpu.regex.dfa import build_dfa
 from grab_tpu.regex.parser import parse
@@ -32,6 +37,77 @@ def test_eligibility():
     assert dfa_eligible(d, mx)
     d2, mx2 = dfa_of(rb"[a-z]+[0-9]")  # unbounded
     assert not dfa_eligible(d2, mx2)
+
+
+def test_plan_tiers():
+    # few-run class maps take the run-SWAR family, layout by capacity
+    d, mx = dfa_of(rb"[0-9]{5}")
+    assert plan_dfa(d, mx) == ("run", "direct")
+    d, mx = dfa_of(rb"[0-9]{50}")
+    assert plan_dfa(d, mx)[0] == "run"
+    assert plan_dfa(d, mx)[1] in ("pack2", "pack4")
+    d, mx = dfa_of(rb"[0-9]{100}")  # > 64 states: round-1 cap lifted
+    assert d.n_states > 64
+    assert plan_dfa(d, mx) == ("run", "pack4")
+    # fragmented class map (every other letter): too many runs for
+    # SWAR, small enough for the class-gather fallback
+    d, mx = dfa_of(rb"[acegikmoqsuwy]{3}")
+    thresholds, _ = class_runs(d.class_map)
+    assert len(thresholds) + 1 > 16
+    assert plan_dfa(d, mx) == ("cls",)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [rb"[0-9]{5}", rb"[0-9]{3}[a-z]{2}", rb"[0-9]{50}", rb"[0-9]{100}"],
+)
+def test_run_kernel_matches_numpy_oracle(pattern):
+    d, mx = dfa_of(pattern)
+    plan = plan_dfa(d, mx)
+    assert plan[0] == "run"
+    tables = RunDfaTables(d, plan[1])
+    rng = np.random.default_rng(11)
+    n_steps = 32
+    w2d = rng.integers(
+        0, 2**31, size=(n_steps * STREAM_ROWS, LANES), dtype=np.int32
+    )
+    # plant a 104-digit run along ONE stream (stream (r, c) owns word g
+    # at row g*STREAM_ROWS + r): 26 consecutive words of stream (3, 7)
+    for g in range(26):
+        w2d[g * STREAM_ROWS + 3, 7] = np.int32(0x35353535)  # "5555"
+    bm_np = np_run_dfa_bitmap(w2d, tables)
+    bm = run_dfa_bitmap(
+        jnp.asarray(w2d),
+        jnp.asarray(tables.tab),
+        tables.thresholds,
+        tables.m,
+        tables.layout,
+        tables.start,
+        tables.accept_floor,
+        interpret=True,
+    )
+    assert (np.asarray(bm) == bm_np).all()
+    assert bm_np.any()  # the planted digits must register
+
+
+@pytest.mark.parametrize("pattern", [rb"[0-9]{5}", rb"[0-9]{100}"])
+def test_run_scanner_superset(pattern):
+    import re
+
+    d, mx = dfa_of(pattern)
+    buf_size = 8 << 20
+    sc = GatherDfaScanner(d, mx, buf_size, interpret=True)
+    assert sc.plan[0] == "run"
+    rng = np.random.default_rng(13)
+    buf = rng.integers(65, 91, size=buf_size, dtype=np.uint8)  # uppercase
+    needle = b"1234567890" * 10  # 100 digits
+    for p in [3, 54321, 2_000_000, buf_size - len(needle) - 1,
+              sc.stride - 7]:
+        buf[p : p + len(needle)] = np.frombuffer(needle, np.uint8)
+    bm = sc.packed(buf)
+    flags = sc.flags_np(bm, buf_size // BLOCK)
+    for m in re.finditer(pattern, buf.tobytes()):
+        assert flags[m.start() // BLOCK] == 1, m.start()
 
 
 @pytest.mark.parametrize("pattern", [rb"[0-9]{5}", rb"[0-9]{3}[a-z]{2}"])

@@ -23,38 +23,48 @@ import numpy as np
 
 
 def make_stack(buf_np: np.ndarray, k: int):
-    """K distinct salted copies of an int32 word buffer, staged to device."""
+    """K distinct salted copies of an int32 word buffer, staged to
+    device as SEPARATE arrays. Separate arrays matter: a [K, ...]
+    stacked array walked by ``lax.scan`` materializes a full slice
+    copy per iteration — read + write + kernel read is ~3x the HBM
+    traffic, which deflated fast-kernel measurements by 1.3-1.6x
+    (caught in round 2 when the same kernel measured 132 GB/s under
+    the table-chained protocol and 98 GB/s under the old stack scan).
+    """
     import jax
     import jax.numpy as jnp
 
-    out = np.empty((k,) + buf_np.shape, dtype=buf_np.dtype)
+    bufs = []
     for i in range(k):
-        np.add(buf_np, i + 1, out=out[i], casting="unsafe")
-    stack = jax.device_put(jnp.asarray(out))
-    stack.block_until_ready()
-    return stack
+        salted = np.add(buf_np, i + 1, casting="unsafe", dtype=buf_np.dtype)
+        bufs.append(jax.device_put(jnp.asarray(salted)))
+    for b in bufs:
+        b.block_until_ready()
+    return tuple(bufs)
 
 
 def _chained(fn):
+    """One jit over K separate buffer arguments: fn applied to each,
+    outputs reduced to one scalar. Distinct runtime data defeats CSE;
+    no stacked-slice copies occur."""
     import jax
     import jax.numpy as jnp
 
-    def run(stack):
-        def body(acc, xi):
-            y = fn(xi)
-            return acc + jnp.sum(y, dtype=jnp.int32), None
-
-        acc, _ = jax.lax.scan(body, jnp.int32(0), stack)
+    @jax.jit
+    def run(*bufs):
+        acc = jnp.int32(0)
+        for b in bufs:
+            acc = acc + jnp.sum(fn(b), dtype=jnp.int32)
         return acc
 
-    return jax.jit(run)
+    return run
 
 
-def _timed_fetch(f, stack, reps: int) -> float:
+def _timed_fetch(f, bufs, reps: int) -> float:
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        _ = int(f(stack))
+        _ = int(f(*bufs))
         best = min(best, time.time() - t0)
     return best
 
@@ -62,15 +72,15 @@ def _timed_fetch(f, stack, reps: int) -> float:
 def measure(fn, stack, reps: int = 3) -> float:
     """Seconds per fn() call, with dispatch overhead differenced out.
 
-    ``stack``: [K, ...] device array of distinct inputs, K even.
+    ``stack``: tuple of K distinct device buffers (make_stack), K even.
     """
-    k = stack.shape[0]
+    k = len(stack)
     assert k >= 2 and k % 2 == 0
     f = _chained(fn)
-    int(f(stack))  # compile + warm
+    int(f(*stack))  # compile + warm
     t_full = _timed_fetch(f, stack, reps)
     half = stack[: k // 2]
-    int(f(half))
+    int(f(*half))
     t_half = _timed_fetch(f, half, reps)
     return max(t_full - t_half, 1e-9) / (k - k // 2)
 
@@ -80,6 +90,6 @@ def overhead(stack, reps: int = 3) -> float:
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda s: jnp.sum(s[0, :128], dtype=jnp.int32))
-    int(f(stack))
-    return _timed_fetch(f, stack, reps)
+    f = jax.jit(lambda s: jnp.sum(s[:128], dtype=jnp.int32))
+    int(f(stack[0]))
+    return _timed_fetch(f, (stack[0],), reps)

@@ -20,6 +20,19 @@ candidate optimizations measured here:
       what cost? (If viable, tables grow to N entries per lane and the
       n_states*n_classes <= 128 cap lifts.)
 
+Round-2 addendum (measured: v3's 1-gather floor is 161 GB/s and the
+class lookup is itself a gather — HALF the per-byte cost; ALU is
+nearly free next to gathers). The run-SWAR family replaces the class
+gather with gather-free interval arithmetic: byte->class maps are runs
+of constant class over byte ranges, so run index = sum of SWAR
+(byte >= threshold) indicators, computed for all 4 bytes of a word at
+once. One transition gather per byte remains; packed table entries
+lift capacity:
+
+  r1  run-SWAR + direct int32 entries      (n_states * n_runs <= 128)
+  r2  run-SWAR + 2x16-bit packed, prescaled (n_states * n_runs <= 256)
+  r4  run-SWAR + 4x8-bit packed, per-byte mul (n_states * n_runs <= 512)
+
 Run on the tunneled chip with the axon_timing differencing protocol
 (see bench.py): K-chained jitted scans over distinct runtime tables,
 difference two K values.
@@ -43,6 +56,14 @@ LANES = 128
 STREAM_ROWS = 128
 
 
+_H = 0x80808080
+_L7 = 0x7F7F7F7F
+_L1 = 0x01010101
+
+# synthetic run thresholds for the r* variants (m = 6 runs)
+RUN_THRESHOLDS = (48, 58, 97, 110, 123)
+
+
 def build_variant(variant: str, n_classes: int, start: int, accept_bits: int,
                   accept_floor: int):
     from jax.experimental import pallas as pl
@@ -60,6 +81,48 @@ def build_variant(variant: str, n_classes: int, start: int, accept_bits: int,
         row = lambda i: jnp.broadcast_to(
             tab_ref[i].reshape(1, LANES), (STREAM_ROWS, LANES))
         hit = None
+
+        if variant in ("r1", "r2", "r4"):
+            H, L7 = jnp.uint32(_H), jnp.uint32(_L7)
+            m = len(RUN_THRESHOLDS) + 1
+
+            def ge(n):  # per-byte (byte >= n) in the high bit, 4 at once
+                if n <= 128:
+                    return (((x & L7) + jnp.uint32((128 - n) * _L1)) | x) & H
+                return (((x & L7) + jnp.uint32((256 - n) * _L1)) & x) & H
+
+            acc = None  # per-byte run index, one byte lane each
+            for t in RUN_THRESHOLDS:
+                ind = ge(t) >> jnp.uint32(7)
+                acc = ind if acc is None else acc + ind
+            acc = acc.astype(jnp.int32)
+            trans = row(0)
+            for k in range(4):
+                run = (acc >> jnp.int32(8 * k)) & 0xFF
+                if variant == "r1":
+                    # direct int32 entries, prescaled by m
+                    idx = state + run
+                    state = jnp.take_along_axis(trans, idx, axis=1)
+                    a2 = state >= accept_floor * m
+                elif variant == "r2":
+                    # 2x16-bit packed entries, prescaled by m
+                    idx = state + run
+                    w = jnp.take_along_axis(trans, idx >> 1, axis=1)
+                    state = (w >> ((idx & 1) << 4)) & 0xFFFF
+                    a2 = state >= accept_floor * m
+                else:
+                    # 4x8-bit packed entries, unprescaled (mul per byte)
+                    idx = state * m + run
+                    w = jnp.take_along_axis(trans, idx >> 2, axis=1)
+                    state = (w >> ((idx & 3) << 3)) & 0xFF
+                    a2 = state >= accept_floor
+                hit = a2 if hit is None else jnp.logical_or(hit, a2)
+            state_ref[:] = state
+            pw = jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (1, 16, LANES), 1)
+            h3 = hit.reshape(STREAM_ROWS // 16, 16, LANES)
+            bm_ref[:] = jnp.sum(jnp.where(h3, pw, 0), axis=1)
+            return
         if variant == "v0":
             trans, cls_lo, cls_hi = row(0), row(1), row(2)
             for k in range(4):
@@ -195,7 +258,10 @@ def main():
     words2d.block_until_ready()
 
     K_HI, K_LO = 8, 4
-    for variant in ("v0", "v1", "v2", "v3"):
+    only = os.environ.get("DFA_VARIANTS")
+    variants = tuple(only.split(",")) if only else (
+        "v0", "v1", "v2", "v3", "r1", "r2", "r4")
+    for variant in variants:
         tabs = lambda k: jnp.asarray(
             np.random.default_rng(1).integers(
                 0, 60, (k, 4, LANES), np.int32))
