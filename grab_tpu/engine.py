@@ -296,6 +296,8 @@ class EngineConfig:
     n_shards: int = 1  # -n N: data-parallel scan over an N-device mesh
     exact: bool = False  # -E: no chunk quirks; forces host-only scan
     # when the device path cannot guarantee trigger-in-halo coverage
+    pallas_interpret: bool = False  # run Pallas kernels interpreted
+    # (CPU test platform exercises the real kernel paths)
 
 
 class Engine:
@@ -398,18 +400,57 @@ class Engine:
         if self.cfg.exact and not cp.covered:
             # -E promises every match at any length. Covered plans and
             # the class-run prefilter have tiny trigger windows (<= 32
-            # bytes <= the 4 KiB segment halo), but the DFA-walk tier
-            # marks match ENDS: a match longer than the halo can start
-            # before the stream segment and never reach accept inside
-            # it. Unless the plan guarantees trigger-in-halo, scan on
-            # the host (exact by construction).
+            # bytes <= the 4 KiB segment halo). The strided-DFA kernel
+            # (ops/pallas_stridedfa) threads exact state across stream
+            # boundaries, so the DFA tier now serves ANY match length
+            # in-buffer; cross-batch coverage comes from no-split
+            # packing + forced full replay of oversize files (see
+            # _dfa_tier_unbounded). Only stride-ineligible automata
+            # (fragmented classes, > 128 states) fall back to the
+            # host-exact scan.
             from grab_tpu.scan_pipeline import HALO, DeviceScanner
 
             if DeviceScanner._alpha_eligible(cp.alpha_plan):
                 return True
             if cp.max_len is None or cp.max_len > HALO - 8:
-                return False
+                return self._stride_serves()
         return True
+
+    def _stride_serves(self) -> bool:
+        """True when the device scan would take the strided-DFA kernel
+        (real backend or interpret mode — the jnp fallback walk has
+        only halo coverage and cannot serve unbounded lengths)."""
+        from grab_tpu.ops.pallas_stridedfa import stride_plan
+
+        cp = self.compiled
+        if cp.dfa is None or stride_plan(cp.dfa) is None:
+            return False
+        if self.cfg.pallas_interpret:
+            return True
+        try:
+            import jax
+
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
+
+    def _dfa_tier_unbounded(self) -> bool:
+        """Unbounded-length pattern served by the DFA tier: matches can
+        exceed the 4 KiB packer halo, so (a) buffers are packed without
+        file splits and (b) files larger than one buffer are fully
+        replayed on the host regardless of device flags (their counts
+        cannot be trusted across batch boundaries). Covered plans and
+        the class-run prefilter are exempt: any match contains a tiny
+        trigger (factor / class run) that cannot span a batch halo, and
+        a single flag already widens the replay to the full window."""
+        cp = self.compiled
+        if cp.covered:
+            return False
+        from grab_tpu.scan_pipeline import HALO, DeviceScanner
+
+        if DeviceScanner._alpha_eligible(cp.alpha_plan):
+            return False
+        return cp.max_len is None or cp.max_len > HALO - 8
 
     def _get_scanner(self):
         if self._scanner is None:
@@ -418,13 +459,18 @@ class Engine:
                 from grab_tpu.parallel.sharded import ShardedScanner
 
                 self._scanner = ShardedScanner(
-                    self.compiled, n, buf_size=self.cfg.scan_buf_size
+                    self.compiled,
+                    n,
+                    buf_size=self.cfg.scan_buf_size,
+                    pallas_interpret=self.cfg.pallas_interpret,
                 )
             else:
                 from grab_tpu.scan_pipeline import DeviceScanner
 
                 self._scanner = DeviceScanner(
-                    self.compiled, buf_size=self.cfg.scan_buf_size
+                    self.compiled,
+                    buf_size=self.cfg.scan_buf_size,
+                    pallas_interpret=self.cfg.pallas_interpret,
                 )
         return self._scanner
 
@@ -478,7 +524,9 @@ class Engine:
             return 0
         from grab_tpu.scan_pipeline import CorpusPipeline
 
-        pipeline = CorpusPipeline(self._get_scanner())
+        scanner = self._get_scanner()
+        unbounded = self._dfa_tier_unbounded()
+        pipeline = CorpusPipeline(scanner, no_split=unbounded)
         t_last = time.monotonic()
         for path, data, counts in pipeline.run(files):
             now = time.monotonic()
@@ -486,7 +534,13 @@ class Engine:
             st.files_scanned += 1
             st.bytes_scanned += len(data)
             st.candidate_blocks += int((counts > 0).sum())
-            if counts.any():
+            if unbounded and len(data) > scanner.buf_size:
+                # spans batches: device flags cannot be trusted across
+                # the boundary for unbounded matches — full exact replay
+                t0 = time.monotonic()
+                self._replay(path, data, None, emit)
+                st.wall_replay += time.monotonic() - t0
+            elif counts.any():
                 t0 = time.monotonic()
                 self._replay(path, data, counts, emit)
                 st.wall_replay += time.monotonic() - t0
@@ -533,7 +587,9 @@ class Engine:
             return 0
         from grab_tpu.scan_pipeline import CorpusPipeline
 
-        pipeline = CorpusPipeline(self._get_scanner())
+        scanner = self._get_scanner()
+        unbounded = self._dfa_tier_unbounded()
+        pipeline = CorpusPipeline(scanner, no_split=unbounded)
         t_last = time.monotonic()
         for path, size, counts, err in pipeline.run_paths(entries):
             now = time.monotonic()
@@ -548,7 +604,9 @@ class Engine:
             st.files_scanned += 1
             st.bytes_scanned += size
             st.candidate_blocks += int((counts > 0).sum())
-            if counts.any():
+            if unbounded and size > scanner.buf_size:
+                counts = None  # spans batches: force full exact replay
+            if counts is None or counts.any():
                 t0 = time.monotonic()
                 try:
                     data = self._open_data(path, size)

@@ -51,13 +51,23 @@ class BatchPacker:
     """Packs a sequence of (file_idx, data) into fixed-size buffers."""
 
     def __init__(
-        self, buf_size: int, block: int = 512, halo: int = 0x1000, tail: int = 4096
+        self,
+        buf_size: int,
+        block: int = 512,
+        halo: int = 0x1000,
+        tail: int = 4096,
+        no_split: bool = False,
     ):
         assert buf_size % block == 0
         assert halo % block == 0
         self.buf_size = buf_size
         self.block = block
         self.halo = halo
+        # no_split: a file that fits a whole buffer never spans two
+        # batches (flush first instead) — used for unbounded-length
+        # patterns, where the halo cannot cover cross-batch matches and
+        # the strided-DFA threading makes in-buffer coverage exact
+        self.no_split = no_split
         # zero tail rows after the logical buffer: the core-word kernel
         # reads a PAD_ROWS lane+1 halo past the last tile (ops/pallas_corewords)
         self.tail = tail
@@ -115,6 +125,16 @@ class BatchPacker:
         while True:
             free = self.buf_size - self._used
             remaining = size - pos
+            if (
+                self.no_split
+                and remaining <= self.buf_size
+                and free < remaining + (-remaining % self.block)
+                and self._used
+            ):
+                b = self._flush()
+                if b:
+                    yield None, b
+                continue
             if free < min(self.min_seg, remaining + (-remaining % self.block)):
                 b = self._flush()
                 if b:

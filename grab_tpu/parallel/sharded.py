@@ -85,9 +85,28 @@ class ShardedScanner(DeviceScanner):
         nb = self.buf_size // self.block
 
         if self.mode == "gdfa":
+            g = self._gdfa
+            if hasattr(g, "traceable_run"):
+                # strided-DFA scanner: per-shard device transpose +
+                # threading fixpoint; the linear word vector is the
+                # shard input (ops/pallas_stridedfa)
+                run = g.traceable_run
+
+                def body(w2):  # [1, n_words] per shard
+                    bm, _n, _conv = run(w2[0])
+                    total = jax.lax.psum(
+                        jnp.count_nonzero(bm).astype(jnp.int32), "shards"
+                    )
+                    return total, bm[None]
+
+                fn = _wrap_shard_map(
+                    body, mesh, (P("shards", None),),
+                    (P(), P("shards", None, None)),
+                )
+                self._in_sharding = NamedSharding(mesh, P("shards", None))
+                return jax.jit(fn)
             from grab_tpu.ops.pallas_gatherdfa import gather_dfa_bitmap
 
-            g = self._gdfa
             tab = self._jnp.asarray(g.tables.tab)
 
             def body(w3):  # [1, steps*128, 128] per shard
@@ -155,6 +174,8 @@ class ShardedScanner(DeviceScanner):
 
     def _prep_one(self, buf: np.ndarray) -> np.ndarray:
         if self.mode == "gdfa":
+            if hasattr(self._gdfa, "prep"):
+                return self._gdfa.prep(np.asarray(buf[: self.buf_size]))
             return self._gdfa._transpose(np.asarray(buf[: self.buf_size]))
         if getattr(self, "_input_words", False):
             from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS

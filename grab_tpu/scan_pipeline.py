@@ -157,14 +157,21 @@ class DeviceScanner:
             #      gather-free mandatory-class-run scan at
             #      corewords-class throughput; eligible when the
             #      text-prior flag density is low;
-            #   2. gather-DFA kernel (ops/pallas_gatherdfa) — exact
-            #      automaton walk over 16k streams, ~94 GB/s, for
-            #      small DFAs with bounded match length;
-            #   3. jnp reference walk (latency-bound last resort).
+            #   2. strided-DFA kernel (ops/pallas_stridedfa) — exact
+            #      automaton walk, k-byte transition tables + on-device
+            #      threading fixpoint: NO match-length cap, 470-570 GB/s
+            #      measured (tools/bench_stride_dfa.py);
+            #   3. class-gather DFA kernel (ops/pallas_gatherdfa) —
+            #      fallback for fragmented byte-class maps;
+            #   4. jnp reference walk (latency-bound last resort).
             from grab_tpu.ops.pallas_alpharun import AlphaRunScanner
             from grab_tpu.ops.pallas_gatherdfa import (
                 GatherDfaScanner,
                 dfa_eligible,
+            )
+            from grab_tpu.ops.pallas_stridedfa import (
+                StrideDfaScanner,
+                stride_plan,
             )
 
             if self._alpha_eligible(getattr(self, "_alpha_plan", None)):
@@ -180,11 +187,21 @@ class DeviceScanner:
                 self._cw_list = [sc]
                 self.mode = "alpha"
                 return lambda words2d: [sc.packed(words2d)]
-            if dfa_eligible(self._dfa, self._max_len) and self.buf_size >= (
+            dfa = getattr(self, "_dfa", None)
+            if stride_plan(dfa) is not None and self.buf_size >= (1 << 20):
+                self._gdfa = StrideDfaScanner(
+                    dfa,
+                    self._max_len,
+                    self.buf_size,
+                    interpret=self._interpret,
+                )
+                self.mode = "gdfa"
+                return self._gdfa.packed
+            if dfa_eligible(dfa, self._max_len) and self.buf_size >= (
                 8 << 20
             ):
                 self._gdfa = GatherDfaScanner(
-                    self._dfa,
+                    dfa,
                     self._max_len,
                     self.buf_size,
                     interpret=self._interpret,
@@ -449,9 +466,12 @@ class CorpusPipeline:
     """Streams (path, data) pairs through the packer + device scanner,
     yielding (path, data, counts) in input order with bounded memory."""
 
-    def __init__(self, scanner: DeviceScanner, halo: int = HALO):
+    def __init__(
+        self, scanner: DeviceScanner, halo: int = HALO, no_split: bool = False
+    ):
         self.scanner = scanner
         self.halo = halo
+        self.no_split = no_split
         self.batches_run = 0
 
     def run(
@@ -483,7 +503,9 @@ class CorpusPipeline:
 
         block = self.scanner.block
         group_size = getattr(self.scanner, "group_size", 1)
-        packer = BatchPacker(self.scanner.buf_size, block, self.halo)
+        packer = BatchPacker(
+            self.scanner.buf_size, block, self.halo, no_split=self.no_split
+        )
         # in-flight bookkeeping, keyed by file index
         inflight: Dict[int, list] = {}  # idx -> [path, payload, counts, final, errno]
         packed_done: set = set()  # fully packed, awaiting their last flush

@@ -1,0 +1,109 @@
+"""-E with unbounded-length UNCOVERED patterns on the DEVICE path: the
+strided-DFA threading kernel (ops/pallas_stridedfa) serves patterns the
+round-2 engine had to scan host-only, byte-identical output."""
+
+import numpy as np
+import pytest
+
+from grab_tpu.engine import Engine, EngineConfig
+from grab_tpu.format.emitter import OutputConfig
+
+# uncovered (no factor, no class-seq, alpharun-ineligible), unbounded
+# max_len, 5-state DFA with a k=2 stride plan
+PAT = rb".{0,2}(?:[0-9a-zA-Z]{4})+"
+
+
+def _run(patterns, data: bytes, exact=True, device="auto", interpret=True):
+    cfg = EngineConfig(
+        output=OutputConfig(colored=False),
+        exact=exact,
+        pallas_interpret=interpret,
+    )
+    cfg.device = device
+    eng = Engine(patterns, cfg)
+    out = []
+    eng.scan_data("f.txt", data, out.append)
+    return eng, b"".join(out)
+
+
+def _mkdata(n: int) -> bytearray:
+    """Punctuation-heavy corpus: alnum runs >= 4 (= matches) only where
+    planted."""
+    rng = np.random.default_rng(5)
+    return bytearray(
+        rng.choice(np.frombuffer(b" -_=+()\n", dtype=np.uint8), size=n).tobytes()
+    )
+
+
+def _plant(data: bytearray, pos: int, span: int):
+    data[pos : pos + span] = (b"a1B2" * (span // 4 + 1))[:span]
+
+
+def test_exact_unbounded_device_served_and_identical():
+    from grab_tpu.regex.compiler import compile_multi
+
+    cp = compile_multi([PAT])
+    assert not cp.covered and cp.max_len is None and cp.alpha_plan is None
+    data = _mkdata(1 << 20)
+    # long runs crossing 128-byte stream strides; one >4 KiB
+    for pos, span in [(5000, 8), (131030, 300), (524288 - 10, 5000), (900001, 4)]:
+        _plant(data, pos, span)
+    payload = bytes(data)
+
+    eng_dev, out_dev = _run([PAT], payload, exact=True, device="auto")
+    assert eng_dev._device_usable(), "stride kernel should serve -E unbounded"
+    assert eng_dev._get_scanner().mode == "gdfa"
+    from grab_tpu.ops.pallas_stridedfa import StrideDfaScanner
+
+    assert isinstance(eng_dev._get_scanner()._gdfa, StrideDfaScanner)
+    assert not eng_dev._get_scanner()._gdfa.halo_mode
+
+    _, out_host = _run([PAT], payload, exact=True, device="none")
+    assert out_dev == out_host
+    assert out_dev != b""
+
+
+def test_exact_unbounded_no_matches_clean():
+    data = bytes(_mkdata(1 << 20))
+    eng, out = _run([PAT], data, exact=True, device="auto")
+    assert out == b""
+    assert eng.stats.clean_files == 1
+
+
+def test_parity_mode_unbounded_device_matches_host():
+    """Default (non -E) mode: device flags + chunk-grammar replay equal
+    the host-only scan for an unbounded uncovered pattern."""
+    data = _mkdata(1 << 20)
+    _plant(data, 70000, 200)
+    payload = bytes(data)
+    _, out_dev = _run([PAT], payload, exact=False, device="auto")
+    _, out_host = _run([PAT], payload, exact=False, device="none")
+    assert out_dev == out_host
+
+
+def test_oversize_file_forced_full_replay():
+    """A file larger than one scan buffer with an unbounded pattern is
+    fully replayed (device flags cannot cover cross-batch matches) —
+    still byte-identical, including a >4 KiB match crossing the batch
+    boundary."""
+    cfg = EngineConfig(
+        output=OutputConfig(colored=False),
+        exact=True,
+        pallas_interpret=True,
+        scan_buf_size=1 << 20,
+    )
+    data = _mkdata(3 << 20)
+    _plant(data, (1 << 20) - 3000, 8000)  # spans the first batch edge
+    payload = bytes(data)
+    eng = Engine([PAT], cfg)
+    out = []
+    eng.scan_data("big.bin", payload, out.append)
+    got = b"".join(out)
+
+    cfg2 = EngineConfig(output=OutputConfig(colored=False), exact=True)
+    cfg2.device = "none"
+    eng2 = Engine([PAT], cfg2)
+    out2 = []
+    eng2.scan_data("big.bin", payload, out2.append)
+    assert got == b"".join(out2)
+    assert got != b""

@@ -1,0 +1,217 @@
+"""Strided-DFA kernel: tables, oracle, kernel (interpret mode), and the
+exact cross-stream threading fixpoint (ops/pallas_stridedfa)."""
+
+import numpy as np
+import pytest
+
+from grab_tpu.ops.pallas_stridedfa import (
+    HALO,
+    LANES,
+    N_STREAMS,
+    STREAM_ROWS,
+    StrideDfaScanner,
+    StrideDfaTables,
+    np_stride_scan,
+    stride_dfa_scan,
+    stride_plan,
+)
+from grab_tpu.regex.compiler import compile_multi
+
+
+def _dfa(pattern: bytes):
+    return compile_multi([pattern])
+
+
+def _golden_word_hits(dfa, stream_bytes: np.ndarray, entry: int):
+    """Direct per-byte DFA walk over one stream → (per-word hit bools,
+    exit state). The reference semantics the k-step tables must match."""
+    table = np.asarray(dfa.table)
+    cm = np.asarray(dfa.class_map)
+    acc = np.asarray(dfa.accept_mask, dtype=bool)
+    s = entry
+    n_words = len(stream_bytes) // 4
+    hits = np.zeros(n_words, dtype=bool)
+    for i, b in enumerate(stream_bytes):
+        s = int(table[s, cm[b]])
+        if acc[s]:
+            hits[i // 4] = True
+    return hits, s
+
+
+@pytest.mark.parametrize(
+    "pattern,want_k",
+    [
+        (rb"[0-9]{5}", 4),  # m=3 runs, tiny S
+        (rb"[0-9a-f]{4}", None),  # m=5: whatever fits
+        (rb"a[0-9]*b", None),  # unbounded max_len: still planned
+    ],
+)
+def test_tables_match_per_byte_walk(pattern, want_k):
+    cp = _dfa(pattern)
+    k = stride_plan(cp.dfa)
+    assert k is not None
+    if want_k is not None:
+        assert k == want_k
+    t = StrideDfaTables(cp.dfa, k)
+    rng = np.random.default_rng(3)
+    # digit/letter-rich text so transitions exercise all runs
+    buf = rng.choice(
+        np.frombuffer(b"0123456789abcxyz \n", dtype=np.uint8), size=4 * 64
+    ).astype(np.uint8)
+    words2d = np.zeros((64 * STREAM_ROWS // STREAM_ROWS, 1), dtype=np.int32)
+    # single-stream check through the oracle: lay the bytes into
+    # stream (0, 0) of a minimal transposed geometry
+    n_words = len(buf) // 4
+    w2d = np.zeros((n_words * STREAM_ROWS, LANES), dtype=np.int32)
+    w = buf.view("<i4")
+    for g in range(n_words):
+        w2d[g * STREAM_ROWS, 0] = w[g]
+    entries = np.full((STREAM_ROWS, LANES), cp.dfa.start, dtype=np.int32)
+    bm, exits = np_stride_scan(w2d, t, entries)
+    got_hits = np.zeros(n_words, dtype=bool)
+    for g in range(n_words):
+        row = g * STREAM_ROWS
+        got_hits[g] = bool((bm[row // 16, 0] >> (row % 16)) & 1)
+    want_hits, want_exit = _golden_word_hits(cp.dfa, buf, cp.dfa.start)
+    assert np.array_equal(got_hits, want_hits)
+    assert int(exits[0, 0]) == want_exit
+
+
+def test_tables_random_entries_and_dense_streams():
+    cp = _dfa(rb"[0-9]{3}[a-z]{2}")
+    k = stride_plan(cp.dfa)
+    assert k is not None
+    t = StrideDfaTables(cp.dfa, k)
+    rng = np.random.default_rng(7)
+    n_words = 16
+    raw = rng.integers(32, 127, size=(n_words * STREAM_ROWS, LANES, 4), dtype=np.uint8)
+    w2d = np.ascontiguousarray(raw).view("<i4").reshape(
+        n_words * STREAM_ROWS, LANES
+    )
+    entries = rng.integers(
+        0, cp.dfa.n_states, (STREAM_ROWS, LANES), dtype=np.int32
+    )
+    bm, exits = np_stride_scan(w2d, t, entries)
+    # cross-check a sample of streams against the per-byte walk
+    for s in (0, 1, 129, 4095, N_STREAMS - 1):
+        r, c = divmod(s, LANES)
+        sb = np.empty(n_words * 4, dtype=np.uint8)
+        for g in range(n_words):
+            sb[g * 4 : (g + 1) * 4] = np.array(
+                [w2d[g * STREAM_ROWS + r, c]], dtype="<i4"
+            ).view(np.uint8)
+        want_hits, want_exit = _golden_word_hits(
+            cp.dfa, sb, int(entries[r, c])
+        )
+        assert int(exits[r, c]) == want_exit
+        for g in range(n_words):
+            row = g * STREAM_ROWS + r
+            got = bool((np.uint32(bm[row // 16, c]) >> np.uint32(row % 16)) & 1)
+            assert got == want_hits[g], (s, g)
+
+
+@pytest.mark.parametrize("pattern", [rb"[0-9]{5}", rb"[0-9a-f]{4}", rb"ab+c"])
+def test_kernel_matches_oracle(pattern):
+    import jax.numpy as jnp
+
+    cp = _dfa(pattern)
+    k = stride_plan(cp.dfa)
+    assert k is not None
+    t = StrideDfaTables(cp.dfa, k)
+    rng = np.random.default_rng(11)
+    n_words = 16  # 2 grid steps at W=8
+    raw = rng.choice(
+        np.frombuffer(b"0123456789abcdef \nxyz", dtype=np.uint8),
+        size=(n_words * STREAM_ROWS, LANES, 4),
+    ).astype(np.uint8)
+    w2d = np.ascontiguousarray(raw).view("<i4").reshape(
+        n_words * STREAM_ROWS, LANES
+    )
+    entries = rng.integers(
+        0, cp.dfa.n_states, (STREAM_ROWS, LANES), dtype=np.int32
+    )
+    bm_np, ex_np = np_stride_scan(w2d, t, entries)
+    bm, ex = stride_dfa_scan(
+        jnp.asarray(w2d),
+        jnp.asarray(t.tab),
+        jnp.asarray(entries),
+        t.thresholds,
+        t.m,
+        t.k,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(bm), bm_np)
+    assert np.array_equal(np.asarray(ex), ex_np)
+
+
+def _scanner_flags(pattern: bytes, buf: np.ndarray, buf_size: int):
+    cp = _dfa(pattern)
+    sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=True)
+    bm = sc.packed(buf)
+    n_blocks = buf_size // 512
+    return sc, sc.flags_np(bm, n_blocks)
+
+
+def test_scanner_threading_cross_stream_match():
+    """Unbounded pattern whose only match spans a stream boundary: the
+    threading fixpoint must carry the state across and flag the end."""
+    buf_size = N_STREAMS * 32  # minimum geometry: stride = 32 bytes
+    buf = np.full(buf_size, ord(" "), dtype=np.uint8)
+    # match a...digits...b crossing the byte-64 stream boundary
+    start, end = 50, 77
+    buf[start] = ord("a")
+    buf[start + 1 : end] = ord("7")
+    buf[end] = ord("b")
+    sc, flags = _scanner_flags(rb"a[0-9]*b", buf, buf_size)
+    assert not sc.halo_mode
+    assert flags[end // 512] == 1
+    # no-match corpus → no flags
+    clean = np.full(buf_size, ord(" "), dtype=np.uint8)
+    bm = sc.packed(clean)
+    assert sc.flags_np(bm, buf_size // 512).sum() == 0
+
+
+def test_scanner_threading_long_chain():
+    """Entry influence propagating through several streams (digits run
+    crossing 3 boundaries) still converges and flags the match end."""
+    buf_size = N_STREAMS * 32
+    buf = np.full(buf_size, ord(" "), dtype=np.uint8)
+    start, end = 40, 40 + 100  # 100-byte match: crosses 3 boundaries
+    buf[start] = ord("a")
+    buf[start + 1 : end] = ord("5")
+    buf[end] = ord("b")
+    sc, flags = _scanner_flags(rb"a[0-9]*b", buf, buf_size)
+    assert flags[end // 512] == 1
+
+
+def test_scanner_halo_mode_bounded():
+    """Bounded pattern stays on the single-pass halo layout and flags
+    matches that span a stream boundary (within the halo)."""
+    buf_size = N_STREAMS * 32
+    buf = np.full(buf_size, ord("x"), dtype=np.uint8)
+    pos = 62  # [0-9]{5} crossing the byte-64 boundary
+    buf[pos : pos + 5] = np.frombuffer(b"12345", dtype=np.uint8)
+    sc, flags = _scanner_flags(rb"[0-9]{5}", buf, buf_size)
+    assert sc.halo_mode
+    assert flags[: (pos + 5) // 512 + 1].any()
+    clean = np.full(buf_size, ord("x"), dtype=np.uint8)
+    bm = sc.packed(clean)
+    assert sc.flags_np(bm, buf_size // 512).sum() == 0
+
+
+def test_scanner_flags_are_superset_of_match_ends():
+    """Random digit-rich corpus: every true match end block is flagged
+    (the superset contract the exact replay relies on)."""
+    import re
+
+    buf_size = N_STREAMS * 32
+    rng = np.random.default_rng(23)
+    buf = rng.choice(
+        np.frombuffer(b"0123456789 abcdef\n", dtype=np.uint8), size=buf_size
+    ).astype(np.uint8)
+    pattern = rb"[0-9]{5}"
+    sc, flags = _scanner_flags(pattern, buf, buf_size)
+    data = buf.tobytes()
+    for m in re.finditer(rb"[0-9]{5}", data):
+        end_block = (m.start() + 4) // 512
+        assert flags[end_block] == 1, m.start()

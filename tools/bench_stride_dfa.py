@@ -1,0 +1,260 @@
+"""Microbenchmark: k-byte strided DFA transition tables on the real chip.
+
+Round-3 north star (VERDICT r2 item #1): the exact-automaton walk is
+VPU-gather-issue-bound at ~161 GB/s for one transition gather per byte
+(measured, tools/bench_dfa_variants.py). ALU ops ride along nearly
+free, so the only lever on throughput is FEWER GATHERS PER BYTE.
+
+A DFA transition over k bytes is itself a function state -> state, so
+a table indexed by (state, run_0..run_{k-1}) walks k bytes in ONE
+gather. Intermediate accepts are preserved by making accept STICKY in
+the precomputed k-step entry: entry = state' | (any_accept << 7)
+(match-end positions are only ever consumed at word granularity — the
+production bitmap is one bit per int32 word — so k-stride loses no
+output resolution). Capacity (128 lanes x 4 packed bytes = 512
+entries) bounds eligibility:
+
+  p2  pair-stride,  2 gathers/word:  S * m^2 <= 512
+  p4  quad-stride,  1 gather/word:   S * m^4 <= 512
+  r4  per-byte pack4 baseline:       S * m   <= 512   (~136 GB/s r2)
+
+where S = n_states, m = byte-class runs (SWAR-computable per byte).
+
+Also probed: sublane gather (take_along_axis axis=0 over an [N, 128]
+table) which, if it lowers to a real per-sublane dynamic gather, lifts
+capacity to N int32 entries and serves 64-state pair tables directly.
+
+Run: python tools/bench_stride_dfa.py [MB] [variants,csv]
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from axon_timing import make_stack, measure
+from grab_tpu.scan_pipeline import enable_compilation_cache
+
+LANES = 128
+STREAM_ROWS = 128
+
+_H = 0x80808080
+_L7 = 0x7F7F7F7F
+_L1 = 0x01010101
+
+
+def build_kernel(variant, thresholds, m, S, start, n_rows, W):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # magic multiplier: q = 27*r0 + 9*r1 + 3*r2 + r3 via one mul
+    # (little-endian acc = r0 | r1<<8 | r2<<16 | r3<<24; byte 3 of
+    # acc*C collects sum r_i * c_{3-i}; no carry since sums < 256)
+    C4 = np.uint32(1 | (m << 8) | (m * m << 16) | (m ** 3 << 24))
+    C2 = np.uint32((m << 8) | (1 << 16))  # byte1*m + byte2? see below
+
+    def kernel(tab_ref, a_ref, bm_ref, state_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            state_ref[:] = jnp.full((STREAM_ROWS, LANES), start, jnp.int32)
+
+        state = state_ref[:]
+        H, L7 = jnp.uint32(_H), jnp.uint32(_L7)
+        trans = jnp.broadcast_to(
+            tab_ref[0].reshape(1, LANES), (STREAM_ROWS, LANES)
+        )
+        tab2d = tab_ref[:] if variant.startswith("s") else None
+
+        for w in range(W):
+            x = pltpu.bitcast(
+                a_ref[w * STREAM_ROWS : (w + 1) * STREAM_ROWS], jnp.uint32
+            )
+
+            def ge(n):
+                if n <= 128:
+                    return (((x & L7) + jnp.uint32((128 - n) * _L1)) | x) & H
+                return (((x & L7) + jnp.uint32((256 - n) * _L1)) & x) & H
+
+            acc = None
+            for t in thresholds:
+                ind = ge(t) >> jnp.uint32(7)
+                acc = ind if acc is None else acc + ind
+            hit = None
+
+            def take_pack4(idx):
+                wv = jnp.take_along_axis(trans, idx >> 2, axis=1)
+                return (wv >> ((idx & 3) << 3)) & 0xFF
+
+            if variant == "p4":
+                q = ((acc * C4) >> jnp.uint32(24)).astype(jnp.int32)
+                e = take_pack4(state * (m ** 4) + q)
+                hit = e >= 128
+                state = e & 0x7F
+            elif variant == "p2":
+                # pair indices: bytes (0,1) and (2,3)
+                pk = acc * jnp.uint32(m << 8)  # byte k+1 = r_k * m
+                p0 = ((pk >> jnp.uint32(8)) + (acc >> jnp.uint32(8))) & jnp.uint32(0xFF)
+                p1 = ((pk >> jnp.uint32(24)) + (acc >> jnp.uint32(24))) & jnp.uint32(0xFF)
+                for p in (p0.astype(jnp.int32), p1.astype(jnp.int32)):
+                    e = take_pack4(state * (m * m) + p)
+                    a2 = e >= 128
+                    hit = a2 if hit is None else jnp.logical_or(hit, a2)
+                    state = e & 0x7F
+            elif variant == "r4":
+                acc_i = acc.astype(jnp.int32)
+                for kk in range(4):
+                    rk = (acc_i >> jnp.int32(8 * kk)) & 0xFF
+                    e = take_pack4(state * m + rk)
+                    a2 = e >= 128
+                    hit = a2 if hit is None else jnp.logical_or(hit, a2)
+                    state = e & 0x7F
+            elif variant in ("s1", "s2"):
+                stride = 1 if variant == "s1" else 2
+                acc_i = acc.astype(jnp.int32)
+                for kk in range(0, 4, stride):
+                    rk = (acc_i >> jnp.int32(8 * kk)) & 0xFF
+                    if stride == 1:
+                        idx = state * m + rk
+                    else:
+                        rk1 = (acc_i >> jnp.int32(8 * (kk + 1))) & 0xFF
+                        idx = state * (m * m) + rk * m + rk1
+                    e = jnp.take_along_axis(tab2d, idx, axis=0)
+                    a2 = e >= 128
+                    hit = a2 if hit is None else jnp.logical_or(hit, a2)
+                    state = e & 0x7F
+            pw = jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (1, 16, LANES), 1
+            )
+            h3 = hit.reshape(STREAM_ROWS // 16, 16, LANES)
+            bm_ref[
+                w * (STREAM_ROWS // 16) : (w + 1) * (STREAM_ROWS // 16)
+            ] = jnp.sum(jnp.where(h3, pw, 0), axis=1)
+        state_ref[:] = state
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("variant", "thresholds", "m", "S", "start", "n_rows", "W"),
+)
+def run_variant(words2d, tab, variant, thresholds, m, S, start, n_rows, W=1):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0]
+    n_steps = rows // (STREAM_ROWS * W)
+    kernel = build_kernel(variant, thresholds, m, S, start, n_rows, W)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows // 16, LANES), jnp.int32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (STREAM_ROWS * W, LANES), lambda g: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (STREAM_ROWS * W // 16, LANES), lambda g: (g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((STREAM_ROWS, LANES), jnp.int32)],
+    )(tab, words2d)
+
+
+def random_pack4_table(rng, n_entries, S):
+    """pack4 entries: state' in [0,S) | accept<<7, ~1% accept rate."""
+    sts = rng.integers(0, S, n_entries, np.int64)
+    a = (rng.random(n_entries) < 0.01).astype(np.int64)
+    e = sts | (a << 7)
+    pk = np.zeros(4 * LANES, dtype=np.int64)
+    pk[:n_entries] = e
+    tab = (
+        pk[0::4] | (pk[1::4] << 8) | (pk[2::4] << 16) | (pk[3::4] << 24)
+    ).astype(np.int32)
+    return tab.reshape(1, LANES)
+
+
+def random_rows_table(rng, n_rows, S):
+    """[n_rows, 128] int32: same entry broadcast across lanes."""
+    sts = rng.integers(0, S, n_rows, np.int64)
+    a = (rng.random(n_rows) < 0.01).astype(np.int64)
+    e = (sts | (a << 7)).astype(np.int32)
+    return np.broadcast_to(e[:, None], (n_rows, LANES)).copy()
+
+
+def main():
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() != "cpu"
+    n_mb = int(sys.argv[1]) if len(sys.argv) > 1 else (256 if on_tpu else 4)
+    n = n_mb << 20
+    print(f"backend={jax.default_backend()} n={n_mb}MB", file=sys.stderr)
+
+    rng = np.random.default_rng(42)
+    buf = rng.integers(97, 123, size=n, dtype=np.uint8)
+    rows = n // (4 * LANES)
+    rows -= rows % STREAM_ROWS
+    w = np.ascontiguousarray(buf[: rows * 4 * LANES].view("<i4").reshape(-1, LANES))
+    stack = make_stack(w, 8 if on_tpu else 2)
+
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    # (variant, thresholds, S, W) — m = len(thresholds)+1
+    cases = [
+        ("r4", (48, 58, 97), 64, 8),     # per-byte baseline: 64*4=256
+        ("p2", (48, 58), 56, 8),         # 56*9=504: near-64-state pairs
+        ("p4", (48, 58), 6, 4),          # 6*81=486
+        ("p4", (48, 58), 6, 8),
+        ("p4", (48, 58), 6, 16),
+        ("s1", (48, 58, 97), 64, 4),     # sublane rows: 64*4=256
+        ("s2", (48, 58, 97), 64, 4),     # sublane pair rows: 64*16=1024
+    ]
+    for variant, thresholds, S, W in cases:
+        if only and variant not in only:
+            continue
+        m = len(thresholds) + 1
+        k_bytes = {"p4": 4, "p2": 2, "r4": 1, "s1": 1, "s2": 2}[variant]
+        n_entries = S * (m ** k_bytes)
+        try:
+            if variant.startswith("s"):
+                tab = jnp.asarray(random_rows_table(rng, n_entries, S))
+            else:
+                assert n_entries <= 512, (variant, n_entries)
+                tab = jnp.asarray(random_pack4_table(rng, n_entries, S))
+            fn = lambda x: run_variant(
+                x, tab, variant, thresholds, m, S, 0, n_entries, W
+            )
+            t0 = time.time()
+            jnp.asarray(fn(stack[0])).block_until_ready()
+            compile_s = time.time() - t0
+            dt = measure(fn, stack)
+            print(
+                f"{variant} S={S} m={m} W={W} entries={n_entries}: "
+                f"{n/dt/1e9:7.1f} GB/s ({dt*1e3:.2f} ms/scan, "
+                f"compile {compile_s:.0f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            import traceback
+
+            msg = str(e) or traceback.format_exc().splitlines()[-3:]
+            print(
+                f"{variant} S={S} m={m} W={W}: FAILS "
+                f"({type(e).__name__}: {str(msg)[:300]})",
+                file=sys.stderr,
+            )
+
+
+if __name__ == "__main__":
+    main()
