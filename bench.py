@@ -245,38 +245,56 @@ def secondary_metrics():
         ),
     )
 
-    # run-SWAR DFA: exact [0-9]{5} automaton (the production DFA path;
-    # one transition gather per byte, SWAR run classes)
-    from grab_tpu.ops.pallas_gatherdfa import (
+    # strided exact DFA (the production DFA tier, ops/pallas_stridedfa):
+    # one transition gather per k bytes + W-word grid blocks. quad =
+    # [0-9]{5} (k=4); pair = [0-9]{50}, a 51-state automaton (k=2) —
+    # the round-2 per-byte walk ran 136 GB/s with a hard
+    # max_len <= 120 cap; these have no length cap (state threading).
+    from grab_tpu.ops.pallas_stridedfa import (
         STREAM_ROWS,
-        GatherDfaTables,
-        RunDfaTables,
-        gather_dfa_bitmap,
-        plan_dfa,
-        run_dfa_bitmap,
+        W,
+        StrideDfaTables,
+        stride_dfa_scan,
+        stride_plan,
     )
     from grab_tpu.regex.compiler import compile_multi
 
-    cp = compile_multi([rb"[0-9]{5}"])
-    plan = plan_dfa(cp.dfa, cp.max_len)
-    assert plan[0] == "run", plan
-    rt = RunDfaTables(cp.dfa, plan[1])
-    g_rows = (rows // STREAM_ROWS) * STREAM_ROWS
+    g_rows = (rows // (STREAM_ROWS * W)) * STREAM_ROWS * W
     gw = np.ascontiguousarray(w[:g_rows])
     gstack = make_stack(gw, 8)
-    rtab = jnp.asarray(rt.tab)
-    emit(
-        "rundfa_bytes_per_sec",
-        measure(
-            lambda x: run_dfa_bitmap(
-                x, rtab, rt.thresholds, rt.m, rt.layout, rt.start,
-                rt.accept_floor
+    g_bytes = g_rows * 4 * LANES
+
+    def emit_g(metric, dt):
+        print(
+            json.dumps(
+                {"metric": metric, "value": round(g_bytes / dt, 1), "unit": "bytes/s"}
             ),
-            gstack,
-        ),
-    )
+            file=sys.stderr,
+        )
+
+    for metric, pat, want_k in (
+        ("stridedfa_quad_bytes_per_sec", rb"[0-9]{5}", 4),
+        ("stridedfa_pair_bytes_per_sec", rb"[0-9]{50}", 2),
+    ):
+        cp = compile_multi([pat])
+        k = stride_plan(cp.dfa)
+        assert k == want_k, (pat, k)
+        t = StrideDfaTables(cp.dfa, k)
+        tab = jnp.asarray(t.tab)
+        entries = jnp.full((STREAM_ROWS, LANES), t.start, jnp.int32)
+        emit_g(
+            metric,
+            measure(
+                lambda x: stride_dfa_scan(
+                    x, tab, entries, t.thresholds, t.m, t.k
+                )[0],
+                gstack,
+            ),
+        )
 
     # class-gather DFA fallback: fragmented class map (2 gathers/byte)
+    from grab_tpu.ops.pallas_gatherdfa import GatherDfaTables, gather_dfa_bitmap
+
     cpf = compile_multi([rb"[acegikmoqsuwy]{3}"])
     tables = GatherDfaTables(cpf.dfa)
     tab = jnp.asarray(tables.tab)

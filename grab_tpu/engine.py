@@ -298,6 +298,9 @@ class EngineConfig:
     # when the device path cannot guarantee trigger-in-halo coverage
     pallas_interpret: bool = False  # run Pallas kernels interpreted
     # (CPU test platform exercises the real kernel paths)
+    walk_workers: int = 0  # parallel tree-discovery threads
+    # (0 = auto: native gt_pwalk with min(16, cores) when available;
+    # 1 = force the serial Python walker)
 
 
 class Engine:
@@ -678,20 +681,45 @@ class Engine:
                     file=sys.stderr,
                 )
 
+    def _walk_workers(self) -> int:
+        if self.cfg.walk_workers:
+            return self.cfg.walk_workers
+        env = os.environ.get("GRAB_TPU_WALK_WORKERS")
+        if env:
+            try:
+                return max(1, int(env))
+            except ValueError:
+                pass
+        return min(16, os.cpu_count() or 1)
+
+    def _walk_iter(self, root: str) -> Iterator[Tuple[str, int]]:
+        """(path, size) stream: the native parallel walk (gt_pwalk,
+        greppin's parallel-nftw counterpart, README.md:137-139) when
+        available, else the serial Python walker — byte-identical
+        enumeration order either way (tests/test_parallel_walk.py)."""
+        workers = self._walk_workers()
+        if workers > 1:
+            from grab_tpu.ingest import native
+
+            it = native.walk_native_iter(root, workers=workers)
+            if it is not None:
+                return it
+        return ((e.path, e.size) for e in walk_files(root))
+
     def _walk_entries(
         self, root: str, manifest=None
     ) -> Iterator[Tuple[str, int]]:
         """Pruned (path, size) stream from the deterministic walk —
         metadata only (grab.cc:133-135's skip-without-open)."""
-        for entry in walk_files(root):
+        for path, size in self._walk_iter(root):
             self.stats.files_seen += 1
-            if self.compiled.min_len > entry.size:
+            if self.compiled.min_len > size:
                 self.stats.files_pruned += 1
                 continue
-            if manifest is not None and manifest.is_done(entry.path, entry.size):
+            if manifest is not None and manifest.is_done(path, size):
                 self.stats.files_pruned += 1
                 continue
-            yield entry.path, entry.size
+            yield path, size
 
     def find_recursive(
         self, root: str, emit: Callable[[bytes], None], manifest=None

@@ -136,6 +136,73 @@ def walk_native(
     return out
 
 
+def walk_native_iter(
+    root: str,
+    on_error: Optional[Callable[[str, str], None]] = None,
+    workers: int = 8,
+) -> Optional[Iterator[Tuple[str, int]]]:
+    """Streaming native walk: gt_pwalk runs on a background thread
+    (parallel lstat pool — greppin's overlapped-discovery counterpart,
+    README.md:137-139) while the caller consumes (path, size) entries
+    from a bounded queue, so scanning starts as soon as the first
+    results assemble. Entry and error callbacks ride the same queue so
+    their relative order is exactly the serial walker's. Returns None
+    if the library is unavailable (callers fall back to the Python
+    walker)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=1 << 16)
+
+    def runner():
+        @_WALK_CB
+        def cb(path, size, _ud):
+            q.put((path.decode("utf-8", "surrogateescape"), int(size)))
+
+        @_ERR_CB
+        def errcb(path, msg, _ud):
+            q.put(
+                (
+                    None,
+                    path.decode("utf-8", "surrogateescape"),
+                    msg.decode("utf-8", "replace"),
+                )
+            )
+
+        rootb = root.encode("utf-8", "surrogateescape")
+        try:
+            if workers > 1 and hasattr(lib, "gt_pwalk"):
+                lib.gt_pwalk(rootb, workers, cb, errcb, None)
+            else:
+                lib.gt_walk(rootb, cb, errcb, None)
+        finally:
+            q.put(None)
+
+    def gen():
+        t = threading.Thread(target=runner, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if item[0] is None:
+                    _, p, m = item
+                    if on_error:
+                        on_error(p, m)
+                    else:
+                        print(f"{p}: {m}", file=sys.stderr)
+                    continue
+                yield item
+        finally:
+            t.join()
+
+    return gen()
+
+
 def fill_native(
     buf: np.ndarray, segments: List[Tuple[bytes, int, int, int]], nthreads: int = 8
 ) -> Optional[int]:

@@ -1,0 +1,143 @@
+// ThreadSanitizer stress driver for the native ingest pools.
+//
+// Exercises the gt_pwalk queue/active/finished protocol and the
+// gt_fill2 pread pool under load — wide trees, deep trees, error paths
+// (unreadable directories/files), many workers, repeated runs — the
+// coverage VERDICT r2 weak-item 8 asked for before the pool became the
+// product walk. Build & run TSan-linked:
+//
+//   make stress && ./stress_test <scratch_dir>
+//
+// Exit 0 and an empty TSan report stream = pass (the pytest wrapper
+// greps stderr for "WARNING: ThreadSanitizer").
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <vector>
+
+extern "C" {
+int gt_abi_version(void);
+typedef void (*gt_walk_cb)(const char *path, int64_t size, void *ud);
+typedef void (*gt_err_cb)(const char *path, const char *msg, void *ud);
+int gt_walk(const char *root, gt_walk_cb cb, gt_err_cb err, void *ud);
+int gt_pwalk(const char *root, int32_t nthreads, gt_walk_cb cb,
+             gt_err_cb err, void *ud);
+typedef struct {
+  const char *path;
+  int64_t file_off;
+  int64_t buf_off;
+  int64_t length;
+} gt_seg;
+int gt_fill2(uint8_t *buf, const gt_seg *segs, int32_t n, int32_t nthreads,
+             int32_t *failed);
+}
+
+struct Acc {
+  std::vector<std::string> paths;
+  int64_t bytes = 0;
+  int errors = 0;
+};
+
+static void on_file(const char *p, int64_t sz, void *ud) {
+  Acc *a = (Acc *)ud;
+  a->paths.push_back(p);
+  a->bytes += sz;
+}
+static void on_err(const char *, const char *, void *ud) {
+  ((Acc *)ud)->errors++;
+}
+
+static void mkfile(const std::string &p, size_t n, char c) {
+  FILE *f = fopen(p.c_str(), "wb");
+  if (!f) {
+    perror(p.c_str());
+    exit(2);
+  }
+  std::string s(n, c);
+  fwrite(s.data(), 1, n, f);
+  fclose(f);
+}
+
+int main(int argc, char **argv) {
+  if (argc < 2) {
+    fprintf(stderr, "usage: %s <scratch_dir>\n", argv[0]);
+    return 2;
+  }
+  std::string root = std::string(argv[1]) + "/stress_tree";
+  // wide level (many dirs per level) + deep chain + error paths
+  mkdir(root.c_str(), 0755);
+  std::vector<std::string> files;
+  for (int d = 0; d < 60; d++) {
+    char buf[64];
+    snprintf(buf, sizeof buf, "/w%03d", d);
+    std::string dir = root + buf;
+    mkdir(dir.c_str(), 0755);
+    for (int f = 0; f < 20; f++) {
+      snprintf(buf, sizeof buf, "/f%02d.txt", f);
+      mkfile(dir + buf, 100 + (d * 20 + f) % 900, 'a' + (f % 26));
+      files.push_back(dir + buf);
+    }
+  }
+  std::string deep = root;
+  for (int d = 0; d < 40; d++) {
+    deep += "/d";
+    mkdir(deep.c_str(), 0755);
+    mkfile(deep + "/leaf.txt", 64, 'z');
+  }
+  std::string forbidden = root + "/forbidden";
+  mkdir(forbidden.c_str(), 0755);
+  mkfile(forbidden + "/hidden.txt", 10, 'h');
+  bool can_forbid = chmod(forbidden.c_str(), 0000) == 0 && geteuid() != 0;
+  if (!can_forbid) chmod(forbidden.c_str(), 0755);
+
+  Acc serial;
+  gt_walk(root.c_str(), on_file, on_err, &serial);
+  int rc = 0;
+  for (int round = 0; round < 6; round++) {
+    for (int workers : {2, 8, 32}) {
+      Acc par;
+      gt_pwalk(root.c_str(), workers, on_file, on_err, &par);
+      if (par.paths != serial.paths || par.bytes != serial.bytes ||
+          par.errors != serial.errors) {
+        fprintf(stderr, "MISMATCH round=%d workers=%d (%zu vs %zu)\n",
+                round, workers, par.paths.size(), serial.paths.size());
+        rc = 1;
+      }
+    }
+  }
+
+  // fill pool under load: overlapping segments from many files + a
+  // missing file to exercise the error path
+  std::vector<gt_seg> segs;
+  std::string missing = root + "/nope.bin";
+  size_t off = 0;
+  for (int rep = 0; rep < 4; rep++) {
+    for (const auto &p : files) {
+      segs.push_back({p.c_str(), 0, (int64_t)off, 64});
+      off += 64;
+    }
+    segs.push_back({missing.c_str(), 0, (int64_t)off, 16});
+    off += 16;
+  }
+  std::vector<uint8_t> buf(off, 0);
+  std::vector<int32_t> failed(segs.size(), 0);
+  for (int round = 0; round < 4; round++) {
+    gt_fill2(buf.data(), segs.data(), (int32_t)segs.size(), 16,
+             failed.data());
+    int nfail = 0;
+    for (auto v : failed) nfail += v != 0;
+    if (nfail != 4) {  // exactly the 4 missing-file segments
+      fprintf(stderr, "FILL FAIL COUNT %d\n", nfail);
+      rc = 1;
+    }
+  }
+  if (can_forbid) chmod(forbidden.c_str(), 0755);
+  printf("STRESS_OK files=%zu bytes=%lld errors=%d\n", serial.paths.size(),
+         (long long)serial.bytes, serial.errors);
+  return rc;
+}

@@ -75,3 +75,55 @@ def walk_files(
         # LIFO stack: push reversed so traversal is depth-first in
         # sorted order
         stack.extend(reversed(subdirs))
+
+
+def walk_names(
+    root: str,
+    on_error: Optional[Callable[[str, str], None]] = None,
+) -> Iterator[str]:
+    """Structure-only walk: yields regular files in exactly the
+    ``walk_files`` order using readdir d_type (lstat only on
+    DT_UNKNOWN filesystems) — no per-file stat. Multi-host phase 1
+    uses this to assign global file indices consistently on every
+    host while each host lstat's only its own stripe (the reference
+    walks once, main.cc:175-178; striping the stat load is the
+    multi-host analog)."""
+
+    def report(path: str, msg: str):
+        if on_error is not None:
+            on_error(path, msg)
+        else:
+            print(f"{path}: {msg}", file=sys.stderr)
+
+    try:
+        st = os.lstat(root)
+    except OSError as e:
+        report(root, e.strerror or str(e))
+        return
+    if stat_mod.S_ISREG(st.st_mode):
+        yield root
+        return
+    if not stat_mod.S_ISDIR(st.st_mode):
+        return
+
+    stack = [root]
+    while stack:
+        d = stack.pop()
+        try:
+            entries = sorted(os.scandir(d), key=lambda e: e.name)
+        except OSError as e:
+            report(d, e.strerror or str(e))
+            continue
+        subdirs = []
+        for ent in entries:
+            try:
+                # DirEntry.is_*(follow_symlinks=False) reads d_type and
+                # falls back to a cached lstat only when unavailable
+                if ent.is_file(follow_symlinks=False):
+                    yield ent.path
+                elif ent.is_dir(follow_symlinks=False):
+                    subdirs.append(ent.path)
+            except OSError as e:
+                report(ent.path, e.strerror or str(e))
+                continue
+        stack.extend(reversed(subdirs))

@@ -42,25 +42,27 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
-from grab_tpu.ingest.walker import walk_files
+from grab_tpu.ingest.walker import walk_names
 from grab_tpu.parallel.multihost import (
-    host_shard,
     init_distributed,
     merge_host_outputs,
     psum_total,
 )
 
-GATHER_CAP = 64 << 20  # per-host output bytes the DCN gather will carry
+GATHER_CHUNK = 8 << 20  # per-round DCN gather payload per host
+GATHER_CAP = 2 << 30  # total per-host output bytes before outdir fallback
 
 
 def _gather_pieces(
     pieces: List[Tuple[int, bytes]], n_hosts: int
 ) -> Optional[List[Tuple[int, bytes]]]:
     """All-gather (file_index, output_bytes) pieces across hosts over
-    the collective fabric. Returns the globally merged, file-index
-    ordered list on every host, or None if any host's payload exceeds
-    GATHER_CAP (callers fall back to the shared-dir scheme)."""
-    import jax
+    the collective fabric, streamed in bounded GATHER_CHUNK rounds so
+    per-round memory is n_hosts * GATHER_CHUNK no matter the payload
+    (the round-2 single-shot gather padded every host to the global
+    max and capped at 64 MB). Returns the globally merged, file-index
+    ordered list on every host, or None for absurd payloads
+    (> GATHER_CAP; callers fall back to the shared-dir scheme)."""
     from jax.experimental import multihost_utils
 
     # serialize: [n_pieces][ (idx, len, bytes) ... ] with fixed header
@@ -70,22 +72,29 @@ def _gather_pieces(
         blob += len(buf).to_bytes(8, "little")
         blob += buf
     local_len = len(blob)
-    # agree on the padded size (max over hosts), then gather payloads
     lens = multihost_utils.process_allgather(
         np.asarray([local_len], dtype=np.int64)
     ).reshape(-1)
-    pad = int(lens.max())
-    if pad > GATHER_CAP:
+    longest = int(lens.max())
+    if longest > GATHER_CAP:
         return None
-    arr = np.zeros(pad, dtype=np.uint8)
-    arr[:local_len] = np.frombuffer(bytes(blob), dtype=np.uint8)
-    gathered = multihost_utils.process_allgather(arr)  # [n_hosts, pad]
-    gathered = np.asarray(gathered).reshape(-1, pad) if pad else np.zeros(
-        (len(lens), 0), np.uint8
-    )
+    rounds = max(1, -(-longest // GATHER_CHUNK))
+    raws = [bytearray() for _ in range(len(lens))]
+    for r in range(rounds):
+        lo = r * GATHER_CHUNK
+        seg = bytes(blob[lo : lo + GATHER_CHUNK])
+        arr = np.zeros(GATHER_CHUNK, dtype=np.uint8)
+        arr[: len(seg)] = np.frombuffer(seg, dtype=np.uint8)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(arr)
+        ).reshape(-1, GATHER_CHUNK)
+        for h in range(gathered.shape[0]):
+            want = min(max(int(lens[h]) - lo, 0), GATHER_CHUNK)
+            if want:
+                raws[h] += gathered[h][:want].tobytes()
     merged: List[Tuple[int, bytes]] = []
-    for h in range(gathered.shape[0]):
-        raw = gathered[h][: int(lens[h])].tobytes()
+    for h, raw in enumerate(raws):
+        raw = bytes(raw)
         pos = 0
         while pos < len(raw):
             idx = int.from_bytes(raw[pos : pos + 8], "little")
@@ -94,6 +103,31 @@ def _gather_pieces(
             pos += 16 + n
     merged.sort(key=lambda t: t[0])
     return merged
+
+
+def host_entries(
+    root: str, host: int, n_hosts: int
+) -> Tuple[List[Tuple[int, str, int]], int]:
+    """Phase-1 walk, stat load striped across hosts: a structure-only
+    walk (readdir d_type, no per-file lstat — ingest/walker.walk_names)
+    assigns GLOBAL file indices identically on every host; each host
+    then lstat's only indices ≡ host (mod n_hosts) — the reference's
+    round-robin stripe (main.cc:94) applied to the stat phase, so H
+    hosts do O(total/H) stats each instead of each statting the whole
+    corpus. → ([(global_idx, path, size)], n_stats)."""
+    mine: List[Tuple[int, str, int]] = []
+    n_stats = 0
+    for gidx, path in enumerate(walk_names(root)):
+        if gidx % n_hosts != host:
+            continue
+        try:
+            st = os.lstat(path)
+        except OSError as e:
+            print(f"{path}: {e.strerror or e}", file=sys.stderr)
+            continue
+        n_stats += 1
+        mine.append((gidx, path, int(st.st_size)))
+    return mine, n_stats
 
 
 def run_multihost(
@@ -142,11 +176,10 @@ def _run_multihost(
     host, n_hosts = init_distributed(coordinator, num_processes, process_id)
 
     engine.cfg.output.recursive = True
-    # phase 1 (main.cc:178): the same deterministic sorted walk on every
-    # host — metadata only, so no cross-host bytes; entries are globally
-    # indexed before striping so output order is defined
-    entries = list(walk_files(root))
-    mine = host_shard(entries, host, n_hosts)
+    # phase 1 (main.cc:178): structure walk assigns global indices on
+    # every host, but the stat load is striped — each host lstat's only
+    # its own files (host_entries), O(total/n_hosts) stats per host
+    mine, _n_stats = host_entries(root, host, n_hosts)
 
     pieces: List[Tuple[int, bytes]] = []
     match_lines = 0
@@ -154,13 +187,13 @@ def _run_multihost(
     gidx_of = {}
 
     def my_entries():
-        for gidx, entry in mine:
+        for gidx, path, size in mine:
             engine.stats.files_seen += 1
-            if engine.compiled.min_len > entry.size:
+            if engine.compiled.min_len > size:
                 engine.stats.files_pruned += 1
                 continue
-            gidx_of[entry.path] = gidx
-            yield entry.path, entry.size
+            gidx_of[path] = gidx
+            yield path, size
 
     # scan local files through the standard pipelined path-based scan
     # (native pread-pool fill, double-buffered device batches); capture

@@ -4,6 +4,7 @@ concurrently; a serial assembly pass replays results in exactly the
 serial walker's order, so -n N discovery output is deterministic and
 identical to -n 1."""
 
+import os
 import subprocess
 import sys
 
@@ -12,6 +13,8 @@ import pytest
 
 from grab_tpu.ingest import native
 from grab_tpu.ingest.walker import walk_files
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _wide_tree(tmp_path, rng, dirs=40, files_per=12):
@@ -52,3 +55,27 @@ def test_spot_n_parallel_identical_output(tmp_path):
     assert r1.returncode == 0 and r4.returncode == 0
     assert r4.stdout == r1.stdout
     assert b"secret.doc" in r1.stdout
+
+
+def test_pwalk_tsan_stress(tmp_path):
+    """VERDICT r2 weak-item 8: the gt_pwalk queue/active/finished
+    protocol and the gt_fill2 pread pool under load, TSan-instrumented
+    (wide + deep trees, repeated runs, 2-32 workers, error paths)."""
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    native_dir = os.path.join(REPO, "grab_tpu", "ingest", "native")
+    build = subprocess.run(
+        ["make", "-C", native_dir, "stress"], capture_output=True, timeout=120
+    )
+    assert build.returncode == 0, build.stderr.decode()[-2000:]
+    run = subprocess.run(
+        [os.path.join(native_dir, "stress_test"), str(tmp_path)],
+        capture_output=True,
+        timeout=280,
+    )
+    err = run.stderr.decode()
+    assert run.returncode == 0, err[-2000:]
+    assert b"STRESS_OK" in run.stdout
+    assert "WARNING: ThreadSanitizer" not in err, err[:2000]
