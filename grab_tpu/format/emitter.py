@@ -114,20 +114,17 @@ class ChunkReplayer:
             a = 0
             if cfg.print_line:
                 # before-context: back from match start to \n, window
-                # start, or 511 bytes (grab.cc:188-197)
-                b_start = ms
-                while (
-                    b_start > lo
-                    and data[b_start - 1] != 0x0A
-                    and ms - b_start < CONTEXT_CAP
-                ):
-                    b_start -= 1
+                # start, or 511 bytes (grab.cc:188-197) — one C rfind
+                # instead of a per-byte Python walk (r2 replay floor)
+                floor = max(lo, ms - CONTEXT_CAP)
+                nl = data.rfind(b"\n", floor, ms)
+                b_start = floor if nl < 0 else nl + 1
                 # after-context: forward from match end to \n, chunk
                 # end, or 511 bytes; does not consume the \n
-                a_end = me
-                while a_end < end and data[a_end] != 0x0A and a < CONTEXT_CAP:
-                    a_end += 1
-                    a += 1
+                cap = min(end, me + CONTEXT_CAP)
+                nl = data.find(b"\n", me, cap)
+                a_end = cap if nl < 0 else nl
+                a = a_end - me
                 out += data[b_start:ms]
                 if cfg.colored:
                     out += START_INV

@@ -223,6 +223,24 @@ class DeviceScanner:
 
             self._input_words = True
             tile_rows = min(2048, self.buf_size // self.block)
+            import os as _os
+
+            if _os.environ.get("GRAB_TPU_NO_FUSED") != "1":
+                # single-pass ensemble: every member's test in ONE
+                # kernel, corpus read from HBM once (round-2 ran one
+                # program per member — K members = K corpus reads).
+                # Split programs remain the GRAB_TPU_NO_FUSED fallback.
+                from grab_tpu.ops.pallas_fused import FusedEnsembleScanner
+
+                fsc = FusedEnsembleScanner(
+                    self._literals,
+                    self._seqs,
+                    tile_rows=tile_rows,
+                    interpret=self._interpret,
+                )
+                if fsc.n_members >= 2:
+                    self._cw_list = [fsc]
+                    return lambda words2d: [fsc.packed(words2d)]
             longs = [l for l in self._literals if len(l) >= 7]
             shorts = [l for l in self._literals if len(l) < 7]
             scanners = []

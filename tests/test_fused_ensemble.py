@@ -1,0 +1,122 @@
+"""Fused single-pass ensemble kernel (ops/pallas_fused): oracle
+equivalence and engine-level identity with the split-programs path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
+from grab_tpu.ops.pallas_fused import FusedEnsembleScanner, np_fused_bitmap
+
+
+def _words(buf: np.ndarray) -> np.ndarray:
+    pad = (-len(buf)) % (4 * LANES)
+    buf = np.concatenate([buf, np.zeros(pad, np.uint8)])
+    w = buf.view("<i4").reshape(-1, LANES)
+    return np.concatenate([w, np.zeros((PAD_ROWS, LANES), "<i4")])
+
+
+def _corpus(n=1 << 19, seed=9):
+    rng = np.random.default_rng(seed)
+    return rng.integers(32, 127, size=n, dtype=np.uint8)
+
+
+def _ensemble():
+    rng = np.random.default_rng(4)
+    alnum = np.frombuffer(
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789",
+        dtype=np.uint8,
+    )
+    longs = [bytes(rng.choice(alnum, 9).tobytes()) for _ in range(40)]
+    shorts = [b"qZx", b"Wk9p", b"##a##", b"zzTOPzz"[:6]]
+    from grab_tpu.ops.class_prefilter import compile_sequences
+
+    digit = sum(1 << b for b in range(48, 58))
+    lower = sum(1 << b for b in range(97, 123))
+    seqs = compile_sequences([(digit, digit, digit, lower, lower)])
+    return longs + shorts, seqs
+
+
+def test_fused_kernel_matches_oracle():
+    lits, seqs = _ensemble()
+    sc = FusedEnsembleScanner(lits, seqs, tile_rows=256, interpret=True)
+    assert sc.n_members >= 3  # bloom + compare bucket + class seqs
+    buf = _corpus()
+    # plant members of each family
+    buf[1000 : 1000 + len(lits[0])] = np.frombuffer(lits[0], np.uint8)
+    buf[65536 + 3 : 65536 + 6] = np.frombuffer(b"qZx", np.uint8)
+    buf[200_001 : 200_006] = np.frombuffer(b"123ab", np.uint8)
+    w2d = _words(buf)
+    # tile divisibility
+    rows = w2d.shape[0] - PAD_ROWS
+    if rows % sc.tile_rows:
+        extra = sc.tile_rows - rows % sc.tile_rows
+        w2d = np.concatenate(
+            [w2d[:rows], np.zeros((extra, LANES), "<i4"), w2d[rows:]]
+        )
+    got = np.asarray(sc.bitmap(w2d))
+    want = np_fused_bitmap(w2d, sc)
+    assert np.array_equal(got, want)
+    assert int(np.count_nonzero(got)) > 0
+
+
+def test_fused_flags_cover_all_planted(tmp_path):
+    lits, seqs = _ensemble()
+    sc = FusedEnsembleScanner(lits, seqs, tile_rows=256, interpret=True)
+    buf = _corpus(1 << 18, seed=10)
+    spots = [(5, lits[1]), (77777, b"qZx"), (131072 - 4, lits[2])]
+    for pos, s in spots:
+        buf[pos : pos + len(s)] = np.frombuffer(s, np.uint8)
+    w2d = _words(buf)
+    rows = w2d.shape[0] - PAD_ROWS
+    if rows % sc.tile_rows:
+        extra = sc.tile_rows - rows % sc.tile_rows
+        w2d = np.concatenate(
+            [w2d[:rows], np.zeros((extra, LANES), "<i4"), w2d[rows:]]
+        )
+    total, packed = sc.packed(w2d)
+    assert int(total) > 0
+    nb = len(buf) // 512 + 1
+    flags = sc.flags_np(np.asarray(packed), nb)
+    for pos, s in spots:
+        assert flags[pos // 512] == 1 or flags[(pos + len(s)) // 512] == 1, pos
+
+
+def test_engine_fused_identical_to_split(monkeypatch):
+    from grab_tpu.engine import Engine, EngineConfig
+    from grab_tpu.format.emitter import OutputConfig
+
+    lits, _ = _ensemble()
+    rng = np.random.default_rng(12)
+    data = bytearray(
+        rng.integers(32, 127, size=1 << 20, dtype=np.uint8).tobytes()
+    )
+    for i in range(0, 30):
+        s = lits[i % len(lits)]
+        pos = 3000 + i * 30011
+        data[pos : pos + len(s)] = s
+    payload = bytes(data)
+    pats = [bytes(l) for l in lits] + [rb"[0-9]{3}[a-z]{2}"]
+
+    def run(no_fused: bool):
+        if no_fused:
+            monkeypatch.setenv("GRAB_TPU_NO_FUSED", "1")
+        else:
+            monkeypatch.delenv("GRAB_TPU_NO_FUSED", raising=False)
+        cfg = EngineConfig(
+            output=OutputConfig(colored=False), pallas_interpret=True
+        )
+        eng = Engine(pats, cfg)
+        out = []
+        eng.scan_data("f.txt", payload, out.append)
+        if not no_fused:
+            sc = eng._get_scanner()
+            assert len(sc._cw_list) == 1
+            assert isinstance(sc._cw_list[0], FusedEnsembleScanner)
+        return b"".join(out)
+
+    fused = run(False)
+    split = run(True)
+    assert fused == split
+    assert fused != b""

@@ -71,7 +71,13 @@ def test_literal_ensemble_100_patterns():
     assert sc.mode == "literal"
     pipe = CorpusPipeline(sc)
     out = {p: c for p, _, c in pipe.run([("f", data)])}
-    assert len(sc._cw_list) == 2  # bloom + one compare bucket
+    # round 3: bloom + compare bucket fused into ONE single-pass kernel
+    from grab_tpu.ops.pallas_fused import FusedEnsembleScanner
+
+    assert len(sc._cw_list) == 1
+    fused = sc._cw_list[0]
+    assert isinstance(fused, FusedEnsembleScanner)
+    assert fused.n_members == 2  # bloom + one compare bucket
     starts = literal_scan_starts(lits, data)
     for b in np.unique(np.nonzero(starts)[0] // CANDIDATE_BLOCK):
         assert out["f"][b] > 0, b
