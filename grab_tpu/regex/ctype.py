@@ -1,0 +1,145 @@
+"""PCRE1 locale character tables (pcre_maketables parity).
+
+The reference compiles every pattern with character tables built from
+the CURRENT LC_CTYPE locale (``pcre_compile(regex, 0, ...,
+pcre_maketables())``, /root/reference/src/grab.cc:106), so ``\\w``,
+``\\s``, ``\\d``, ``\\b`` and the POSIX classes follow the locale —
+e.g. a Latin-1 locale's ``\\w`` includes accented letters. Round 2
+compiled C-locale-only (docs/PARITY.md §4); this module closes that.
+
+Activation mirrors the C runtime: the CLI calls
+``activate_from_environment()`` (the analog of a C program's implicit
+``setlocale(LC_CTYPE, "")`` before pcre_maketables). In the default
+C/POSIX locale the static masks in regex/ast.py are used untouched, so
+library users and tests see identical behavior unless they opt in.
+
+Tables are snapshotted through libc's is*() byte classifiers via
+ctypes — the exact functions pcre_maketables consults. ``\\h`` stays
+fixed (PCRE defines horizontal space without locale).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from grab_tpu.regex import ast as A
+
+# libc classifier -> mask name used by the parser / matchers
+_FUNCS = (
+    "isalpha",
+    "isdigit",
+    "isupper",
+    "islower",
+    "isalnum",
+    "isspace",
+    "ispunct",
+    "isprint",
+    "isgraph",
+    "iscntrl",
+    "isxdigit",
+)
+
+_active: Optional[Dict[str, int]] = None
+
+
+def libc_tables() -> Dict[str, int]:
+    """Snapshot the current locale's byte classes as 256-bit masks."""
+    import ctypes
+
+    libc = ctypes.CDLL(None)
+    out: Dict[str, int] = {}
+    for name in _FUNCS:
+        fn = getattr(libc, name)
+        fn.argtypes = [ctypes.c_int]
+        fn.restype = ctypes.c_int
+        m = 0
+        for b in range(256):
+            if fn(b):
+                m |= 1 << b
+        out[name] = m
+    out["word"] = out["isalnum"] | (1 << 0x5F)  # PCRE: alnum + underscore
+    return out
+
+
+def set_tables(tables: Optional[Dict[str, int]]) -> None:
+    """Install (or clear, with None) the active locale tables."""
+    global _active
+    _active = tables
+
+
+def active() -> Optional[Dict[str, int]]:
+    return _active
+
+
+def activate_from_environment() -> str:
+    """Adopt LC_CTYPE from the environment (setlocale(LC_CTYPE, "")),
+    exactly as the reference's C runtime does before pcre_maketables.
+    Returns the locale name; C/POSIX keeps the static tables."""
+    import locale
+
+    try:
+        locale.setlocale(locale.LC_CTYPE, "")
+        cur = locale.setlocale(locale.LC_CTYPE)
+    except locale.Error:
+        set_tables(None)
+        return "C"
+    if cur in ("C", "POSIX") or cur.startswith(("C.", "POSIX.")):
+        set_tables(None)
+    else:
+        set_tables(libc_tables())
+    return cur
+
+
+def _get(name: str, default: int) -> int:
+    t = _active
+    if t is None:
+        return default
+    return t.get(name, default)
+
+
+def digit_mask() -> int:
+    return _get("isdigit", A.DIGIT_MASK)
+
+
+def word_mask() -> int:
+    return _get("word", A.WORD_MASK)
+
+
+def space_mask() -> int:
+    return _get("isspace", A.SPACE_MASK)
+
+
+def alpha_mask() -> int:
+    return _get("isalpha", A.ALPHA_MASK)
+
+
+def alnum_mask() -> int:
+    return _get("isalnum", A.ALNUM_MASK)
+
+
+def upper_mask() -> int:
+    return _get("isupper", A.UPPER_MASK)
+
+
+def lower_mask() -> int:
+    return _get("islower", A.LOWER_MASK)
+
+
+def punct_mask() -> int:
+    return _get("ispunct", A.PUNCT_MASK)
+
+
+def print_mask() -> int:
+    return _get("isprint", A.PRINT_MASK)
+
+
+def graph_mask() -> int:
+    return _get("isgraph", A.GRAPH_MASK)
+
+
+def cntrl_mask() -> int:
+    return _get("iscntrl", A.CNTRL_MASK)
+
+
+def xdigit_mask() -> int:
+    return _get("isxdigit", A.XDIGIT_MASK)

@@ -62,21 +62,26 @@ class RegexSyntaxError(ValueError):
         self.pos = pos
 
 
+# class masks resolve at PARSE time through the active locale tables
+# (regex/ctype — pcre_maketables parity, grab.cc:106); in the default
+# C locale every getter returns the static ast.py mask unchanged
+from grab_tpu.regex import ctype as _ct
+
 _POSIX_CLASSES = {
-    "alpha": ALPHA_MASK,
-    "digit": DIGIT_MASK,
-    "alnum": ALNUM_MASK,
-    "upper": UPPER_MASK,
-    "lower": LOWER_MASK,
-    "space": SPACE_MASK,
-    "blank": HSPACE_MASK,
-    "xdigit": XDIGIT_MASK,
-    "punct": PUNCT_MASK,
-    "print": PRINT_MASK,
-    "graph": GRAPH_MASK,
-    "cntrl": CNTRL_MASK,
-    "word": WORD_MASK,
-    "ascii": mask_range(0x00, 0x7F),
+    "alpha": _ct.alpha_mask,
+    "digit": _ct.digit_mask,
+    "alnum": _ct.alnum_mask,
+    "upper": _ct.upper_mask,
+    "lower": _ct.lower_mask,
+    "space": _ct.space_mask,
+    "blank": lambda: HSPACE_MASK,  # PCRE: fixed, not locale
+    "xdigit": _ct.xdigit_mask,
+    "punct": _ct.punct_mask,
+    "print": _ct.print_mask,
+    "graph": _ct.graph_mask,
+    "cntrl": _ct.cntrl_mask,
+    "word": _ct.word_mask,
+    "ascii": lambda: mask_range(0x00, 0x7F),
 }
 
 _SIMPLE_ESCAPES = {
@@ -91,14 +96,14 @@ _SIMPLE_ESCAPES = {
 }
 
 _CLASS_ESCAPES = {
-    ord("d"): DIGIT_MASK,
-    ord("D"): ALL_BYTES_MASK & ~DIGIT_MASK,
-    ord("w"): WORD_MASK,
-    ord("W"): ALL_BYTES_MASK & ~WORD_MASK,
-    ord("s"): SPACE_MASK,
-    ord("S"): ALL_BYTES_MASK & ~SPACE_MASK,
-    ord("h"): HSPACE_MASK,
-    ord("H"): ALL_BYTES_MASK & ~HSPACE_MASK,
+    ord("d"): _ct.digit_mask,
+    ord("D"): lambda: ALL_BYTES_MASK & ~_ct.digit_mask(),
+    ord("w"): _ct.word_mask,
+    ord("W"): lambda: ALL_BYTES_MASK & ~_ct.word_mask(),
+    ord("s"): _ct.space_mask,
+    ord("S"): lambda: ALL_BYTES_MASK & ~_ct.space_mask(),
+    ord("h"): lambda: HSPACE_MASK,
+    ord("H"): lambda: ALL_BYTES_MASK & ~HSPACE_MASK,
 }
 
 
@@ -385,7 +390,7 @@ class _Parser:
     def _escape(self, in_class: bool) -> Node:
         c = self._next()
         if c in _CLASS_ESCAPES:
-            return CharClass(_CLASS_ESCAPES[c])
+            return CharClass(_CLASS_ESCAPES[c]())
         if not in_class:
             if c == ord("A"):
                 return Anchor("bos")
@@ -511,7 +516,7 @@ class _Parser:
                     name = name[1:]
                 if name not in _POSIX_CLASSES:
                     self._error(f"unknown POSIX class [:{name}:]")
-                m = _POSIX_CLASSES[name]
+                m = _POSIX_CLASSES[name]()
                 mask |= (ALL_BYTES_MASK & ~m) if neg else m
                 self.pos = end + 2
                 continue
@@ -519,7 +524,7 @@ class _Parser:
                 e = self._peek()
                 if e in _CLASS_ESCAPES:
                     self.pos += 1
-                    mask |= _CLASS_ESCAPES[e]
+                    mask |= _CLASS_ESCAPES[e]()
                     continue
                 if e == ord("b"):
                     self.pos += 1

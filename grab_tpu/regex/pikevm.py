@@ -40,7 +40,11 @@ from grab_tpu.regex.backtrack import (
 
 
 def _is_word(b: int) -> bool:
-    return bool((A.WORD_MASK >> b) & 1)
+    # \b follows the active locale tables (pcre_maketables parity,
+    # grab.cc:106); C locale = the static WORD_MASK
+    from grab_tpu.regex import ctype as _ct
+
+    return bool((_ct.word_mask() >> b) & 1)
 
 
 def _assert_ok(kind: str, data: bytes, pos: int, lo: int, hi: int) -> bool:

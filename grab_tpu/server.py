@@ -40,7 +40,14 @@ class _EngineCache:
 
     def engine_for(self, patterns: List[bytes], cfg: EngineConfig) -> Engine:
         eng = Engine(patterns, cfg)
-        key = (tuple(patterns), cfg.mode, cfg.scan_buf_size)
+        # shard count is part of the compiled program identity: a 1-shard
+        # scanner must not serve a later -n N request (VERDICT r2 weak #5)
+        key = (
+            tuple(patterns),
+            cfg.mode,
+            cfg.scan_buf_size,
+            eng._effective_shards(),
+        )
         if eng._device_usable():
             scanner = self._scanners.get(key)
             if scanner is None:

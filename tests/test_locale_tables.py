@@ -1,0 +1,96 @@
+"""PCRE1 locale character tables (regex/ctype — pcre_maketables
+parity, grab.cc:106): class escapes, POSIX classes and \\b follow the
+active LC_CTYPE tables; the C locale keeps round-2 behavior exactly."""
+
+import numpy as np
+import pytest
+
+from grab_tpu.regex import ast as A
+from grab_tpu.regex import ctype
+from grab_tpu.regex.compiler import compile_multi
+from grab_tpu.regex.parser import parse
+
+
+@pytest.fixture(autouse=True)
+def _reset_tables():
+    yield
+    ctype.set_tables(None)
+
+
+def _latin1ish():
+    """Synthetic Latin-1 LC_CTYPE: accented letters are alpha/word."""
+    extra = [0xE9, 0xE8, 0xC9, 0xFC]  # é è É ü
+    t = {
+        "isalpha": A.ALPHA_MASK,
+        "isdigit": A.DIGIT_MASK,
+        "isalnum": A.ALNUM_MASK,
+        "isspace": A.SPACE_MASK | (1 << 0xA0),  # NBSP
+        "isupper": A.UPPER_MASK,
+        "islower": A.LOWER_MASK,
+    }
+    for b in extra:
+        t["isalpha"] |= 1 << b
+        t["isalnum"] |= 1 << b
+    t["word"] = t["isalnum"] | (1 << 0x5F)
+    return t
+
+
+def _matches(pattern: bytes, data: bytes):
+    cp = compile_multi([pattern])
+    m = cp.matchers[0].search(data, 0, len(data), alo=0, ahi=len(data))
+    return m
+
+
+def test_c_locale_unchanged():
+    assert ctype.active() is None
+    t = parse(rb"\w")
+    # the static mask: no high bytes
+    m = _matches(rb"\w+", b"--caf\xe9--")
+    assert m == (2, 5)  # stops before \xe9
+
+
+def test_injected_locale_extends_word_and_space():
+    ctype.set_tables(_latin1ish())
+    assert _matches(rb"\w+", b"--caf\xe9--") == (2, 6)  # includes é
+    assert _matches(rb"[[:alpha:]]+", b" \xfcber ") == (1, 5)
+    assert _matches(rb"\s", b"x\xa0y") == (1, 2)  # NBSP is space
+    assert _matches(rb"\S+", b"\xa0abc\xa0") == (1, 4)
+
+
+def test_word_boundary_follows_locale():
+    data = b" caf\xe9 "
+    # C locale: \xe9 is a non-word byte, so a boundary sits at 4
+    ctype.set_tables(None)
+    assert _matches(rb"caf\b", data) == (1, 4)
+    # Latin-1-ish: caf\xe9 is one word; \b after "caf" no longer holds
+    ctype.set_tables(_latin1ish())
+    assert _matches(rb"caf\b", data) is None
+    assert _matches(rb"caf\xe9\b", data) == (1, 5)
+
+
+def test_negated_classes_follow_locale():
+    ctype.set_tables(_latin1ish())
+    # \W excludes é now
+    assert _matches(rb"\W+", b"ab\xe9 .cd") == (3, 5)
+
+
+def test_activate_from_environment_c_locale(monkeypatch):
+    monkeypatch.setenv("LC_ALL", "C")
+    monkeypatch.setenv("LC_CTYPE", "C")
+    name = ctype.activate_from_environment()
+    assert name in ("C", "POSIX")
+    assert ctype.active() is None
+
+
+def test_libc_tables_c_locale_match_static():
+    """In the C locale libc's classifiers agree with the static masks
+    (pins the snapshot machinery itself)."""
+    import locale
+
+    locale.setlocale(locale.LC_CTYPE, "C")
+    t = ctype.libc_tables()
+    assert t["isdigit"] == A.DIGIT_MASK
+    assert t["isupper"] == A.UPPER_MASK
+    assert t["islower"] == A.LOWER_MASK
+    assert t["word"] == A.WORD_MASK
+    assert t["isspace"] == A.SPACE_MASK
