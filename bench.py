@@ -297,33 +297,35 @@ def secondary_metrics():
         ("stridedfa_pair_bytes_per_sec", rb"[0-9]{50}", 2),
     ):
         cp = compile_multi([pat])
-        k = stride_plan(cp.dfa)
-        assert k == want_k, (pat, k)
-        t = StrideDfaTables(cp.dfa, k)
+        plan = stride_plan(cp.dfa)
+        assert plan == ("run", want_k), (pat, plan)
+        t = StrideDfaTables(cp.dfa, plan)
         tab = jnp.asarray(t.tab)
         entries = jnp.full((STREAM_ROWS, LANES), t.start, jnp.int32)
         emit_g(
             metric,
             measure(
                 lambda x: stride_dfa_scan(
-                    x, tab, entries, t.thresholds, t.m, t.k
+                    x, tab, entries, t.thresholds, t.m, t.k, mode=t.mode
                 )[0],
                 gstack,
             ),
         )
 
-    # class-gather DFA fallback: fragmented class map (2 gathers/byte)
-    from grab_tpu.ops.pallas_gatherdfa import GatherDfaTables, gather_dfa_bitmap
-
+    # fragmented class map: the cls plan (2 gathers/byte, W-unrolled —
+    # replaces the round-2 class-gather fallback, 90 GB/s, cap 128)
     cpf = compile_multi([rb"[acegikmoqsuwy]{3}"])
-    tables = GatherDfaTables(cpf.dfa)
-    tab = jnp.asarray(tables.tab)
-    emit(
-        "gatherdfa_bytes_per_sec",
+    planf = stride_plan(cpf.dfa)
+    assert planf == ("cls", 1), planf
+    tf = StrideDfaTables(cpf.dfa, planf)
+    tabf = jnp.asarray(tf.tab)
+    entriesf = jnp.full((STREAM_ROWS, LANES), tf.start, jnp.int32)
+    emit_g(
+        "stridedfa_cls_bytes_per_sec",
         measure(
-            lambda x: gather_dfa_bitmap(
-                x, tab, tables.start, tables.accept_floor
-            ),
+            lambda x: stride_dfa_scan(
+                x, tabf, entriesf, tf.thresholds, tf.m, tf.k, mode=tf.mode
+            )[0],
             gstack,
         ),
     )

@@ -81,41 +81,74 @@ _L7 = 0x7F7F7F7F
 _L1 = 0x01010101
 
 
-def stride_plan(dfa) -> Optional[int]:
-    """→ k in {4, 2, 1}: the largest byte stride whose k-step table
-    fits the gather capacity, or None if this automaton needs the
-    class-gather fallback (fragmented class map / too many states)."""
+def stride_plan(dfa):
+    """→ ("run", k) with k in {4, 2, 1} (SWAR run indices, one gather
+    per k bytes), ("cls", 1) (fragmented class maps: packed class-table
+    gather + transition gather, 2 gathers/byte), or None (needs the
+    host/jnp fallback: > 128 states or class capacity blown)."""
     if dfa is None or dfa.n_states > MAX_STATES:
         return None
     thresholds, _ = class_runs(dfa.class_map)
     m = len(thresholds) + 1
-    if m > MAX_RUNS:
-        return None
-    for k in (4, 2, 1):
-        if dfa.n_states * (m ** k) <= CAPACITY:
-            return k
+    if m <= MAX_RUNS:
+        for k in (4, 2, 1):
+            if dfa.n_states * (m ** k) <= CAPACITY:
+                return ("run", k)
+    if dfa.n_classes <= 256 and dfa.n_states * dfa.n_classes <= CAPACITY:
+        return ("cls", 1)
     return None
 
 
-class StrideDfaTables:
-    """k-step transition table with sticky accept, packed 4x8-bit.
+def _pack4(flat: np.ndarray) -> np.ndarray:
+    pk = np.zeros(4 * LANES, dtype=np.int64)
+    pk[: flat.shape[0]] = flat
+    return (
+        pk[0::4] | (pk[1::4] << 8) | (pk[2::4] << 16) | (pk[3::4] << 24)
+    ).astype(np.int32)
 
-    Entry at [s * m^k + q] (q = run indices base-m, earliest byte most
-    significant) = next_state | (any intermediate or landing state
-    accepting) << 7. State ids are the automaton's own (no renumber):
-    exit vectors and threading stay in raw id space.
+
+class StrideDfaTables:
+    """Transition tables with sticky accept, packed 4x8-bit.
+
+    mode "run": entry at [s * m^k + q] (q = run indices base-m,
+    earliest byte most significant) = next_state | (any intermediate or
+    landing state accepting) << 7.
+
+    mode "cls" (fragmented class maps): row 1 packs the byte->class map
+    (low half in bits 0-7, high in 8-15 of lanes 0-127); entries at
+    [s * C + c], per-byte walk with 2 gathers — the round-2
+    class-gather fallback rebuilt with sticky accepts, W-unrolled grid
+    blocks and threading exactness, and a 4x capacity lift
+    (n_states * n_classes <= 512, was 128).
+
+    State ids are the automaton's own (no renumber): exit vectors and
+    threading stay in raw id space.
     """
 
-    def __init__(self, dfa, k: int):
-        thresholds, run_classes = class_runs(dfa.class_map)
-        m = self.m = len(thresholds) + 1
+    def __init__(self, dfa, plan):
+        mode, k = plan
+        self.mode = mode
         self.k = k
-        self.thresholds = thresholds
         S = self.n_states = dfa.n_states
-        assert S <= MAX_STATES and S * (m ** k) <= CAPACITY, (S, m, k)
         self.start = int(dfa.start)
         told = np.asarray(dfa.table)
         acc = np.asarray(dfa.accept_mask, dtype=bool)
+        if mode == "cls":
+            C = self.m = int(dfa.n_classes)
+            self.thresholds = ()
+            assert S <= MAX_STATES and S * C <= CAPACITY and C <= 256
+            flat = (
+                told.astype(np.int64) | (acc[told].astype(np.int64) << 7)
+            ).reshape(-1)  # [s*C + c]
+            cm = np.asarray(dfa.class_map, dtype=np.int64)
+            cls_pk = np.zeros(LANES, dtype=np.int32)
+            cls_pk[:] = (cm[:128] | (cm[128:] << 8)).astype(np.int32)
+            self.tab = np.stack([_pack4(flat), cls_pk])
+            return
+        thresholds, run_classes = class_runs(dfa.class_map)
+        m = self.m = len(thresholds) + 1
+        self.thresholds = thresholds
+        assert S <= MAX_STATES and S * (m ** k) <= CAPACITY, (S, m, k)
         # single-step over runs
         t1 = told[:, list(run_classes)]  # [S, m]
         a1 = acc[t1]  # accept of landing state
@@ -126,15 +159,12 @@ class StrideDfaTables:
             ak2 = np.repeat(ak, m, axis=1) | a1[tk.reshape(-1)].reshape(S, -1)
             tk, ak = tk2, ak2
         flat = (tk.astype(np.int64) | (ak.astype(np.int64) << 7)).reshape(-1)
-        pk = np.zeros(4 * LANES, dtype=np.int64)
-        pk[: flat.shape[0]] = flat
-        tab = (
-            pk[0::4] | (pk[1::4] << 8) | (pk[2::4] << 16) | (pk[3::4] << 24)
-        ).astype(np.int32)
-        self.tab = tab.reshape(1, LANES)
+        self.tab = _pack4(flat).reshape(1, LANES)
 
 
-def _build_kernel(thresholds: Tuple[int, ...], m: int, k: int, w_words: int):
+def _build_kernel(
+    thresholds: Tuple[int, ...], m: int, k: int, w_words: int, mode: str
+):
     import jax.numpy as jnp
 
     def kernel(tab_ref, entry_ref, a_ref, bm_ref, exit_ref, state_ref):
@@ -165,17 +195,35 @@ def _build_kernel(thresholds: Tuple[int, ...], m: int, k: int, w_words: int):
                 return (((x & L7) + jnp.uint32((256 - n) * _L1)) & x) & H
 
             acc = None
-            for t in thresholds:
-                ind = ge(t) >> jnp.uint32(7)
-                acc = ind if acc is None else acc + ind
-            if acc is None:  # m == 1: every byte is run 0
-                acc = jnp.zeros_like(x)
+            if mode == "run":
+                for t in thresholds:
+                    ind = ge(t) >> jnp.uint32(7)
+                    acc = ind if acc is None else acc + ind
+                if acc is None:  # m == 1: every byte is run 0
+                    acc = jnp.zeros_like(x)
 
             def take(idx):
                 wv = jnp.take_along_axis(trans, idx >> 2, axis=1)
                 return (wv >> ((idx & 3) << 3)) & 0xFF
 
-            if k == 4:
+            if mode == "cls":
+                # fragmented class map: packed class gather + transition
+                # gather per byte (2 gathers; m here = n_classes)
+                cls_tab = jnp.broadcast_to(
+                    tab_ref[1].reshape(1, LANES), (STREAM_ROWS, LANES)
+                )
+                hacc = None
+                for kk in range(4):
+                    b = ((x >> jnp.uint32(8 * kk)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    )
+                    pkv = jnp.take_along_axis(cls_tab, b & 127, axis=1)
+                    cls = (pkv >> ((b >> 7) << 3)) & 0xFF
+                    e = take(state * m + cls)
+                    state = e & 0x7F
+                    hacc = e if hacc is None else (hacc | e)
+                e = None
+            elif k == 4:
                 # SWAR dot: byte 3 of acc*C = r0*m^3 + r1*m^2 + r2*m + r3
                 # (no byte carries: partial sums < m^3 <= 64 when the
                 # k=4 capacity holds)
@@ -225,16 +273,17 @@ def _build_kernel(thresholds: Tuple[int, ...], m: int, k: int, w_words: int):
 
 @partial(
     jax.jit,
-    static_argnames=("thresholds", "m", "k", "interpret"),
+    static_argnames=("thresholds", "m", "k", "mode", "interpret"),
 )
 def stride_dfa_scan(
     words2d,  # int32 [n_word_steps * 128, 128]: word g of stream
     # (r, c) at row g*128 + r — stream-major transposed layout
-    tab,  # int32 [1, 128]
+    tab,  # int32 [1 or 2, 128]
     entries,  # int32 [128, 128]: per-stream entry state (s = r*128+c)
     thresholds: Tuple[int, ...],
     m: int,
     k: int,
+    mode: str = "run",
     interpret: bool = False,
 ):
     """→ (hit bitmap int32 [rows/16, 128] (16 word-rows per int32),
@@ -248,7 +297,7 @@ def stride_dfa_scan(
     while rows % (STREAM_ROWS * w_words):
         w_words //= 2
     n_steps = rows // (STREAM_ROWS * w_words)
-    kernel = _build_kernel(thresholds, m, k, w_words)
+    kernel = _build_kernel(thresholds, m, k, w_words, mode)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -290,10 +339,11 @@ def np_stride_scan(words2d: np.ndarray, tables: StrideDfaTables, entries):
     n_word_steps = rows // STREAM_ROWS
     x = words2d.view(np.uint32).reshape(n_word_steps, STREAM_ROWS, LANES)
     m, k = tables.m, tables.k
-    tab = tables.tab.reshape(-1).astype(np.int64)
+
+    tab0 = tables.tab[0].reshape(-1).astype(np.int64)
 
     def take(idx):
-        return (tab[idx >> 2] >> ((idx & 3) << 3)) & 0xFF
+        return (tab0[idx >> 2] >> ((idx & 3) << 3)) & 0xFF
 
     state = np.asarray(entries, dtype=np.int64).reshape(
         STREAM_ROWS, LANES
@@ -301,6 +351,20 @@ def np_stride_scan(words2d: np.ndarray, tables: StrideDfaTables, entries):
     hit = np.zeros((rows, LANES), dtype=bool)
     for g in range(n_word_steps):
         wv = x[g]
+        h = np.zeros((STREAM_ROWS, LANES), dtype=bool)
+        if tables.mode == "cls":
+            cls_pk = tables.tab[1].astype(np.int64)
+            for kk in range(4):
+                b = ((wv >> np.uint32(8 * kk)) & np.uint32(0xFF)).astype(
+                    np.int64
+                )
+                pkv = cls_pk[b & 127]
+                cls = (pkv >> ((b >> 7) << 3)) & 0xFF
+                e = take(state * m + cls)
+                h |= e >= 128
+                state = e & 0x7F
+            hit[g * STREAM_ROWS : (g + 1) * STREAM_ROWS] = h
+            continue
         runs = []
         for kk in range(4):
             b = ((wv >> np.uint32(8 * kk)) & np.uint32(0xFF)).astype(np.int64)
@@ -308,7 +372,6 @@ def np_stride_scan(words2d: np.ndarray, tables: StrideDfaTables, entries):
             for t in tables.thresholds:
                 r += b >= t
             runs.append(r)
-        h = np.zeros((STREAM_ROWS, LANES), dtype=bool)
         for j in range(0, 4, k):
             q = np.zeros_like(runs[0])
             for rr in runs[j : j + k]:
@@ -338,9 +401,9 @@ class StrideDfaScanner:
     def __init__(self, dfa, max_len, buf_size: int, interpret: bool = False):
         import jax.numpy as jnp
 
-        k = stride_plan(dfa)
-        assert k is not None
-        self.tables = StrideDfaTables(dfa, k)
+        plan = stride_plan(dfa)
+        assert plan is not None
+        self.tables = StrideDfaTables(dfa, plan)
         self._tab = jnp.asarray(self.tables.tab)
         self.interpret = interpret
         self.buf_size = buf_size
@@ -371,7 +434,7 @@ class StrideDfaScanner:
         import jax.numpy as jnp
 
         t = self.tables
-        thresholds, m, k = t.thresholds, t.m, t.k
+        thresholds, m, k, mode = t.thresholds, t.m, t.k, t.mode
         start = t.start
         interpret = self.interpret
         S_w = self.stride // 4  # stride in words
@@ -394,7 +457,8 @@ class StrideDfaScanner:
 
         def step(w2d, tab, entries):
             return stride_dfa_scan(
-                w2d, tab, entries, thresholds, m, k, interpret=interpret
+                w2d, tab, entries, thresholds, m, k, mode=mode,
+                interpret=interpret,
             )
 
         tab = self._tab

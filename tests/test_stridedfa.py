@@ -48,11 +48,11 @@ def _golden_word_hits(dfa, stream_bytes: np.ndarray, entry: int):
 )
 def test_tables_match_per_byte_walk(pattern, want_k):
     cp = _dfa(pattern)
-    k = stride_plan(cp.dfa)
-    assert k is not None
+    plan = stride_plan(cp.dfa)
+    assert plan is not None
     if want_k is not None:
-        assert k == want_k
-    t = StrideDfaTables(cp.dfa, k)
+        assert plan == ("run", want_k)
+    t = StrideDfaTables(cp.dfa, plan)
     rng = np.random.default_rng(3)
     # digit/letter-rich text so transitions exercise all runs
     buf = rng.choice(
@@ -79,9 +79,9 @@ def test_tables_match_per_byte_walk(pattern, want_k):
 
 def test_tables_random_entries_and_dense_streams():
     cp = _dfa(rb"[0-9]{3}[a-z]{2}")
-    k = stride_plan(cp.dfa)
-    assert k is not None
-    t = StrideDfaTables(cp.dfa, k)
+    plan = stride_plan(cp.dfa)
+    assert plan is not None
+    t = StrideDfaTables(cp.dfa, plan)
     rng = np.random.default_rng(7)
     n_words = 16
     raw = rng.integers(32, 127, size=(n_words * STREAM_ROWS, LANES, 4), dtype=np.uint8)
@@ -115,9 +115,9 @@ def test_kernel_matches_oracle(pattern):
     import jax.numpy as jnp
 
     cp = _dfa(pattern)
-    k = stride_plan(cp.dfa)
-    assert k is not None
-    t = StrideDfaTables(cp.dfa, k)
+    plan = stride_plan(cp.dfa)
+    assert plan is not None
+    t = StrideDfaTables(cp.dfa, plan)
     rng = np.random.default_rng(11)
     n_words = 16  # 2 grid steps at W=8
     raw = rng.choice(
@@ -138,6 +138,7 @@ def test_kernel_matches_oracle(pattern):
         t.thresholds,
         t.m,
         t.k,
+        mode=t.mode,
         interpret=True,
     )
     assert np.array_equal(np.asarray(bm), bm_np)
@@ -215,3 +216,59 @@ def test_scanner_flags_are_superset_of_match_ends():
     for m in re.finditer(rb"[0-9]{5}", data):
         end_block = (m.start() + 4) // 512
         assert flags[end_block] == 1, m.start()
+
+
+def test_cls_mode_kernel_and_scanner():
+    """Fragmented class maps take the cls plan (packed class gather +
+    transition gather, sticky accepts): kernel == oracle == golden, and
+    the scanner threads state across streams exactly."""
+    import jax.numpy as jnp
+
+    cp = _dfa(rb"[acegikmoqsuwy]{3}")
+    plan = stride_plan(cp.dfa)
+    assert plan == ("cls", 1), plan
+    t = StrideDfaTables(cp.dfa, plan)
+    rng = np.random.default_rng(31)
+    n_words = 16
+    raw = rng.choice(
+        np.frombuffer(b"acegikmoqsuwy bdfh\n", dtype=np.uint8),
+        size=(n_words * STREAM_ROWS, LANES, 4),
+    ).astype(np.uint8)
+    w2d = np.ascontiguousarray(raw).view("<i4").reshape(
+        n_words * STREAM_ROWS, LANES
+    )
+    entries = rng.integers(
+        0, cp.dfa.n_states, (STREAM_ROWS, LANES), dtype=np.int32
+    )
+    bm_np, ex_np = np_stride_scan(w2d, t, entries)
+    bm, ex = stride_dfa_scan(
+        jnp.asarray(w2d),
+        jnp.asarray(t.tab),
+        jnp.asarray(entries),
+        t.thresholds,
+        t.m,
+        t.k,
+        mode=t.mode,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(bm), bm_np)
+    assert np.array_equal(np.asarray(ex), ex_np)
+    # sample streams vs the per-byte golden walk
+    for s in (0, 777, N_STREAMS - 1):
+        r, c = divmod(s, LANES)
+        sb = np.empty(n_words * 4, dtype=np.uint8)
+        for g in range(n_words):
+            sb[g * 4 : (g + 1) * 4] = np.array(
+                [w2d[g * STREAM_ROWS + r, c]], dtype="<i4"
+            ).view(np.uint8)
+        _, want_exit = _golden_word_hits(cp.dfa, sb, int(entries[r, c]))
+        assert int(ex_np[r, c]) == want_exit
+
+    # scanner end-to-end: match crossing a stream boundary (halo mode,
+    # bounded len-3 pattern)
+    buf_size = N_STREAMS * 32
+    buf = np.full(buf_size, ord("b"), dtype=np.uint8)
+    buf[63:66] = np.frombuffer(b"ace", dtype=np.uint8)
+    sc, flags = _scanner_flags(rb"[acegikmoqsuwy]{3}", buf, buf_size)
+    assert sc.tables.mode == "cls"
+    assert flags[0] == 1
