@@ -107,3 +107,35 @@ def test_oversize_file_forced_full_replay():
     eng2.scan_data("big.bin", payload, out2.append)
     assert got == b"".join(out2)
     assert got != b""
+
+
+def test_exact_unbounded_sharded(monkeypatch):
+    """-E + -n N: the stride threading kernel runs per shard inside
+    shard_map; output identical to -n 1 and to the host-only scan."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    data = _mkdata(1 << 20)
+    _plant(data, 131000, 300)
+    _plant(data, 524288 - 10, 600)
+    payload = bytes(data)
+
+    def run(n):
+        cfg = EngineConfig(
+            output=OutputConfig(colored=False),
+            exact=True,
+            pallas_interpret=True,
+        )
+        cfg.n_shards = n
+        eng = Engine([PAT], cfg)
+        out = []
+        eng.scan_data("f.txt", payload, out.append)
+        return eng, b"".join(out)
+
+    eng2, out2 = run(2)
+    assert eng2._effective_shards() == 2
+    _, out1 = run(1)
+    _, out_host = _run([PAT], payload, exact=True, device="none")
+    assert out2 == out1 == out_host
+    assert out2 != b""

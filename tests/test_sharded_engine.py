@@ -102,3 +102,18 @@ def test_cli_n8_matches_single(tmp_path):
     assert rc8 == 0 and rc1 == 0
     assert out8 == outL
     assert out8  # matched something
+
+
+def test_n_shards_caps_at_device_count():
+    """Deliberate deviation (docs/PARITY.md section 5): the reference
+    hard-errors when threads > cores (main.cc:211-214); we degrade to
+    the hardware so `-n 999` on a small mesh still runs — pinned here
+    so the decision stays tested and documented."""
+    import jax
+
+    from grab_tpu.engine import Engine, EngineConfig
+
+    cfg = EngineConfig()
+    cfg.n_shards = 999
+    eng = Engine([b"needleXY"], cfg)
+    assert eng._effective_shards() == min(999, len(jax.devices()))
