@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 from grab_tpu.regex import ast as A
+from grab_tpu.regex import ctype as _ctype
 from grab_tpu.regex.parser import parse
 
 _EXPANSION_CAP = 4096
@@ -199,9 +200,7 @@ def compile_program(node: A.Node) -> Program:
 def _is_word(b: int) -> bool:
     # \b follows the active locale tables (pcre_maketables parity,
     # grab.cc:106); C locale = the static WORD_MASK
-    from grab_tpu.regex import ctype as _ct
-
-    return bool((_ct.word_mask() >> b) & 1)
+    return bool((_ctype.word_mask() >> b) & 1)
 
 
 DEFAULT_BUDGET = 50_000_000

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 from grab_tpu.regex import ast as A
+from grab_tpu.regex import ctype as _ctype
 from grab_tpu.regex.backtrack import (
     ASSERT,
     BACKREF,
@@ -42,9 +43,7 @@ from grab_tpu.regex.backtrack import (
 def _is_word(b: int) -> bool:
     # \b follows the active locale tables (pcre_maketables parity,
     # grab.cc:106); C locale = the static WORD_MASK
-    from grab_tpu.regex import ctype as _ct
-
-    return bool((_ct.word_mask() >> b) & 1)
+    return bool((_ctype.word_mask() >> b) & 1)
 
 
 def _assert_ok(kind: str, data: bytes, pos: int, lo: int, hi: int) -> bool:

@@ -67,3 +67,34 @@ def test_sorted_output_matches_gnu_grep_regex(tmp_path):
         [GREP, "-a", "-r", "-E", "lin[a-z]s", str(tmp_path)], capture_output=True
     ).stdout
     assert sorted(ours.splitlines()) == sorted(theirs.splitlines())
+
+
+@pytest.mark.skipif(GREP is None, reason="no grep binary")
+@pytest.mark.parametrize(
+    "pat",
+    [
+        "l[imn]nus[0-9]",  # mandatory-literal SET gate (round 3)
+        "linus[a-z]*",  # seeded unbounded-tail factor gate
+        "li?nus.",  # alternation factor set via optional prefix
+    ],
+)
+def test_sorted_output_matches_gnu_grep_factor_sets(tmp_path, pat):
+    """The round-3 factor-set gates and line-seeded VM probes are
+    behavior-neutral vs GNU grep (first-match-per-line corpora)."""
+    rng = np.random.default_rng(91)
+    build_tree(tmp_path, rng)
+    # plant variants that exercise every alternative factor
+    for i, needle in enumerate([b"linus7x", b"lmnus3q", b"lnnus9z"]):
+        p = tmp_path / f"extra{i}.txt"
+        b = bytearray(rng.integers(32, 127, size=30_000, dtype=np.uint8).tobytes())
+        for k in range(0, len(b), 73):
+            b[k] = 0x0A
+        for k in range(4):
+            pos = int(rng.integers(0, len(b) - 10))
+            b[pos : pos + len(needle)] = needle
+        p.write_bytes(bytes(b))
+    ours = run_tpugrep(["-r", pat, str(tmp_path)])
+    theirs = subprocess.run(
+        [GREP, "-a", "-r", "-P", pat, str(tmp_path)], capture_output=True
+    ).stdout
+    assert sorted(ours.splitlines()) == sorted(theirs.splitlines())
