@@ -92,6 +92,15 @@ def _load():
             _ERR_CB,
             ctypes.c_void_p,
         ]
+    if lib.gt_abi_version() >= 3:
+        lib.gt_swalk.restype = ctypes.c_int
+        lib.gt_swalk.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            _WALK_CB,
+            _ERR_CB,
+            ctypes.c_void_p,
+        ]
     _lib = lib
     return lib
 
@@ -201,6 +210,39 @@ def walk_native_iter(
             t.join()
 
     return gen()
+
+
+def walk_names_native(
+    root: str,
+    on_error: Optional[Callable[[str, str], None]] = None,
+    workers: int = 8,
+) -> Optional[List[str]]:
+    """Structure-only parallel walk (gt_swalk): regular-file paths in
+    exactly the serial walker's order, classified by readdir d_type —
+    no per-file lstat. The multi-host phase-1 index walk
+    (parallel/hostrun.host_entries). Returns None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gt_swalk"):
+        return None
+    out: List[str] = []
+
+    @_WALK_CB
+    def cb(path, _size, _ud):
+        out.append(path.decode("utf-8", "surrogateescape"))
+
+    @_ERR_CB
+    def err(path, msg, _ud):
+        p = path.decode("utf-8", "surrogateescape")
+        m = msg.decode("utf-8", "replace")
+        if on_error:
+            on_error(p, m)
+        else:
+            print(f"{p}: {m}", file=sys.stderr)
+
+    lib.gt_swalk(
+        root.encode("utf-8", "surrogateescape"), max(1, workers), cb, err, None
+    )
+    return out
 
 
 def fill_native(

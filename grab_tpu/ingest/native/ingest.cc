@@ -154,8 +154,53 @@ static void pwalk_scan_dir(const std::string &dir, PDir &out,
   }
 }
 
-int gt_pwalk(const char *root, int32_t nthreads, gt_walk_cb cb,
-             gt_err_cb err_cb, void *ud) {
+// Structure-only variant: classify by readdir d_type (lstat only on
+// DT_UNKNOWN filesystems), sizes reported as -1. The multi-host
+// phase-1 walk assigns global file indices with this (no per-file
+// stat storm on every host); each host then lstats only its stripe
+// (parallel/hostrun.host_entries).
+static void swalk_scan_dir(const std::string &dir, PDir &out,
+                           std::vector<std::string> &subdirs) {
+  DIR *d = opendir(dir.c_str());
+  if (!d) {
+    out.open_error = true;
+    out.open_msg = strerror(errno);
+    return;
+  }
+  std::vector<std::pair<std::string, unsigned char>> names;
+  struct dirent *ent;
+  while ((ent = readdir(d)) != nullptr) {
+    if (strcmp(ent->d_name, ".") == 0 || strcmp(ent->d_name, "..") == 0)
+      continue;
+    names.emplace_back(ent->d_name, ent->d_type);
+  }
+  closedir(d);
+  std::sort(names.begin(), names.end());
+  struct stat st;
+  for (const auto &nv : names) {
+    const std::string &n = nv.first;
+    unsigned char t = nv.second;
+    std::string p = dir + "/" + n;
+    if (t == DT_UNKNOWN) {
+      if (lstat(p.c_str(), &st) < 0) {
+        out.ents.push_back({2, n, 0, strerror(errno)});
+        continue;
+      }
+      t = S_ISREG(st.st_mode) ? DT_REG : (S_ISDIR(st.st_mode) ? DT_DIR : DT_FIFO);
+    }
+    if (t == DT_REG) {
+      out.ents.push_back({0, n, -1, {}});
+    } else if (t == DT_DIR) {
+      out.ents.push_back({1, n, 0, {}});
+      subdirs.push_back(std::move(p));
+    }
+  }
+}
+
+static int pwalk_drive(const char *root, int32_t nthreads, gt_walk_cb cb,
+                       gt_err_cb err_cb, void *ud,
+                       void (*scan_fn)(const std::string &, PDir &,
+                                       std::vector<std::string> &)) {
   struct stat st;
   if (lstat(root, &st) < 0) {
     if (err_cb) err_cb(root, strerror(errno), ud);
@@ -187,7 +232,7 @@ int gt_pwalk(const char *root, int32_t nthreads, gt_walk_cb cb,
       lk.unlock();
       PDir res;
       std::vector<std::string> subdirs;
-      pwalk_scan_dir(dir, res, subdirs);
+      scan_fn(dir, res, subdirs);
       lk.lock();
       results.emplace(std::move(dir), std::move(res));
       for (auto &s : subdirs) queue.push_back(std::move(s));
@@ -235,6 +280,16 @@ int gt_pwalk(const char *root, int32_t nthreads, gt_walk_cb cb,
       stack.push_back(std::move(*sit));
   }
   return 0;
+}
+
+int gt_pwalk(const char *root, int32_t nthreads, gt_walk_cb cb,
+             gt_err_cb err_cb, void *ud) {
+  return pwalk_drive(root, nthreads, cb, err_cb, ud, pwalk_scan_dir);
+}
+
+int gt_swalk(const char *root, int32_t nthreads, gt_walk_cb cb,
+             gt_err_cb err_cb, void *ud) {
+  return pwalk_drive(root, nthreads, cb, err_cb, ud, swalk_scan_dir);
 }
 
 typedef struct {
@@ -315,6 +370,6 @@ int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
 }
 
 // Simple self-description for the loader's version handshake.
-int gt_abi_version(void) { return 2; }
+int gt_abi_version(void) { return 3; }
 
 }  // extern "C"

@@ -534,25 +534,26 @@ class StrideDfaScanner:
         return bm
 
     def flags_np(self, bm, n_blocks: int) -> np.ndarray:
-        """Transposed hit bitmap → linear candidate block flags."""
+        """Transposed hit bitmap → linear candidate block flags.
+        Fully vectorized — hit-dense corpora decode in numpy, not a
+        per-bit Python loop."""
         bm = np.asarray(bm).view(np.uint32)
         flags = np.zeros(n_blocks, dtype=np.int32)
         gr, c = np.nonzero(bm)
         if gr.size == 0:
             return flags
-        for row16, lane in zip(gr, c):
-            bits = int(bm[row16, lane])
-            base_row = row16 * 16
-            for b in range(16):
-                if not (bits >> b) & 1:
-                    continue
-                row = base_row + b  # g*128 + r
-                g, r = divmod(row, STREAM_ROWS)
-                s = r * LANES + lane
-                pos = s * self.stride + 4 * g  # linear byte of hit word
-                lo = max(0, (pos - self.probe_back) // BLOCK)
-                hi = min(n_blocks - 1, (pos + 4 + self.probe_fwd) // BLOCK)
-                if lo >= n_blocks:
-                    continue
-                flags[lo : hi + 1] = 1
+        bits = bm[gr, c]  # [K] uint32
+        sel = ((bits[:, None] >> np.arange(16, dtype=np.uint32)) & 1) != 0
+        rows = (gr[:, None] * 16 + np.arange(16))[sel]  # g*128 + r
+        lanes = np.broadcast_to(c[:, None], sel.shape)[sel]
+        g, r = np.divmod(rows, STREAM_ROWS)
+        pos = (r * LANES + lanes) * self.stride + 4 * g
+        lo = np.maximum(0, (pos - self.probe_back) // BLOCK)
+        hi = np.minimum(n_blocks - 1, (pos + 4 + self.probe_fwd) // BLOCK)
+        keep = lo < n_blocks
+        lo, hi = lo[keep], hi[keep]
+        span = int((hi - lo).max(initial=0))
+        for s_ in range(span + 1):
+            idx = lo + s_
+            flags[idx[idx <= hi]] = 1
         return flags

@@ -115,9 +115,14 @@ def host_entries(
     round-robin stripe (main.cc:94) applied to the stat phase, so H
     hosts do O(total/H) stats each instead of each statting the whole
     corpus. → ([(global_idx, path, size)], n_stats)."""
+    from grab_tpu.ingest.native import walk_names_native
+
+    names = walk_names_native(root, workers=8)
+    if names is None:
+        names = walk_names(root)
     mine: List[Tuple[int, str, int]] = []
     n_stats = 0
-    for gidx, path in enumerate(walk_names(root)):
+    for gidx, path in enumerate(names):
         if gidx % n_hosts != host:
             continue
         try:

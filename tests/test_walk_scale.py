@@ -144,3 +144,15 @@ def test_chunked_gather_multi_round_two_processes(tmp_path):
         out, err = p.communicate(timeout=150)
         assert p.returncode == 0, err.decode()[-2000:]
         assert b"GATHER_OK" in out
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_swalk_matches_walk_names(tmp_path):
+    """gt_swalk (structure-only parallel walk) emits exactly the
+    Python walk_names order — the multi-host phase-1 index walk."""
+    root = _tree(tmp_path)
+    os.symlink(str(root / "d001"), str(root / "d000" / "sym_dir"))
+    want = list(walk_names(str(root)))
+    for workers in (1, 4):
+        got = native.walk_names_native(str(root), workers=workers)
+        assert got == want, f"workers={workers}"
