@@ -494,8 +494,9 @@ class StrideDfaScanner:
             )
             converged = jnp.all(e_prev == e_cur)
             # non-convergence (adversarial): all-flags bitmap is sound —
-            # the exact replay verifies every candidate
-            bm = jnp.where(converged, bm, jnp.ones_like(bm))
+            # the exact replay verifies every candidate (-1 = every
+            # hit bit set, not integer 1)
+            bm = jnp.where(converged, bm, jnp.full_like(bm, -1))
             return bm, n, converged
 
         return run

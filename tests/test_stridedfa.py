@@ -272,3 +272,21 @@ def test_cls_mode_kernel_and_scanner():
     sc, flags = _scanner_flags(rb"[acegikmoqsuwy]{3}", buf, buf_size)
     assert sc.tables.mode == "cls"
     assert flags[0] == 1
+
+
+def test_threading_round_cap_falls_back_to_all_flags(monkeypatch):
+    """If the threading fixpoint hits MAX_ROUNDS without converging,
+    the scanner returns an all-flags bitmap — sound (the exact replay
+    verifies everything) rather than silently incomplete."""
+    from grab_tpu.ops import pallas_stridedfa as mod
+
+    monkeypatch.setattr(mod, "MAX_ROUNDS", 1)
+    buf_size = N_STREAMS * 32
+    buf = np.full(buf_size, ord(" "), dtype=np.uint8)
+    buf[50] = ord("a")
+    buf[51:77] = ord("7")
+    buf[77] = ord("b")  # needs round 2: entries != start after round 1
+    cp = _dfa(rb"a[0-9]*b")
+    sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=True)
+    flags = sc.flags_np(sc.packed(buf), buf_size // 512)
+    assert flags.sum() == buf_size // 512  # every block flagged
