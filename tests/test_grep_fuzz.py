@@ -1,0 +1,186 @@
+"""Fuzzed differential conformance vs GNU grep -P.
+
+The reference's conformance methodology is sorted-output identity with
+GNU grep on corpora where its documented caveats don't bite
+(/root/reference/README.md:209-216; lines < 512 bytes, first match per
+line). The fixed-pattern differentials pin known behaviors; this file
+*generates* patterns from a grammar that stays inside the comparable
+semantics (min match length >= 1, no capture groups — the PCRE1
+3-slot-ovector quirk, grab.cc:171-179 — no anchors, no dot) and checks
+every one against grep -P on a corpus with planted samples.
+
+Deterministic: seeds are fixed, failures print the pattern + seed.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from grab_tpu import cli
+
+GREP = shutil.which("grep")
+
+
+def _grep_has_pcre():
+    if GREP is None:
+        return False
+    r = subprocess.run(
+        [GREP, "-P", "a", "-"], input=b"a\n", capture_output=True
+    )
+    return r.returncode == 0
+
+
+HAS_PCRE = _grep_has_pcre()
+
+LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def gen_unit(rng):
+    """→ (regex fragment, sampler(rng) -> str) with min length >= 1."""
+    kind = rng.integers(0, 4)
+    if kind == 0:  # literal run
+        k = int(rng.integers(1, 4))
+        s = "".join(rng.choice(list(LETTERS), k))
+        return s, (lambda rng, s=s: s)
+    if kind == 1:  # contiguous class [a-f]
+        lo = int(rng.integers(0, 20))
+        hi = lo + int(rng.integers(1, 6))
+        cls = LETTERS[lo : hi + 1]
+        frag = f"[{cls[0]}-{cls[-1]}]"
+        return frag, (lambda rng, cls=cls: str(rng.choice(list(cls))))
+    if kind == 2:  # explicit set [mnq]
+        chars = sorted(set(rng.choice(list(LETTERS), 3)))
+        frag = "[" + "".join(chars) + "]"
+        return frag, (lambda rng, chars=chars: str(rng.choice(chars)))
+    return r"\d", (lambda rng: str(rng.integers(0, 10)))
+
+
+def gen_quant(rng, frag, sample):
+    q = rng.integers(0, 4)
+    if q == 0:
+        return frag, sample
+    if q == 1:
+        return frag + "+", (
+            lambda rng: "".join(
+                sample(rng) for _ in range(int(rng.integers(1, 4)))
+            )
+        )
+    if q == 2:
+        n = int(rng.integers(2, 4))
+        return frag + "{%d}" % n, (
+            lambda rng, n=n: "".join(sample(rng) for _ in range(n))
+        )
+    lo = 1
+    hi = int(rng.integers(2, 5))
+    return frag + "{%d,%d}" % (lo, hi), (
+        lambda rng, hi=hi: "".join(
+            sample(rng) for _ in range(int(rng.integers(1, hi + 1)))
+        )
+    )
+
+
+def gen_concat(rng, n_units):
+    frags, samplers = [], []
+    for _ in range(n_units):
+        f, s = gen_unit(rng)
+        f, s = gen_quant(rng, f, s)
+        frags.append(f)
+        samplers.append(s)
+    return "".join(frags), (
+        lambda rng, ss=tuple(samplers): "".join(s(rng) for s in ss)
+    )
+
+
+def gen_pattern(rng):
+    """Concat of 2-4 quantified units; sometimes a non-capturing
+    alternation of two concats (capturing groups excluded: PCRE1
+    quirk)."""
+    if rng.integers(0, 3) == 0:
+        a_f, a_s = gen_concat(rng, int(rng.integers(1, 3)))
+        b_f, b_s = gen_concat(rng, int(rng.integers(1, 3)))
+        t_f, t_s = gen_concat(rng, 1)
+        frag = f"(?:{a_f}|{b_f}){t_f}"
+
+        def sample(rng, a_s=a_s, b_s=b_s, t_s=t_s):
+            head = a_s(rng) if rng.integers(0, 2) == 0 else b_s(rng)
+            return head + t_s(rng)
+
+        return frag, sample
+    return gen_concat(rng, int(rng.integers(2, 5)))
+
+
+def build_fuzz_tree(root, rng, sampler):
+    os.makedirs(root, exist_ok=True)
+    alpha = np.frombuffer(
+        (LETTERS + LETTERS.upper() + "0123456789 .,;:-_/").encode(), np.uint8
+    )
+    for i in range(3):
+        n = 24_000 + 3000 * i
+        b = bytearray(rng.choice(alpha, size=n).tobytes())
+        for k in range(0, n, 80):
+            b[k] = 0x0A
+        for _ in range(6):
+            s = sampler(rng).encode()
+            if len(s) >= n - 1:
+                continue
+            pos = int(rng.integers(0, n - len(s)))
+            b[pos : pos + len(s)] = s
+        (root / f"f{i}.txt").write_bytes(bytes(b))
+
+
+def run_tpugrep(args):
+    out = []
+
+    class W:
+        @staticmethod
+        def write(b):
+            out.append(b)
+
+        @staticmethod
+        def flush():
+            pass
+
+    rc = cli.main(args, out=W(), err=sys.stderr)
+    assert rc == 0
+    return b"".join(out)
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize("seed", range(200, 224))
+def test_fuzz_differential_vs_grep(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    pat, sampler = gen_pattern(rng)
+    build_fuzz_tree(tmp_path, rng, sampler)
+    ours = run_tpugrep(["-r", pat, str(tmp_path)])
+    env = dict(os.environ, LC_ALL="C")
+    theirs = subprocess.run(
+        [GREP, "-a", "-r", "-P", pat, str(tmp_path)],
+        capture_output=True,
+        env=env,
+    ).stdout
+    assert sorted(ours.splitlines()) == sorted(theirs.splitlines()), (
+        f"seed={seed} pattern={pat!r}"
+    )
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize("seed", range(300, 306))
+def test_fuzz_differential_literal_mode(tmp_path, seed):
+    """-S literal mode vs grep -F (fixed string)."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(3, 12))
+    lit = "".join(rng.choice(list(LETTERS + "0123456789_."), k))
+    build_fuzz_tree(tmp_path, rng, lambda rng, lit=lit: lit)
+    ours = run_tpugrep(["-r", "-S", lit, str(tmp_path)])
+    theirs = subprocess.run(
+        [GREP, "-a", "-r", "-F", lit, str(tmp_path)],
+        capture_output=True,
+        env=dict(os.environ, LC_ALL="C"),
+    ).stdout
+    assert sorted(ours.splitlines()) == sorted(theirs.splitlines()), (
+        f"seed={seed} literal={lit!r}"
+    )
