@@ -41,6 +41,12 @@ class CompiledPattern:
     alpha_plan: Optional[tuple]  # ((lo, hi) byte ranges, run length):
     # mandatory class-run prefilter plan for factor-less patterns —
     # works even without a DFA (regex/alphabet.py + ops/pallas_alpharun)
+    seq_dfa: Optional[DFA]  # union automaton over ONLY the patterns
+    # routed to class_seqs: when stride-eligible, the ensemble serves
+    # all of them with one k-byte-strided gather per word instead of
+    # per-(seq, phase) range-test AND chains (ops/pallas_stridedfa)
+    seq_max_len: Optional[int]  # max match length over seq-routed
+    # patterns; None if any unbounded
     has_captures: bool
     needs_verify: bool  # device candidates are a superset → host must verify
     literal_mode: bool  # compiled via -S (plain literals, no regex parse)
@@ -94,6 +100,7 @@ def compile_multi(
     # device prefilter be trusted as a superset.
     lits: Optional[List[bytes]] = []
     class_seqs: Optional[List[tuple]] = []
+    seq_asts: List[A.Node] = []
     covered = True
     for t in asts:
         l = A.mandatory_literals(t)
@@ -103,12 +110,14 @@ def compile_multi(
         s = A.prefix_class_sequences(t, 8)
         if s:
             class_seqs.extend(s)
+            seq_asts.append(t)
             continue
         if l:
             # weak/tiny factors and no sequences: a literal IS a class
             # sequence of singleton classes — route it there so the
             # literal kernels only ever see len >= 3 alternatives
             class_seqs.extend(tuple(1 << b for b in x[:8]) for x in l)
+            seq_asts.append(t)
             continue
         covered = False
     lits = sorted(set(lits)) or None
@@ -117,6 +126,25 @@ def compile_multi(
     class_seqs = sorted(set(class_seqs)) or None
     if class_seqs is not None and len(class_seqs) > 32:
         class_seqs, covered = None, False
+
+    # union automaton of just the seq-routed patterns (candidate
+    # generator for the ensemble's seq member — same superset trust as
+    # the whole-batch dfa; exactness still host-verified per pattern)
+    seq_dfa: Optional[DFA] = None
+    seq_max_len: Optional[int] = 0
+    if seq_asts and class_seqs:
+        try:
+            seq_dfa = build_dfa(seq_asts, unanchored=True, state_cap=1024)
+        except (NotAutomatable, DFABlowup):
+            seq_dfa = None
+        for t in seq_asts:
+            m = A.max_len(t)
+            seq_max_len = (
+                None if (m is None or seq_max_len is None)
+                else max(seq_max_len, m)
+            )
+    else:
+        seq_max_len = None
 
     alpha_plan: Optional[tuple] = None
     if not covered:
@@ -147,6 +175,8 @@ def compile_multi(
         class_seqs=class_seqs,
         covered=covered,
         alpha_plan=alpha_plan,
+        seq_dfa=seq_dfa,
+        seq_max_len=seq_max_len,
         has_captures=caps,
         needs_verify=needs_verify,
         literal_mode=literal_mode,

@@ -20,6 +20,54 @@ CANDIDATE_BLOCK = 512
 HALO = 0x1000  # reference overlap (grab.cc:151)
 MAX_KERNEL_LITERALS = 16  # beyond this, fold into a union class sequence
 
+
+class _StrideSeqMember:
+    """Ensemble member serving ALL seq-routed patterns with one union
+    strided-DFA walk (ops/pallas_stridedfa) instead of per-(seq, phase)
+    range-test AND chains.
+
+    The class-seq member's cost is ~sum of sequence lengths x 4 phases
+    of whole-tile ANDs per word — the VPU op count, not HBM, bounds the
+    ensemble (measured: a 10-seq batch drags the fused kernel to
+    ~37 GB/s). The union automaton walks the same corpus with ONE
+    transition gather per k bytes regardless of how many sequences it
+    absorbs, and its hits are exact union match ENDS — a tighter
+    candidate set than prefix-sequence starts. Host verify per pattern
+    is unchanged (same superset contract).
+
+    Same (total, packed) / flags_np contract as the word-kernel
+    members; the packed payload is the stride scanner's transposed hit
+    bitmap, flattened (rank-1) so the sharded path's out-specs hold.
+    """
+
+    def __init__(self, dfa, max_len, buf_size: int, interpret: bool):
+        from grab_tpu.ops.pallas_corewords import LANES
+        from grab_tpu.ops.pallas_stridedfa import StrideDfaScanner
+
+        self.sc = StrideDfaScanner(dfa, max_len, buf_size, interpret=interpret)
+        assert self.sc.halo_mode  # bounded patterns only (single pass)
+        self._lanes = LANES
+        self.rows = buf_size // (4 * LANES)
+        from grab_tpu.ops.pallas_stridedfa import N_STREAMS
+
+        self.need_w = N_STREAMS * self.sc.stride // 4
+
+    def packed(self, words2d):  # int32 [rows + PAD_ROWS, 128] on device
+        import jax.numpy as jnp
+
+        words = words2d[: self.rows].reshape(-1)
+        pad = self.need_w - words.shape[0]
+        if pad > 0:
+            words = jnp.concatenate([words, jnp.zeros((pad,), jnp.int32)])
+        bm, _n, _conv = self.sc.traceable_run(words)
+        return jnp.count_nonzero(bm).astype(jnp.int32), bm.reshape(-1)
+
+    def flags_np(self, pk, n_blocks: int):
+        import numpy as np
+
+        bm = np.asarray(pk).reshape(-1, self._lanes)
+        return self.sc.flags_np(bm, n_blocks)
+
 _cache_enabled = False
 
 
@@ -99,6 +147,8 @@ class DeviceScanner:
             self.mode = "literal"
             self._literals = [bytes(l) for l in cp.literals]
             self._seqs = None
+            self._seq_dfa = getattr(cp, "seq_dfa", None)
+            self._seq_max_len = getattr(cp, "seq_max_len", None)
             if cp.class_seqs:
                 from grab_tpu.ops.class_prefilter import compile_sequences
 
@@ -108,6 +158,8 @@ class DeviceScanner:
             from grab_tpu.ops.class_prefilter import compile_sequences
 
             self._seqs = compile_sequences(cp.class_seqs)
+            self._seq_dfa = getattr(cp, "seq_dfa", None)
+            self._seq_max_len = getattr(cp, "seq_max_len", None)
         elif cp.dfa is not None and cp.dfa.n_states <= 2048:
             self.mode = "dfa"
             self._dfa = cp.dfa
@@ -136,6 +188,37 @@ class DeviceScanner:
         from grab_tpu.ops.pallas_alpharun import alpharun_eligible
 
         return plan is not None and alpharun_eligible(plan[0], plan[1])
+
+    def _seq_scanner(self, tile_rows: int):
+        """The ensemble member serving the seq-routed patterns: the
+        union strided-DFA (_StrideSeqMember) when the subset automaton
+        is bounded and stride-eligible — cost independent of how many
+        sequences it absorbs — else the word-packed range-test kernel
+        (K-seq-linear VPU cost)."""
+        import os as _os
+
+        from grab_tpu.ops.pallas_classseq import ClassSeqScanner
+        from grab_tpu.ops.pallas_stridedfa import (
+            HALO as S_HALO,
+            stride_plan,
+        )
+
+        sd = getattr(self, "_seq_dfa", None)
+        sml = getattr(self, "_seq_max_len", None)
+        if (
+            sd is not None
+            and sml is not None
+            and sml <= S_HALO - 8
+            and self.buf_size >= (1 << 20)
+            and stride_plan(sd) is not None
+            and _os.environ.get("GRAB_TPU_NO_SEQDFA") != "1"
+        ):
+            return _StrideSeqMember(
+                sd, sml, self.buf_size, self._interpret
+            )
+        return ClassSeqScanner(
+            self._seqs, tile_rows=tile_rows, interpret=self._interpret
+        )
 
     def _build(self):
         import jax
@@ -231,6 +314,12 @@ class DeviceScanner:
             tile_rows = min(2048, self.buf_size // self.block)
             import os as _os
 
+            # seq-routed patterns: union stride-DFA member when
+            # eligible (cost independent of seq count), else they stay
+            # inside the fused kernel / classseq member
+            seq_member = self._seq_scanner(tile_rows) if self._seqs else None
+            stride_seq = isinstance(seq_member, _StrideSeqMember)
+
             if _os.environ.get("GRAB_TPU_NO_FUSED") != "1":
                 # single-pass ensemble: every member's test in ONE
                 # kernel, corpus read from HBM once (round-2 ran one
@@ -240,13 +329,16 @@ class DeviceScanner:
 
                 fsc = FusedEnsembleScanner(
                     self._literals,
-                    self._seqs,
+                    None if stride_seq else self._seqs,
                     tile_rows=tile_rows,
                     interpret=self._interpret,
                 )
-                if fsc.n_members >= 2:
-                    self._cw_list = [fsc]
-                    return lambda words2d: [fsc.packed(words2d)]
+                if fsc.n_members >= 2 or (fsc.n_members >= 1 and stride_seq):
+                    scanners = [fsc] + ([seq_member] if stride_seq else [])
+                    self._cw_list = scanners
+                    return lambda words2d: [
+                        s.packed(words2d) for s in scanners
+                    ]
             longs = [l for l in self._literals if len(l) >= 7]
             shorts = [l for l in self._literals if len(l) < 7]
             scanners = []
@@ -266,28 +358,17 @@ class DeviceScanner:
                         interpret=self._interpret,
                     )
                 )
-            if self._seqs:
-                from grab_tpu.ops.pallas_classseq import ClassSeqScanner
-
-                scanners.append(
-                    ClassSeqScanner(
-                        self._seqs,
-                        tile_rows=tile_rows,
-                        interpret=self._interpret,
-                    )
-                )
+            if seq_member is not None:
+                scanners.append(seq_member)
             self._cw_list = scanners
             return lambda words2d: [s.packed(words2d) for s in scanners]
 
-        # class sequences: word-packed range-test kernel, same output
-        # geometry/decode as the literal kernels (ops/pallas_classseq)
-        from grab_tpu.ops.pallas_classseq import ClassSeqScanner
-
+        # class sequences: union stride-DFA when eligible, else the
+        # word-packed range-test kernel — same output geometry/decode
+        # contract either way (_seq_scanner)
         self._input_words = True
         tile_rows = min(2048, self.buf_size // self.block)
-        sc = ClassSeqScanner(
-            self._seqs, tile_rows=tile_rows, interpret=self._interpret
-        )
+        sc = self._seq_scanner(tile_rows)
         self._cw_list = [sc]
         return lambda words2d: [sc.packed(words2d)]
 

@@ -111,9 +111,16 @@ def test_engine_fused_identical_to_split(monkeypatch):
         out = []
         eng.scan_data("f.txt", payload, out.append)
         if not no_fused:
+            # fused literal kernel + (round 3) the union stride-DFA
+            # member serving the seq-routed regex
+            from grab_tpu.scan_pipeline import _StrideSeqMember
+
             sc = eng._get_scanner()
-            assert len(sc._cw_list) == 1
             assert isinstance(sc._cw_list[0], FusedEnsembleScanner)
+            assert all(
+                isinstance(s, (FusedEnsembleScanner, _StrideSeqMember))
+                for s in sc._cw_list
+            )
         return b"".join(out)
 
     fused = run(False)

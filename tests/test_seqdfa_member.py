@@ -1,0 +1,141 @@
+"""The union stride-DFA ensemble member (round 3): seq-routed patterns
+served by ONE k-byte-strided automaton walk instead of per-(seq, phase)
+range-test AND chains (scan_pipeline._StrideSeqMember).
+
+Contract pinned here:
+  * the compiler's seq-subset automaton (seq_dfa/seq_max_len) exists
+    exactly when patterns route to class sequences;
+  * member flags are a sound candidate superset (every planted match
+    covered) and TIGHTER than the class-seq prefilter's prefix flags;
+  * engine output is byte-identical with the member on and off, single
+    and sharded.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grab_tpu.regex.compiler import compile_multi
+from grab_tpu.scan_pipeline import DeviceScanner, _StrideSeqMember
+
+PATS = [
+    ("[0-9]{%d}[a-z]{%d}" % (3 + i % 3, 1 + i % 2)).encode()
+    for i in range(10)
+] + [b"needle_%d" % i for i in range(5)]
+
+
+def test_compiler_seq_subset_fields():
+    cp = compile_multi(PATS)
+    assert cp.seq_dfa is not None
+    assert cp.seq_max_len == 7
+    assert cp.literals and cp.class_seqs
+    # literal-only batch: no seq subset
+    cp2 = compile_multi([b"foo[a-z]+bar"])
+    assert cp2.seq_dfa is None and cp2.seq_max_len is None
+    # unbounded seq-routed pattern: automaton exists, max_len None
+    cp3 = compile_multi([b"[a-z]+[0-9]+[a-z]+"])
+    assert cp3.seq_dfa is not None and cp3.seq_max_len is None
+
+
+def _plant(buf, plants):
+    for pos, s in plants:
+        buf[pos : pos + len(s)] = np.frombuffer(s, np.uint8)
+
+
+PLANTS = [
+    (1000, b"12345ab"),
+    (50000, b"999xy"),
+    (100000, b"needle_3"),
+    ((2 << 20) - 600, b"1234a"),
+]
+
+
+def _flags(monkeypatch, no_seqdfa):
+    if no_seqdfa:
+        monkeypatch.setenv("GRAB_TPU_NO_SEQDFA", "1")
+    else:
+        monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+    cp = compile_multi(PATS)
+    sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
+    rng = np.random.default_rng(5)
+    buf = rng.integers(65, 91, size=(2 << 20) + 32 * 512, dtype=np.uint8)
+    _plant(buf, PLANTS)
+    return sc, sc.scan(buf)
+
+
+def test_member_flags_sound_and_tighter(monkeypatch):
+    sc, flags = _flags(monkeypatch, no_seqdfa=False)
+    assert any(isinstance(s, _StrideSeqMember) for s in sc._cw_list)
+    hit = set(np.nonzero(flags)[0])
+    for pos, s in PLANTS:
+        span = range(pos // 512, (pos + len(s)) // 512 + 1)
+        assert any(b in hit for b in span), (pos, s)
+    sc2, flags2 = _flags(monkeypatch, no_seqdfa=True)
+    assert not any(isinstance(s, _StrideSeqMember) for s in sc2._cw_list)
+    hit2 = set(np.nonzero(flags2)[0])
+    for pos, s in PLANTS:
+        span = range(pos // 512, (pos + len(s)) // 512 + 1)
+        assert any(b in hit2 for b in span), (pos, s)
+    # exact match-end candidates are never looser than prefix starts
+    assert len(hit) <= len(hit2)
+
+
+def test_pure_seq_mode_uses_stride_member(monkeypatch):
+    monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+    cp = compile_multi([rb"[0-9]{4}-[0-9]{2}-[0-9]{2}"])
+    sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
+    assert sc.mode == "class_seq"
+    assert isinstance(sc._cw_list[0], _StrideSeqMember)
+    rng = np.random.default_rng(8)
+    buf = rng.integers(65, 91, size=(2 << 20) + 32 * 512, dtype=np.uint8)
+    _plant(buf, [(7777, b"2026-08-21"), (1 << 20, b"1999-01-02")])
+    flags = sc.scan(buf)
+    hit = set(np.nonzero(flags)[0])
+    assert any(b in hit for b in (7777 // 512, (7777 + 10) // 512))
+    assert any(b in hit for b in ((1 << 20) // 512, ((1 << 20) + 10) // 512))
+
+
+def test_unbounded_seq_keeps_classseq(monkeypatch):
+    monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+    cp = compile_multi([rb"[a-z]+[0-9]+[a-z]+"])
+    sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
+    assert not any(isinstance(s, _StrideSeqMember) for s in sc._cw_list)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_engine_identity_with_member(monkeypatch, n_shards):
+    from grab_tpu.engine import Engine, EngineConfig
+    from grab_tpu.format.emitter import OutputConfig
+
+    rng = np.random.default_rng(9)
+    corpus = []
+    for i in range(6):
+        data = bytearray(rng.integers(65, 91, size=120_000, dtype=np.uint8))
+        for p in range(0, len(data), 97):
+            data[p] = 0x0A
+        data[500:505] = b"123ab"
+        data[7000:7008] = b"needle_2"
+        data[30000 + i : 30005 + i] = b"4567q"
+        corpus.append((f"mem://f{i}", bytes(data)))
+
+    def run(no_seqdfa):
+        if no_seqdfa:
+            monkeypatch.setenv("GRAB_TPU_NO_SEQDFA", "1")
+        else:
+            monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+        cfg = EngineConfig(
+            output=OutputConfig(recursive=True),
+            scan_buf_size=2 << 20,
+            n_shards=n_shards,
+            pallas_interpret=True,
+        )
+        eng = Engine(PATS, cfg)
+        out = bytearray()
+        eng.scan_corpus(iter(corpus), out.extend)
+        return bytes(out)
+
+    with_member = run(False)
+    without = run(True)
+    assert with_member == without
+    assert with_member.count(b"\n") >= 12
