@@ -58,6 +58,28 @@ def chip_roofline() -> float:
     return HBM_BW["v5e"]
 
 
+def device_corpus_words(rows: int, pad_rows: int, seed: int = 42):
+    """Miss-heavy text corpus generated ON DEVICE: int32 words
+    [rows + pad_rows, 128] of lowercase-letter bytes (+ zero padding
+    rows). No host→device transfer beyond the PRNG key."""
+    import jax
+    import jax.numpy as jnp
+
+    from grab_tpu.ops.pallas_corewords import LANES
+
+    @jax.jit
+    def gen(key):
+        b = jax.random.randint(
+            key, (rows, LANES, 4), 97, 123, dtype=jnp.uint8
+        )
+        w = jax.lax.bitcast_convert_type(b, jnp.int32)
+        return jnp.concatenate(
+            [w, jnp.zeros((pad_rows, LANES), jnp.int32)]
+        )
+
+    return gen(jax.random.PRNGKey(seed))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,8 +99,13 @@ def main():
     n = n_mb << 20
     print(f"bench: backend={jax.default_backend()} n={n_mb}MB", file=sys.stderr)
     rng = np.random.default_rng(42)
-    # text-like corpus; literal "qZx9kWv3" never planted → full scan, 0 hits
-    buf = rng.integers(97, 123, size=n, dtype=np.uint8)
+    # text-like corpus (lowercase letters); the literal "qZx9kWv3"
+    # contains bytes outside [a, z] → full scan, 0 hits. On TPU the
+    # corpus is GENERATED ON DEVICE: this environment's host↔device
+    # tunnel runs ~30 MB/s, so uploading GBs dominated warmup (the r2
+    # 478 s regression was upload + cold compiles; the compile cache
+    # fixed the latter, this fixes the former). The zero-total assert
+    # keeps the measurement honest regardless of how bytes got there.
     literal = b"qZx9kWv3"
 
     if not on_tpu:
@@ -86,6 +113,7 @@ def main():
         from grab_tpu.ops.dfa_scan import bitmap_block_counts
         from grab_tpu.ops.literal_scan import literal_matrix, literal_scan_bitmap
 
+        buf = rng.integers(97, 123, size=n, dtype=np.uint8)
         data = jax.device_put(jnp.asarray(buf))
         data.block_until_ready()
         mat, lens = literal_matrix([literal])
@@ -106,10 +134,7 @@ def main():
     else:
         sc = CoreWordScanner([literal], tile_rows=2048)
         t = sc.tests
-        w2 = np.concatenate(
-            [buf.view("<i4").reshape(-1, LANES), np.zeros((PAD_ROWS, LANES), "<i4")]
-        )
-        words2d = jax.device_put(jnp.asarray(np.ascontiguousarray(w2)))
+        words2d = device_corpus_words(n // (4 * LANES), PAD_ROWS, seed=42)
         words2d.block_until_ready()
 
         # K distinct tables (same values; runtime data, so no CSE)
@@ -192,13 +217,12 @@ def secondary_metrics():
     from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
 
     n = 256 << 20
-    rng = np.random.default_rng(7)
-    buf = rng.integers(97, 123, size=n, dtype=np.uint8)  # letters: all-miss
+    rng = np.random.default_rng(7)  # host rng: pattern generation only
     rows = n // (4 * LANES)
-    w = np.concatenate(
-        [buf.view("<i4").reshape(rows, LANES), np.zeros((PAD_ROWS, LANES), "<i4")]
-    )
-    stack = make_stack(w, 8)  # 2 GB HBM: 4-scan difference per timing
+    # letters-only corpus generated on device: all-miss for every
+    # pattern below, no GBs through the tunnel (see main)
+    w = device_corpus_words(rows, PAD_ROWS, seed=7)
+    stack = make_stack(w, 12)  # 3 GB HBM: 6-scan difference per timing
 
     def emit(metric, dt):
         print(
@@ -231,25 +255,36 @@ def secondary_metrics():
         measure(lambda x: classseq_word_bitmap(x, seqs), stack),
     )
 
-    # fused ensemble: BASELINE config 4's 100-literal + 10-regex batch
-    # as ONE single-pass kernel (ops/pallas_fused) — round 2 ran one
-    # program per member (~63 GB/s effective; VERDICT r2 weak item 1)
+    # BASELINE config 4's 100-literal + 10-regex ensemble, round-3
+    # architecture: literals in ONE fused single-pass kernel
+    # (ops/pallas_fused: bloom + compare buckets) + ALL regexes in ONE
+    # union strided-DFA member (scan_pipeline._StrideSeqMember,
+    # includes its on-device transpose). The round-2 split programs ran
+    # ~63 GB/s effective; folding the 10 seqs into the fused kernel was
+    # WORSE (~37 GB/s — the per-(seq, phase) AND chains made the
+    # ensemble VPU-op-bound), so the seqs moved to the automaton: cost
+    # independent of seq count.
     from grab_tpu.ops.pallas_fused import FusedEnsembleScanner
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import _StrideSeqMember
 
     lits100 = [
         bytes(rng.integers(33, 127, 9, np.uint8).tobytes()) for _ in range(96)
     ] + [b"qZxW", b"kV9#p", b"a_Qz", b"T4$u"]
-    seqs10 = compile_sequences(
-        [
-            tuple([digit] * (3 + i % 3) + [lower] * (1 + i % 2))
-            for i in range(10)
-        ]
-    )
-    fsc = FusedEnsembleScanner(lits100, seqs10, tile_rows=1024)
-    emit(
-        "fused_ensemble_bytes_per_sec",
-        measure(lambda x: fsc.bitmap(x), stack),
-    )
+    fsc = FusedEnsembleScanner(lits100, None, tile_rows=1024)
+    dt_f = measure(lambda x: fsc.bitmap(x), stack)
+    emit("fused_lits100_bytes_per_sec", dt_f)
+
+    regex10 = [
+        ("[0-9]{%d}[a-z]{%d}" % (3 + i % 3, 1 + i % 2)).encode()
+        for i in range(10)
+    ]
+    cpseq = compile_multi(regex10)
+    assert cpseq.seq_dfa is not None and cpseq.seq_max_len is not None
+    member = _StrideSeqMember(cpseq.seq_dfa, cpseq.seq_max_len, n, False)
+    dt_s = measure(lambda x: member.packed(x)[0], stack)
+    emit("seqdfa10_bytes_per_sec", dt_s)
+    emit("ensemble110_effective_bytes_per_sec", dt_f + dt_s)
 
     # alphabet-run: digits, run >= 11
     from grab_tpu.ops.pallas_alpharun import alpharun_word_bitmap, plan_for
@@ -280,8 +315,7 @@ def secondary_metrics():
     from grab_tpu.regex.compiler import compile_multi
 
     g_rows = (rows // (STREAM_ROWS * W)) * STREAM_ROWS * W
-    gw = np.ascontiguousarray(w[:g_rows])
-    gstack = make_stack(gw, 8)
+    gstack = make_stack(w[:g_rows], 12)  # device slice: no host copy
     g_bytes = g_rows * 4 * LANES
 
     def emit_g(metric, dt):

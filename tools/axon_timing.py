@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def make_stack(buf_np: np.ndarray, k: int):
+def make_stack(buf, k: int):
     """K distinct salted copies of an int32 word buffer, staged to
     device as SEPARATE arrays. Separate arrays matter: a [K, ...]
     stacked array walked by ``lax.scan`` materializes a full slice
@@ -30,14 +30,17 @@ def make_stack(buf_np: np.ndarray, k: int):
     traffic, which deflated fast-kernel measurements by 1.3-1.6x
     (caught in round 2 when the same kernel measured 132 GB/s under
     the table-chained protocol and 98 GB/s under the old stack scan).
+
+    ``buf`` may be a numpy array (uploaded once) or an already-device
+    array (e.g. generated on device): salting always happens ON DEVICE
+    so the tunnel carries at most one copy, not K.
     """
     import jax
     import jax.numpy as jnp
 
-    bufs = []
-    for i in range(k):
-        salted = np.add(buf_np, i + 1, casting="unsafe", dtype=buf_np.dtype)
-        bufs.append(jax.device_put(jnp.asarray(salted)))
+    base = buf if isinstance(buf, jax.Array) else jax.device_put(jnp.asarray(buf))
+    salt = jax.jit(lambda b, s: b + s)
+    bufs = [salt(base, jnp.asarray(i + 1, base.dtype)) for i in range(k)]
     for b in bufs:
         b.block_until_ready()
     return tuple(bufs)
@@ -69,10 +72,19 @@ def _timed_fetch(f, bufs, reps: int) -> float:
     return best
 
 
-def measure(fn, stack, reps: int = 3) -> float:
+def measure(fn, stack, reps: int = 5) -> float:
     """Seconds per fn() call, with dispatch overhead differenced out.
 
     ``stack``: tuple of K distinct device buffers (make_stack), K even.
+
+    The K/2-scan difference is the signal; the ~20 ms round-trip and
+    its +-1-2 ms jitter are the noise. For fast kernels on small
+    buffers the signal can approach the jitter — if the measured
+    difference is under 20% of the full time (differencing unreliable:
+    concurrent load or a too-fast kernel), fall back to attributing
+    t_full minus the measured empty-dispatch overhead, which
+    underestimates speed rather than printing roofline-violating
+    numbers.
     """
     k = len(stack)
     assert k >= 2 and k % 2 == 0
@@ -82,7 +94,11 @@ def measure(fn, stack, reps: int = 3) -> float:
     half = stack[: k // 2]
     int(f(*half))
     t_half = _timed_fetch(f, half, reps)
-    return max(t_full - t_half, 1e-9) / (k - k // 2)
+    diff = t_full - t_half
+    if diff < 0.2 * t_full:
+        base = overhead(stack, reps)
+        return max(t_full - base, 1e-9) / k
+    return diff / (k - k // 2)
 
 
 def overhead(stack, reps: int = 3) -> float:

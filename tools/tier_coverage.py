@@ -1,0 +1,158 @@
+"""Device-tier coverage report over a realistic pattern battery.
+
+For each pattern, builds the REAL scan pipeline (Pallas planning path,
+interpret mode — no TPU needed) and reports which device tier serves
+it: literal corewords/bloom, class-seq, alpharun, strided-DFA (and its
+plan/k), gather-DFA, or the jnp/host fallback. This is the evidence
+that the round-2 eligibility cliff (max_len <= 120, states*runs <= 512,
+else "~1000x slower") is gone: every regular pattern of production
+shape lands on a memory-bandwidth tier.
+
+Usage: python tools/tier_coverage.py [--buf-size BYTES]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATTERY = [
+    # literals and literal ensembles
+    rb"include",
+    rb"TODO|FIXME|XXX",
+    rb"static_cast",
+    # factor-ful regexes (literal prefilter + verify)
+    rb"foo[a-z]+bar",
+    rb"error: [0-9]+",
+    rb"linus",
+    rb"lin[a-z]s",
+    rb"l[imn]nus[0-9]",
+    # bounded classes / identifiers
+    rb"[A-Za-z_][A-Za-z0-9_]{7}",
+    rb"[0-9]{5}",
+    rb"[0-9]{50}",
+    rb"[0-9a-f]{32}",
+    rb"[A-Z]{3}[0-9]{4}",
+    # dates / times / ips
+    rb"[0-9]{4}-[0-9]{2}-[0-9]{2}",
+    rb"[0-9]{2}:[0-9]{2}:[0-9]{2}",
+    rb"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # emails / urls (factor-ful)
+    rb"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,6}",
+    rb"https?://[a-zA-Z0-9./_-]+",
+    # unbounded repetition, factor-less
+    rb"[a-z]+[0-9]+[a-z]+",
+    rb"[0-9]+\.[0-9]+",
+    rb"[a-z]*z[a-z]*q",
+    # alternations
+    rb"(?:cat|dog|bird)s?",
+    rb"wa(?:rn|tch)(?:ing)?",
+    # fragmented class maps
+    rb"[acegikmoqsuwy]{3}",
+    rb"[aeiou][bcdfg][hjkl]",
+    # escapes / perl classes
+    rb"\w+\s+\w+",
+    rb"\d+/\d+",
+    rb"\bword\b",
+    # case-insensitive via inline flag
+    rb"(?i)segfault",
+    # backreference (not DFA-able: host verify path)
+    rb"(a+)b\1",
+    # lookahead (host verify path)
+    rb"foo(?=bar)",
+]
+
+
+def classify(pat: bytes, buf_size: int):
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import DeviceScanner
+
+    cp = compile_multi([pat])
+    try:
+        sc = DeviceScanner(cp, buf_size=buf_size, pallas_interpret=True)
+    except ValueError:
+        return ("host-only", "no device-scannable form")
+    d = ""
+    mode = sc.mode
+    if mode == "literal":
+        n = len(sc._literals)
+        d = f"{n} literal(s)" + (" + class-seq" if sc._seqs else "")
+    elif mode == "class_seq":
+        d = f"{len(cp.class_seqs)} seq(s)"
+    elif mode == "alpha":
+        ranges, runlen = sc._alpha_plan
+        d = f"ranges={ranges} run>={runlen}"
+    elif mode == "gdfa":
+        g = sc._gdfa
+        t = getattr(g, "tables", None)
+        if t is not None and hasattr(t, "mode"):  # stride scanner
+            mode = "stride-dfa"
+            d = (
+                f"plan=({t.mode},{t.k}) states={t.n_states} m={t.m} "
+                f"{'halo' if g.halo_mode else 'threaded'}"
+            )
+        else:
+            mode = "gather-dfa"
+    elif mode == "dfa":
+        d = f"jnp walk: states={cp.dfa.n_states}"
+    return (mode, d)
+
+
+def exact_tier(pat: bytes):
+    """How -E exact mode serves this pattern (engine._device_usable:
+    covered plans keep the prefilter+replay device path — trigger
+    windows fit the packer halo; uncovered unbounded patterns need the
+    strided-DFA kernel's cross-stream state threading)."""
+    from grab_tpu.ops.pallas_stridedfa import HALO, stride_plan
+    from grab_tpu.regex.compiler import compile_multi
+
+    cp = compile_multi([pat])
+    plan = stride_plan(cp.dfa) if cp.dfa is not None else None
+    stride = (
+        f"stride({plan[0]},k={plan[1]}) states={cp.dfa.n_states}"
+        if plan
+        else None
+    )
+    if cp.covered:
+        return "device prefilter+replay" + (
+            f" [{stride} avail]" if stride else ""
+        )
+    if stride:
+        return stride
+    if cp.dfa is None:
+        return "host (not DFA-able)"
+    return f"host (states={cp.dfa.n_states} over capacity)"
+
+
+def main():
+    buf_size = 32 << 20
+    if "--buf-size" in sys.argv:
+        buf_size = int(sys.argv[sys.argv.index("--buf-size") + 1])
+    rows = []
+    for pat in BATTERY:
+        mode, d = classify(pat, buf_size)
+        rows.append((pat.decode(), mode, d, exact_tier(pat)))
+    width = max(len(r[0]) for r in rows) + 2
+    counts = {}
+    print(f"{'pattern':<{width}} {'prefilter tier':<24} {'-E exact tier'}")
+    for p, m, d, e in rows:
+        counts[m] = counts.get(m, 0) + 1
+        t = f"{m}: {d}" if d else m
+        print(f"{p:<{width}} {t:<24} {e}")
+    print("\n-- prefilter tier counts --")
+    for m, c in sorted(counts.items(), key=lambda kv: -kv[1]):
+        print(f"{m:<12} {c}")
+    slow = [p for p, m, _, _ in rows if m in ("dfa", "host-only")]
+    bw = len(rows) - len(slow)
+    stride_n = sum(1 for r in rows if not r[3].startswith("host"))
+    print(
+        f"\n{bw}/{len(rows)} patterns served by memory-bandwidth device "
+        f"tiers; slow-tier: {slow if slow else 'none'}"
+    )
+    print(f"{stride_n}/{len(rows)} device-served exactly in -E mode")
+
+
+if __name__ == "__main__":
+    main()
