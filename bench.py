@@ -255,15 +255,15 @@ def secondary_metrics():
         measure(lambda x: classseq_word_bitmap(x, seqs), stack),
     )
 
-    # BASELINE config 4's 100-literal + 10-regex ensemble, round-3
-    # architecture: literals in ONE fused single-pass kernel
-    # (ops/pallas_fused: bloom + compare buckets) + ALL regexes in ONE
-    # union strided-DFA member (scan_pipeline._StrideSeqMember,
-    # includes its on-device transpose). The round-2 split programs ran
-    # ~63 GB/s effective; folding the 10 seqs into the fused kernel was
-    # WORSE (~37 GB/s — the per-(seq, phase) AND chains made the
-    # ensemble VPU-op-bound), so the seqs moved to the automaton: cost
-    # independent of seq count.
+    # BASELINE config 4's 100-literal + 10-regex ensemble. PRODUCTION
+    # path: every member (bloom + compare buckets + class sequences)
+    # in ONE fused single-pass kernel (ops/pallas_fused) — the corpus
+    # crosses HBM once per scan (round 2's split programs: ~63 GB/s
+    # effective). The measured alternative — literals fused + regexes
+    # in a union strided-DFA member — LOSES on miss-heavy corpora
+    # (member transpose-bound at ~53 GB/s vs the seqs' ~97 GB/s
+    # in-kernel equivalent); it stays opt-in (GRAB_TPU_SEQDFA=1) and
+    # its two components are tracked below so the trade stays visible.
     from grab_tpu.ops.pallas_fused import FusedEnsembleScanner
     from grab_tpu.regex.compiler import compile_multi
     from grab_tpu.scan_pipeline import _StrideSeqMember
@@ -271,6 +271,18 @@ def secondary_metrics():
     lits100 = [
         bytes(rng.integers(33, 127, 9, np.uint8).tobytes()) for _ in range(96)
     ] + [b"qZxW", b"kV9#p", b"a_Qz", b"T4$u"]
+    seqs10 = compile_sequences(
+        [
+            tuple([digit] * (3 + i % 3) + [lower] * (1 + i % 2))
+            for i in range(10)
+        ]
+    )
+    fsc_all = FusedEnsembleScanner(lits100, seqs10, tile_rows=1024)
+    emit(
+        "fused_ensemble_bytes_per_sec",
+        measure(lambda x: fsc_all.bitmap(x), stack),
+    )
+
     fsc = FusedEnsembleScanner(lits100, None, tile_rows=1024)
     dt_f = measure(lambda x: fsc.bitmap(x), stack)
     emit("fused_lits100_bytes_per_sec", dt_f)
@@ -284,7 +296,6 @@ def secondary_metrics():
     member = _StrideSeqMember(cpseq.seq_dfa, cpseq.seq_max_len, n, False)
     dt_s = measure(lambda x: member.packed(x)[0], stack)
     emit("seqdfa10_bytes_per_sec", dt_s)
-    emit("ensemble110_effective_bytes_per_sec", dt_f + dt_s)
 
     # alphabet-run: digits, run >= 11
     from grab_tpu.ops.pallas_alpharun import alpharun_word_bitmap, plan_for

@@ -496,6 +496,32 @@ class Engine:
                 return self._stride_serves()
         return True
 
+    def _note_host_fallback(self) -> None:
+        """One-time stderr notice when a real accelerator is present
+        but the pattern scans host-only (e.g. -E with a
+        stride-ineligible automaton) — orders slower, and previously
+        silent (the user had no cue short of --stats). Off the parity
+        path: stderr, and only on accelerator backends so test
+        fixtures' stderr stays byte-stable."""
+        if getattr(self, "_host_fallback_noted", False):
+            return
+        self._host_fallback_noted = True
+        if self.cfg.device == "none":
+            return  # explicit request, not a surprise
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return
+        print(
+            "tpugrep: pattern not device-servable"
+            + (" in -E exact mode" if self.cfg.exact else "")
+            + "; scanning on host (slower)",
+            file=sys.stderr,
+        )
+
     def _stride_serves(self) -> bool:
         """True when the device scan would take the strided-DFA kernel
         (real backend or interpret mode — the jnp fallback walk has
@@ -595,6 +621,7 @@ class Engine:
 
         st = self.stats
         if not self._device_usable():
+            self._note_host_fallback()
             for path, data in files:
                 st.files_scanned += 1
                 st.bytes_scanned += len(data)
@@ -647,6 +674,7 @@ class Engine:
 
         st = self.stats
         if not self._device_usable():
+            self._note_host_fallback()
             for path, size in entries:
                 try:
                     data = self._open_data(path, size)

@@ -85,46 +85,25 @@ class ShardedScanner(DeviceScanner):
         nb = self.buf_size // self.block
 
         if self.mode == "gdfa":
-            g = self._gdfa
-            if hasattr(g, "traceable_run"):
-                # strided-DFA scanner: per-shard device transpose +
-                # threading fixpoint; the linear word vector is the
-                # shard input (ops/pallas_stridedfa)
-                run = g.traceable_run
+            # strided-DFA scanner: per-shard device transpose +
+            # threading fixpoint; the linear word vector is the
+            # shard input (ops/pallas_stridedfa — the only gdfa-mode
+            # scanner since the class-gather tier was retired)
+            run = self._gdfa.traceable_run
 
-                def body(w2, v):  # [1, n_words] + validity per shard
-                    bm, _n, _conv = run(w2[0])
-                    total = jax.lax.psum(
-                        (jnp.count_nonzero(bm) * v[0]).astype(jnp.int32),
-                        "shards",
-                    )
-                    return total, bm[None]
-
-                fn = _wrap_shard_map(
-                    body, mesh, (P("shards", None), P("shards")),
-                    (P(), P("shards", None, None)),
-                )
-                self._in_sharding = NamedSharding(mesh, P("shards", None))
-                return jax.jit(fn)
-            from grab_tpu.ops.pallas_gatherdfa import gather_dfa_bitmap
-
-            tab = self._jnp.asarray(g.tables.tab)
-
-            def body(w3, v):  # [1, steps*128, 128] + validity per shard
-                bm = gather_dfa_bitmap(
-                    w3[0], tab, g.tables.start,
-                    g.tables.accept_floor, interpret=g.interpret,
-                )
+            def body(w2, v):  # [1, n_words] + validity per shard
+                bm, _n, _conv = run(w2[0])
                 total = jax.lax.psum(
-                    (jnp.count_nonzero(bm) * v[0]).astype(jnp.int32), "shards"
+                    (jnp.count_nonzero(bm) * v[0]).astype(jnp.int32),
+                    "shards",
                 )
                 return total, bm[None]
 
             fn = _wrap_shard_map(
-                body, mesh, (P("shards", None, None), P("shards")),
+                body, mesh, (P("shards", None), P("shards")),
                 (P(), P("shards", None, None)),
             )
-            self._in_sharding = NamedSharding(mesh, P("shards", None, None))
+            self._in_sharding = NamedSharding(mesh, P("shards", None))
             return jax.jit(fn)
 
         if getattr(self, "_input_words", False):

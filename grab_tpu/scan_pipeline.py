@@ -190,11 +190,22 @@ class DeviceScanner:
         return plan is not None and alpharun_eligible(plan[0], plan[1])
 
     def _seq_scanner(self, tile_rows: int):
-        """The ensemble member serving the seq-routed patterns: the
-        union strided-DFA (_StrideSeqMember) when the subset automaton
-        is bounded and stride-eligible — cost independent of how many
-        sequences it absorbs — else the word-packed range-test kernel
-        (K-seq-linear VPU cost)."""
+        """The ensemble member serving the seq-routed patterns.
+
+        GRAB_TPU_SEQDFA=1 opts into the union strided-DFA member
+        (_StrideSeqMember): per-word cost independent of seq count and
+        EXACT union match ends (~2x tighter candidates on the mixed
+        batch). It is opt-in, not the default, because measured
+        end-to-end it LOSES on miss-heavy corpora: the member's
+        on-device stream transpose runs at ~64 GB/s equivalent (XLA's
+        strided 3-D transpose), capping the member at ~53 GB/s, while
+        folding the same seqs into the fused kernel's AND chains costs
+        ~97 GB/s equivalent (driver-protocol r3 numbers, 10-seq batch).
+        A tiled Pallas transpose would flip this; until then the
+        default stays the word-packed range-test member. The flag
+        remains for hit-dense corpora where the tighter candidates cut
+        host replay.
+        """
         import os as _os
 
         from grab_tpu.ops.pallas_classseq import ClassSeqScanner
@@ -211,7 +222,7 @@ class DeviceScanner:
             and sml <= S_HALO - 8
             and self.buf_size >= (1 << 20)
             and stride_plan(sd) is not None
-            and _os.environ.get("GRAB_TPU_NO_SEQDFA") != "1"
+            and _os.environ.get("GRAB_TPU_SEQDFA") == "1"
         ):
             return _StrideSeqMember(
                 sd, sml, self.buf_size, self._interpret
@@ -250,14 +261,11 @@ class DeviceScanner:
             #      automaton walk, k-byte transition tables + on-device
             #      threading fixpoint: NO match-length cap, 470-570 GB/s
             #      measured (tools/bench_stride_dfa.py);
-            #   3. class-gather DFA kernel (ops/pallas_gatherdfa) —
-            #      fallback for fragmented byte-class maps;
-            #   4. jnp reference walk (latency-bound last resort).
+            #   3. jnp reference walk (latency-bound last resort).
+            # (round 2's class-gather kernel, ops/pallas_gatherdfa, is
+            # no longer a tier: its eligibility — states*classes <= 128
+            # — is a strict subset of the stride kernel's cls plan.)
             from grab_tpu.ops.pallas_alpharun import AlphaRunScanner
-            from grab_tpu.ops.pallas_gatherdfa import (
-                GatherDfaScanner,
-                dfa_eligible,
-            )
             from grab_tpu.ops.pallas_stridedfa import (
                 StrideDfaScanner,
                 stride_plan,
@@ -279,17 +287,6 @@ class DeviceScanner:
             dfa = getattr(self, "_dfa", None)
             if stride_plan(dfa) is not None and self.buf_size >= (1 << 20):
                 self._gdfa = StrideDfaScanner(
-                    dfa,
-                    self._max_len,
-                    self.buf_size,
-                    interpret=self._interpret,
-                )
-                self.mode = "gdfa"
-                return self._gdfa.packed
-            if dfa_eligible(dfa, self._max_len) and self.buf_size >= (
-                8 << 20
-            ):
-                self._gdfa = GatherDfaScanner(
                     dfa,
                     self._max_len,
                     self.buf_size,

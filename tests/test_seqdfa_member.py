@@ -1,6 +1,9 @@
 """The union stride-DFA ensemble member (round 3): seq-routed patterns
 served by ONE k-byte-strided automaton walk instead of per-(seq, phase)
-range-test AND chains (scan_pipeline._StrideSeqMember).
+range-test AND chains (scan_pipeline._StrideSeqMember). OPT-IN via
+GRAB_TPU_SEQDFA=1 — measured net loss on miss-heavy corpora (the
+member's transpose dominates), kept for hit-dense replay savings; see
+_seq_scanner's docstring and docs/BENCH.md.
 
 Contract pinned here:
   * the compiler's seq-subset automaton (seq_dfa/seq_max_len) exists
@@ -51,11 +54,11 @@ PLANTS = [
 ]
 
 
-def _flags(monkeypatch, no_seqdfa):
-    if no_seqdfa:
-        monkeypatch.setenv("GRAB_TPU_NO_SEQDFA", "1")
+def _flags(monkeypatch, member):
+    if member:
+        monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")
     else:
-        monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+        monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)
     cp = compile_multi(PATS)
     sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
     rng = np.random.default_rng(5)
@@ -65,13 +68,13 @@ def _flags(monkeypatch, no_seqdfa):
 
 
 def test_member_flags_sound_and_tighter(monkeypatch):
-    sc, flags = _flags(monkeypatch, no_seqdfa=False)
+    sc, flags = _flags(monkeypatch, member=True)
     assert any(isinstance(s, _StrideSeqMember) for s in sc._cw_list)
     hit = set(np.nonzero(flags)[0])
     for pos, s in PLANTS:
         span = range(pos // 512, (pos + len(s)) // 512 + 1)
         assert any(b in hit for b in span), (pos, s)
-    sc2, flags2 = _flags(monkeypatch, no_seqdfa=True)
+    sc2, flags2 = _flags(monkeypatch, member=False)
     assert not any(isinstance(s, _StrideSeqMember) for s in sc2._cw_list)
     hit2 = set(np.nonzero(flags2)[0])
     for pos, s in PLANTS:
@@ -82,7 +85,7 @@ def test_member_flags_sound_and_tighter(monkeypatch):
 
 
 def test_pure_seq_mode_uses_stride_member(monkeypatch):
-    monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+    monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")
     cp = compile_multi([rb"[0-9]{4}-[0-9]{2}-[0-9]{2}"])
     sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
     assert sc.mode == "class_seq"
@@ -97,7 +100,7 @@ def test_pure_seq_mode_uses_stride_member(monkeypatch):
 
 
 def test_unbounded_seq_keeps_classseq(monkeypatch):
-    monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+    monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")  # even opted in: unbounded subset
     cp = compile_multi([rb"[a-z]+[0-9]+[a-z]+"])
     sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
     assert not any(isinstance(s, _StrideSeqMember) for s in sc._cw_list)
@@ -119,11 +122,11 @@ def test_engine_identity_with_member(monkeypatch, n_shards):
         data[30000 + i : 30005 + i] = b"4567q"
         corpus.append((f"mem://f{i}", bytes(data)))
 
-    def run(no_seqdfa):
-        if no_seqdfa:
-            monkeypatch.setenv("GRAB_TPU_NO_SEQDFA", "1")
+    def run(member):
+        if member:
+            monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")
         else:
-            monkeypatch.delenv("GRAB_TPU_NO_SEQDFA", raising=False)
+            monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)
         cfg = EngineConfig(
             output=OutputConfig(recursive=True),
             scan_buf_size=2 << 20,
@@ -135,7 +138,7 @@ def test_engine_identity_with_member(monkeypatch, n_shards):
         eng.scan_corpus(iter(corpus), out.extend)
         return bytes(out)
 
-    with_member = run(False)
-    without = run(True)
+    with_member = run(True)
+    without = run(False)
     assert with_member == without
     assert with_member.count(b"\n") >= 12
