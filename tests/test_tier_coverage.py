@@ -1,0 +1,42 @@
+"""Pin the device-tier classification for representative patterns
+(tools/tier_coverage.py drives the same pipeline planning; these
+exemplars catch accidental tier regressions — e.g. a pattern silently
+falling off a memory-bandwidth tier onto the jnp walk)."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from tier_coverage import classify, exact_tier  # noqa: E402
+
+BUF = 32 << 20
+
+
+def test_literal_and_factor_patterns_take_literal_tier():
+    for pat in (rb"include", rb"foo[a-z]+bar", rb"TODO|FIXME|XXX"):
+        mode, _ = classify(pat, BUF)
+        assert mode == "literal", pat
+
+
+def test_factorless_patterns_take_classseq_tier():
+    for pat in (rb"[0-9]{5}", rb"[0-9]{4}-[0-9]{2}-[0-9]{2}", rb"\w+\s+\w+"):
+        mode, _ = classify(pat, BUF)
+        assert mode == "class_seq", pat
+
+
+def test_no_slow_tier_for_common_shapes():
+    for pat in (rb"[0-9a-f]{32}", rb"(?i)segfault", rb"(a+)b\1"):
+        mode, _ = classify(pat, BUF)
+        assert mode not in ("dfa", "host-only"), (pat, mode)
+
+
+def test_exact_mode_serving():
+    # covered patterns: prefilter+replay stays the -E path, with the
+    # stride automaton recorded as available for both
+    t1 = exact_tier(rb"[a-z]+[0-9]+[a-z]+")
+    assert t1.startswith("device prefilter") and "stride" in t1
+    t2 = exact_tier(rb"foo[a-z]+bar")
+    assert t2.startswith("device prefilter") and "stride" in t2
