@@ -3,14 +3,20 @@
 exemplars catch accidental tier regressions — e.g. a pattern silently
 falling off a memory-bandwidth tier onto the jnp walk)."""
 
+import importlib.util
 import os
-import sys
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+_spec = importlib.util.spec_from_file_location(
+    "grab_tpu_tools_tier_coverage",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "tier_coverage.py",
+    ),
 )
-
-from tier_coverage import classify, exact_tier  # noqa: E402
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+classify, exact_tier = _mod.classify, _mod.exact_tier
 
 BUF = 32 << 20
 
