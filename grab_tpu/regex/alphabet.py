@@ -72,8 +72,13 @@ def _info(n: A.Node, in_x: Callable[[int], bool]) -> _Run:
         return _Run(0, 0, 0, False, 1)
     if isinstance(n, A.Group):
         return _info(n.node, in_x)
-    if isinstance(n, A.Alt):
-        rs = [_info(b, in_x) for b in n.branches]
+    if isinstance(n, (A.Alt, A.Cond)):
+        rs = [
+            _info(b, in_x)
+            for b in (
+                n.branches if isinstance(n, A.Alt) else (n.yes, n.no)
+            )
+        ]
         return _Run(
             interior=min(r.interior for r in rs),
             prefix=min(r.prefix for r in rs),
@@ -114,6 +119,9 @@ def _collect_masks(n: A.Node, out: set) -> None:
             _collect_masks(p, out)
     elif isinstance(n, A.Repeat):
         _collect_masks(n.node, out)
+    elif isinstance(n, A.Cond):
+        _collect_masks(n.yes, out)
+        _collect_masks(n.no, out)
     elif isinstance(n, A.Look):
         pass  # zero-width: its bytes are not match bytes
     # Empty/Anchor/Backref: no classes

@@ -107,9 +107,31 @@ class Anchor(Node):
 
 @dataclass(frozen=True)
 class Backref(Node):
-    """Backreference \\N. Not DFA-able; forces host-only matching."""
+    """Backreference \\N. Not DFA-able; forces host-only matching.
+    ``ci`` marks a backreference compiled under (?i): the referenced
+    text is compared case-insensitively (C-locale folding), matching
+    libpcre's caseless OP_REF (grab.cc:106 compiles the full PCRE
+    surface including these)."""
 
     index: int
+    ci: bool = False
+
+
+@dataclass(frozen=True)
+class Cond(Node):
+    """Conditional group (?(n)yes|no) testing whether capturing group
+    ``ref`` has matched. Lookaround conditions (?(?=..)..) are
+    desugared to Alt at parse time; group-number/name conditions need
+    runtime group state, so has_backrefs() returns True and such
+    patterns route to the exact backtracking engine exactly like
+    backreference patterns (the reference gets them from libpcre,
+    grab.cc:101-123). The static analyses treat Cond as Alt((yes, no))
+    — an over-approximation of the language, sound for candidate
+    generation."""
+
+    ref: int
+    yes: Node
+    no: Node
 
 
 @dataclass(frozen=True)
@@ -211,6 +233,8 @@ def min_len(node: Node) -> int:
         return min_len(node.node)
     if isinstance(node, Backref):
         return 0  # conservative: referenced group may have matched ""
+    if isinstance(node, Cond):
+        return min(min_len(node.yes), min_len(node.no))
     raise TypeError(f"unknown node {node!r}")
 
 
@@ -246,6 +270,11 @@ def max_len(node: Node) -> Optional[int]:
         return max_len(node.node)
     if isinstance(node, Backref):
         return None
+    if isinstance(node, Cond):
+        my, mn_ = max_len(node.yes), max_len(node.no)
+        if my is None or mn_ is None:
+            return None
+        return max(my, mn_)
     raise TypeError(f"unknown node {node!r}")
 
 
@@ -265,6 +294,8 @@ def has_captures(node: Node) -> bool:
         return any(has_captures(b) for b in node.branches)
     if isinstance(node, (Repeat, Look)):
         return has_captures(node.node)
+    if isinstance(node, Cond):
+        return has_captures(node.yes) or has_captures(node.no)
     return False
 
 
@@ -279,6 +310,8 @@ def has_backrefs(node: Node) -> bool:
         return any(has_backrefs(b) for b in node.branches)
     if isinstance(node, (Repeat, Look)):
         return has_backrefs(node.node)
+    if isinstance(node, Cond):
+        return True  # needs runtime group state, like a backreference
     return False
 
 
@@ -299,6 +332,8 @@ def has_anchors(node: Node) -> bool:
         return any(has_anchors(b) for b in node.branches)
     if isinstance(node, Repeat):
         return has_anchors(node.node)
+    if isinstance(node, Cond):
+        return has_anchors(node.yes) or has_anchors(node.no)
     return False
 
 
@@ -320,6 +355,8 @@ def may_match_newline(node: Node) -> bool:
         return may_match_newline(node.node)
     if isinstance(node, Backref):
         return True  # unknown content
+    if isinstance(node, Cond):
+        return may_match_newline(node.yes) or may_match_newline(node.no)
     return False
 
 
@@ -358,6 +395,16 @@ def _lit_info(node: Node) -> _LitInfo:
         return _LitInfo(None, None)
     if isinstance(node, Group):
         return _lit_info(node.node)
+    if isinstance(node, Cond):
+        # language ⊆ L(yes) ∪ L(no): union the required sets like Alt;
+        # never exact (which branch runs depends on group state)
+        iy, in_ = _lit_info(node.yes), _lit_info(node.no)
+        required = None
+        if iy.required is not None and in_.required is not None:
+            u = iy.required | in_.required
+            if len(u) <= _MAX_LITERAL_SET:
+                required = u
+        return _LitInfo(None, required)
     if isinstance(node, Alt):
         exacts, reqs = [], []
         for b in node.branches:
@@ -475,9 +522,10 @@ def prefix_class_sequences(node: Node, k: int) -> Optional[list]:
             return [(((n.mask),), True)]
         if isinstance(n, Group):
             return walk(n.node, budget)
-        if isinstance(n, Alt):
+        if isinstance(n, (Alt, Cond)):
+            branches = n.branches if isinstance(n, Alt) else (n.yes, n.no)
             out = []
-            for b in n.branches:
+            for b in branches:
                 r = walk(b, budget - len(out))
                 if r is None:
                     return None

@@ -37,8 +37,9 @@ ASSERT = 4  # (kind,)
 SAVE = 5  # (slot,) record pos (2*g = start of group g, 2*g+1 = end)
 SETREG = 6  # (reg,) record pos in loop register
 CHKREG = 7  # (reg,) fail branch if pos == reg (no progress in loop body)
-BACKREF = 8  # (group,) consume text of group
+BACKREF = 8  # (group, ci) consume text of group (ci: caseless compare)
 LOOK = 9  # (ahead, negate, sub_pc, behind_len) zero-width sub-match
+CONDGROUP = 10  # (group, else_pc) jump to else_pc unless group matched
 
 
 class PatternTooLarge(ValueError):
@@ -87,7 +88,18 @@ class _Compiler:
             self.emit(ASSERT, node.kind)
             return
         if isinstance(node, A.Backref):
-            self.emit(BACKREF, node.index)
+            self.max_group = max(self.max_group, node.index)
+            self.emit(BACKREF, node.index, node.ci)
+            return
+        if isinstance(node, A.Cond):
+            # CONDGROUP g, else; yes; JMP end; else: no; end:
+            self.max_group = max(self.max_group, node.ref)
+            cond = self.emit(CONDGROUP, node.ref, None)
+            self.compile(node.yes)
+            jmp = self.emit(JMP, None)
+            self.code[cond] = (CONDGROUP, node.ref, len(self.code))
+            self.compile(node.no)
+            self.code[jmp] = (JMP, len(self.code))
             return
         if isinstance(node, A.Group):
             if node.capturing:
@@ -219,7 +231,7 @@ class Matcher:
         self.budget = budget
         self._pike = None
         self._has_backref = any(
-            op[0] in (BACKREF, LOOK) for op in program.code
+            op[0] in (BACKREF, LOOK, CONDGROUP) for op in program.code
         )
         if not self._has_backref:
             from grab_tpu.regex.pikevm import PikeVM
@@ -351,14 +363,33 @@ class Matcher:
                 g = op[1]
                 gs, ge = groups[2 * g], groups[2 * g + 1]
                 if gs < 0 or ge < 0:
-                    # unset group matches empty string in PCRE
-                    pc += 1
+                    # a backreference to an UNSET group fails in PCRE
+                    # (Perl semantics; verified vs grep -P — JS-style
+                    # match-empty is NOT what pcre_exec does)
+                    bt = backtrack()
+                    if bt is None:
+                        return None
+                    pc, cur = bt
                     continue
                 glen = ge - gs
-                if cur + glen <= hi and data[cur : cur + glen] == data[gs:ge]:
-                    cur += glen
-                    pc += 1
-                    continue
+                if cur + glen <= hi:
+                    a, b = data[cur : cur + glen], data[gs:ge]
+                    if op[2]:  # caseless (?i) backref: locale fold
+                        ft = _ctype.fold_table()
+                        ok_ref = a.translate(ft) == b.translate(ft)
+                    else:
+                        ok_ref = a == b
+                    if ok_ref:
+                        cur += glen
+                        pc += 1
+                        continue
+            elif kind == CONDGROUP:
+                g = op[1]
+                if groups[2 * g] >= 0 and groups[2 * g + 1] >= 0:
+                    pc += 1  # group has matched: yes-branch
+                else:
+                    pc = op[2]
+                continue
             bt = backtrack()
             if bt is None:
                 return None

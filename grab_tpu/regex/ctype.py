@@ -61,6 +61,31 @@ def libc_tables() -> Dict[str, int]:
     return out
 
 
+_ASCII_FOLD = bytes(
+    b + 0x20 if 0x41 <= b <= 0x5A else b for b in range(256)
+)
+
+
+def fold_table() -> bytes:
+    """256-entry lowercase fold table for caseless comparison (libc
+    tolower under the active locale; ASCII fold in the C locale) —
+    what pcre_maketables' lcc table gives libpcre's caseless OP_REF."""
+    t = _active
+    if t is None:
+        return _ASCII_FOLD
+    tbl = t.get("_fold")
+    if tbl is None:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        fn = libc.tolower
+        fn.argtypes = [ctypes.c_int]
+        fn.restype = ctypes.c_int
+        tbl = bytes(fn(b) & 0xFF for b in range(256))
+        t["_fold"] = tbl
+    return tbl
+
+
 def set_tables(tables: Optional[Dict[str, int]]) -> None:
     """Install (or clear, with None) the active locale tables."""
     global _active

@@ -82,10 +82,17 @@ def _build(nfa: NFA, node: A.Node) -> Tuple[int, int]:
                 nfa.add_eps(prev_exit, ps)
             prev_exit = pe
         return entry, prev_exit
-    if isinstance(node, A.Alt):
+    if isinstance(node, (A.Alt, A.Cond)):
+        # Cond over-approximates as Alt((yes, no)) for the candidate
+        # automaton (the group-state test is dropped, widening the
+        # language); host backtracking verifies exactly (needs_verify
+        # is forced by has_backrefs)
+        branches = (
+            node.branches if isinstance(node, A.Alt) else (node.yes, node.no)
+        )
         s = nfa.new_state()
         e = nfa.new_state()
-        for b in node.branches:
+        for b in branches:
             bs, be = _build(nfa, b)
             nfa.add_eps(s, bs)
             nfa.add_eps(be, e)

@@ -15,9 +15,14 @@ Supported syntax:
 
 Lookaround ``(?=..) (?!..) (?<=..) (?<!..)`` is supported (exact
 engines only — it disables DFA coverage; see tests/test_lookaround_flags).
-Unsupported constructs (subroutine calls, conditionals, script runs,
-\\p{...}) raise RegexSyntaxError; the engine surfaces that as the
-reference surfaces pcre_compile errors (grab.cc:107).
+``\\p{...}``/``\\P{...}`` Unicode properties are resolved to byte
+classes over Latin-1 code points (libpcre's 8-bit non-UTF behavior),
+and conditionals ``(?(n)yes|no)`` / ``(?(name)..)`` / ``(?(?=..)..)``
+compile (group conditions route to the backtracking engine, assertion
+conditions desugar exactly). Unsupported constructs (subroutine
+calls, recursion conditions ``(?(R)``, script runs) raise
+RegexSyntaxError; the engine surfaces that as the reference surfaces
+pcre_compile errors (grab.cc:107).
 """
 
 from __future__ import annotations
@@ -111,6 +116,68 @@ F_I, F_M, F_S, F_X = 1, 2, 4, 8
 _FLAG_CHARS = {ord("i"): F_I, ord("m"): F_M, ord("s"): F_S, ord("x"): F_X}
 
 
+# -- \p{...} Unicode properties over bytes ----------------------------------
+#
+# The reference's libpcre (compiled with UCP support) accepts \p/\P in
+# 8-bit non-UTF mode by treating bytes as code points 0-255 (Latin-1)
+# and consulting Unicode properties (grab.cc:106 passes options=0;
+# verified against GNU grep -P in the C locale: \xE9 matches \p{L},
+# \xB5 matches \p{Ll} but not \p{Latin}). Masks are computed from
+# unicodedata over chr(0)..chr(255) and cached.
+
+_UPROP_CACHE: dict = {}
+
+# Latin-script letters in Latin-1 (UCD Scripts.txt): ASCII letters,
+# ordinals, and the accented ranges; MICRO SIGN 0xB5 is script Common.
+_LATIN1_LATIN = (
+    mask_range(0x41, 0x5A)
+    | mask_range(0x61, 0x7A)
+    | (1 << 0xAA)
+    | (1 << 0xBA)
+    | mask_range(0xC0, 0xD6)
+    | mask_range(0xD8, 0xF6)
+    | mask_range(0xF8, 0xFF)
+)
+
+
+def _unicode_prop_mask(name: str):
+    """256-bit byte mask for property ``name``, or None if unknown."""
+    if name in _UPROP_CACHE:
+        return _UPROP_CACHE[name]
+    import unicodedata
+
+    mask = None
+    if name == "Any":
+        mask = ALL_BYTES_MASK
+    elif name in ("Latin",):
+        mask = _LATIN1_LATIN
+    elif name in ("Common",):
+        mask = ALL_BYTES_MASK & ~_LATIN1_LATIN
+    elif name == "L&":
+        mask = 0
+        for b in range(256):
+            if unicodedata.category(chr(b)) in ("Lu", "Ll", "Lt"):
+                mask |= 1 << b
+    elif name in ("Xan", "Xwd"):
+        mask = 1 << 0x5F if name == "Xwd" else 0
+        for b in range(256):
+            if unicodedata.category(chr(b))[0] in "LN":
+                mask |= 1 << b
+    elif name in ("Xsp", "Xps"):
+        mask = 0
+        for b in range(256):
+            if chr(b).isspace() or unicodedata.category(chr(b)) == "Zs":
+                mask |= 1 << b
+    elif 1 <= len(name) <= 2 and name[0] in "LMNPSZC":
+        mask = 0
+        for b in range(256):
+            cat = unicodedata.category(chr(b))
+            if cat == name or (len(name) == 1 and cat[0] == name):
+                mask |= 1 << b
+    _UPROP_CACHE[name] = mask
+    return mask
+
+
 class _Parser:
     def __init__(self, pattern: bytes):
         self.pat = pattern
@@ -126,6 +193,11 @@ class _Parser:
 
     def _lit(self, byte: int) -> CharClass:
         return self._class(1 << byte)
+
+    def _backref(self, index: int) -> Backref:
+        # a backreference under (?i) compares caselessly (libpcre's
+        # caseless OP_REF)
+        return Backref(index, ci=bool(self.flags & F_I))
 
     def _skip_x(self):
         """(?x) extended mode: unescaped whitespace and # comments are
@@ -311,9 +383,11 @@ class _Parser:
                     name = self._group_name(ord(")"))
                     if name not in self.names:
                         self._error(f"unknown group name {name!r}")
-                    return Backref(self.names[name])
+                    return self._backref(self.names[name])
                 else:
                     self._error("malformed (?P construct")
+            elif c == ord("("):
+                return self._conditional()
             elif c in _FLAG_CHARS or c == ord("-"):
                 return self._flag_group(c)
             else:
@@ -340,6 +414,72 @@ class _Parser:
             self._error("missing )")
         self.pos += 1
         return Group(node, capturing, index)
+
+    def _conditional(self) -> Node:
+        """(?(cond)yes|no) — positioned just past ``(?(``. Conditions:
+        a group number, a named group (<name>, 'name', or bare name),
+        or a lookaround assertion (desugared to an exact Alt). PCRE's
+        recursion conditions (?(R)/(?(DEFINE) are not supported (they
+        need subroutine calls)."""
+        ref: Optional[int] = None
+        cond_look: Optional[Look] = None
+        c = self._peek()
+        if c == ord("?"):
+            # assertion condition (?(?=...)...): parse the lookaround
+            # atom itself (it consumes through its closing paren)
+            self.pos -= 1  # back onto '(' so _atom sees a group
+            node = self._atom()
+            if not isinstance(node, Look):
+                self._error("malformed conditional assertion")
+            cond_look = node
+        else:
+            if c in (ord("<"), ord("'")):
+                self.pos += 1
+                closer = ord(">") if c == ord("<") else ord("'")
+                name = self._group_name(closer)
+                if self._next() != ord(")"):
+                    self._error("missing ) after condition")
+                if name not in self.names:
+                    self._error(f"unknown group name {name!r}")
+                ref = self.names[name]
+            elif ord("0") <= c <= ord("9"):
+                digits = b""
+                while ord("0") <= self._peek() <= ord("9"):
+                    digits += bytes([self._next()])
+                if self._next() != ord(")"):
+                    self._error("missing ) after condition")
+                ref = int(digits)
+                if ref == 0:
+                    self._error("invalid condition (?(0)")
+            else:
+                name = self._group_name(ord(")"))
+                if name in ("R", "DEFINE"):
+                    self._error(
+                        f"unsupported conditional (?({name}) (needs "
+                        "subroutine calls)"
+                    )
+                if name not in self.names:
+                    self._error(f"unknown group name {name!r}")
+                ref = self.names[name]
+        # yes|no branches: at most two (PCRE: "conditional group
+        # contains more than two branches" is a compile error)
+        yes = self._concat()
+        no: Node = Empty()
+        if self._peek() == ord("|"):
+            self.pos += 1
+            no = self._concat()
+        if self._peek() == ord("|"):
+            self._error("conditional group contains more than two branches")
+        if self._next() != ord(")"):
+            self._error("missing )")
+        if cond_look is not None:
+            # exact desugar: (?(?=A)y|n) == (?=A)y | (?!A)n — the
+            # shared Look body keeps capture numbering intact
+            neg = Look(cond_look.node, cond_look.ahead, not cond_look.negate)
+            return Alt((Concat((cond_look, yes)), Concat((neg, no))))
+        from grab_tpu.regex.ast import Cond
+
+        return Cond(ref, yes, no)
 
     def _group_name(self, closer: int) -> str:
         out = b""
@@ -387,10 +527,34 @@ class _Parser:
             return Group(node, False, 0)
         self._error("malformed inline-flag group")
 
+    def _uprop_mask(self, c: int) -> int:
+        """Parse the tail of ``\\p``/``\\P`` (c is ord('p') or ord('P'))
+        into a byte-class mask."""
+        neg = c == ord("P")
+        if self._peek() == ord("{"):
+            self.pos += 1
+            raw = b""
+            while self._peek() not in (ord("}"), -1):
+                raw += bytes([self._next()])
+            if self._next() != ord("}"):
+                self._error("unterminated \\p{...}")
+            name = raw.decode("ascii", "replace")
+            if name.startswith("^"):
+                neg = not neg
+                name = name[1:]
+        else:
+            name = chr(self._next())  # \pL short form
+        m = _unicode_prop_mask(name)
+        if m is None:
+            self._error(f"unknown property \\p{{{name}}}")
+        return (ALL_BYTES_MASK & ~m) if neg else m
+
     def _escape(self, in_class: bool) -> Node:
         c = self._next()
         if c in _CLASS_ESCAPES:
             return CharClass(_CLASS_ESCAPES[c]())
+        if c in (ord("p"), ord("P")):
+            return self._class(self._uprop_mask(c))
         if not in_class:
             if c == ord("A"):
                 return Anchor("bos")
@@ -403,7 +567,7 @@ class _Parser:
             if c == ord("B"):
                 return Anchor("nwordb")
             if ord("1") <= c <= ord("9"):
-                return Backref(c - ord("0"))
+                return self._backref(c - ord("0"))
             if c == ord("k"):
                 opener = self._next()
                 closer = {ord("<"): ord(">"), ord("'"): ord("'"), ord("{"): ord("}")}.get(opener)
@@ -412,7 +576,7 @@ class _Parser:
                 name = self._group_name(closer)
                 if name not in self.names:
                     self._error(f"unknown group name {name!r}")
-                return Backref(self.names[name])
+                return self._backref(self.names[name])
             if c == ord("g"):
                 opener = self._peek()
                 if opener in (ord("<"), ord("{")):
@@ -427,11 +591,11 @@ class _Parser:
                     while ord("0") <= self._peek() <= ord("9"):
                         ref += bytes([self._next()])
                 if ref.isdigit() and ref:
-                    return Backref(int(ref))
+                    return self._backref(int(ref))
                 name = ref.decode("ascii", "replace")
                 if name not in self.names:
                     self._error(f"unknown group name {name!r}")
-                return Backref(self.names[name])
+                return self._backref(self.names[name])
             if c == ord("Q"):
                 # \Q ... \E literal span
                 parts = []
@@ -525,6 +689,10 @@ class _Parser:
                 if e in _CLASS_ESCAPES:
                     self.pos += 1
                     mask |= _CLASS_ESCAPES[e]()
+                    continue
+                if e in (ord("p"), ord("P")):
+                    self.pos += 1
+                    mask |= self._uprop_mask(e)
                     continue
                 if e == ord("b"):
                     self.pos += 1

@@ -41,7 +41,7 @@ LETTERS = "abcdefghijklmnopqrstuvwxyz"
 
 def gen_unit(rng):
     """→ (regex fragment, sampler(rng) -> str) with min length >= 1."""
-    kind = rng.integers(0, 4)
+    kind = rng.integers(0, 5)
     if kind == 0:  # literal run
         k = int(rng.integers(1, 4))
         s = "".join(rng.choice(list(LETTERS), k))
@@ -56,6 +56,15 @@ def gen_unit(rng):
         chars = sorted(set(rng.choice(list(LETTERS), 3)))
         frag = "[" + "".join(chars) + "]"
         return frag, (lambda rng, chars=chars: str(rng.choice(chars)))
+    if kind == 3:  # \p{...} property (round-4 surface; ASCII samplers)
+        prop, pool = [
+            ("Ll", LETTERS),
+            ("Lu", LETTERS.upper()),
+            ("Nd", "0123456789"),
+            ("L", LETTERS + LETTERS.upper()),
+        ][int(rng.integers(0, 4))]
+        frag = r"\p{%s}" % prop
+        return frag, (lambda rng, pool=pool: str(rng.choice(list(pool))))
     return r"\d", (lambda rng: str(rng.integers(0, 10)))
 
 

@@ -1,0 +1,178 @@
+"""Differential conformance for the round-4 PCRE surface extensions:
+\\p{...}/\\P{...} properties, conditionals (?(n)yes|no), and caseless
+backreferences — against GNU grep -P (PCRE2) in the C locale, which
+matches the reference's libpcre byte-mode behavior for these
+constructs (grab.cc:101-123 compiles the full PCRE surface).
+
+Capture-bearing patterns can't ride the CLI fuzz harness (the PCRE1
+3-slot-ovector quirk makes them emit nothing, by design), so the
+conditional/backref differentials run the Matcher directly: per-line
+match decisions vs grep -P's selected lines.
+"""
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from grab_tpu.regex.backtrack import Matcher
+from grab_tpu.regex.parser import _unicode_prop_mask
+
+GREP = shutil.which("grep")
+
+
+def _grep_has_pcre():
+    if GREP is None:
+        return False
+    r = subprocess.run(
+        [GREP, "-P", "a", "-"], input=b"a\n", capture_output=True
+    )
+    return r.returncode == 0
+
+
+HAS_PCRE = _grep_has_pcre()
+
+# bytes probed one per line (newline would end the line; NUL is fine
+# under grep -a but \n cannot be a line byte; \r is excluded because
+# grep -P's newline convention treats a lone CR line specially —
+# an artifact of the probe harness, not of property semantics)
+PROBE_BYTES = [b for b in range(1, 256) if b not in (0x0A, 0x0D)]
+
+
+def _grep_line_set(pattern: bytes, lines):
+    data = b"".join(bytes([b]) + b"\n" for b in lines)
+    r = subprocess.run(
+        [GREP, "-a", "-P", pattern, "-"],
+        input=data,
+        capture_output=True,
+        env={"LC_ALL": "C"},
+    )
+    assert r.returncode in (0, 1), r.stderr
+    return {ln[0] for ln in r.stdout.splitlines() if ln}
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize(
+    "prop",
+    ["L", "Lu", "Ll", "N", "Nd", "M", "P", "S", "Z", "C", "Latin", "Any"],
+)
+def test_property_masks_match_grep(prop):
+    pat = ("^\\p{%s}$" % prop).encode()
+    theirs = _grep_line_set(pat, PROBE_BYTES)
+    mask = _unicode_prop_mask(prop)
+    assert mask is not None
+    ours = {b for b in PROBE_BYTES if (mask >> b) & 1}
+    assert ours == theirs, f"\\p{{{prop}}}: ours^theirs={ours ^ theirs}"
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize(
+    "prop",
+    ["L", "Nd"],
+)
+def test_negated_property_masks_match_grep(prop):
+    pat = ("^\\P{%s}$" % prop).encode()
+    theirs = _grep_line_set(pat, PROBE_BYTES)
+    mask = _unicode_prop_mask(prop)
+    ours = {b for b in PROBE_BYTES if not ((mask >> b) & 1)}
+    assert ours == theirs
+
+
+def _lines_corpus(rng, samplers, n_lines=400):
+    """Random short ASCII lines with planted samples."""
+    alpha = list("abcdefghij XYZ0123456789.-")
+    lines = []
+    for i in range(n_lines):
+        s = "".join(rng.choice(alpha, size=int(rng.integers(2, 30))))
+        if samplers and rng.integers(0, 3) == 0:
+            smp = samplers[int(rng.integers(0, len(samplers)))]
+            pos = int(rng.integers(0, len(s) + 1))
+            s = s[:pos] + smp(rng) + s[pos:]
+        lines.append(s.encode())
+    return lines
+
+
+def _matcher_line_set(pattern: bytes, lines):
+    m = Matcher.from_pattern(pattern)
+    out = set()
+    for i, ln in enumerate(lines):
+        if m.search(ln, 0, len(ln)) is not None:
+            out.add(i)
+    return out
+
+
+def _grep_selected(pattern: bytes, lines):
+    data = b"".join(ln + b"\n" for ln in lines)
+    r = subprocess.run(
+        [GREP, "-a", "-n", "-P", pattern, "-"],
+        input=data,
+        capture_output=True,
+        env={"LC_ALL": "C"},
+    )
+    assert r.returncode in (0, 1), r.stderr
+    out = set()
+    for ln in r.stdout.splitlines():
+        num, _, _ = ln.partition(b":")
+        out.add(int(num) - 1)
+    return out
+
+
+CASES = [
+    # conditionals on group-set
+    (rb"(a)?(?(1)b|c)x", [lambda rng: "abx", lambda rng: "cx"]),
+    (rb"(X)?y(?(1)Z)", [lambda rng: "XyZ", lambda rng: "y"]),
+    (rb"(?<g>\d)?(?(<g>)\.\d|Z)", [lambda rng: "1.2", lambda rng: "Z"]),
+    # assertion conditions
+    (rb"(?(?=\d)\d\d|[a-z]z)9", [lambda rng: "229", lambda rng: "az9"]),
+    (rb"(?(?!x)ab|cd)", [lambda rng: "ab", lambda rng: "xcd"]),
+    # caseless backrefs
+    (rb"(?i)([a-d]{2})\1", [lambda rng: "aBAb", lambda rng: "CdcD"]),
+    (rb"(?i)x([mn])-\1", [lambda rng: "xM-m", lambda rng: "Xn-N"]),
+    # sensitive backref control
+    (rb"([a-d]{2})\1", [lambda rng: "abab", lambda rng: "cdcd"]),
+    # conditional + backref combined
+    (rb"(q+)?(?(1)\1|r)s", [lambda rng: "qqqqs", lambda rng: "rs"]),
+    # properties in context
+    (rb"\p{Lu}\p{Ll}+\p{Nd}", [lambda rng: "Word7"]),
+]
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_conditionals_and_ci_backrefs_vs_grep(case):
+    pat, samplers = CASES[case]
+    rng = np.random.default_rng(900 + case)
+    lines = _lines_corpus(rng, samplers)
+    assert _matcher_line_set(pat, lines) == _grep_selected(pat, lines), pat
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize("seed", range(950, 962))
+def test_fuzzed_conditionals_vs_grep(seed):
+    """Generated conditional patterns: (unit)?(?(1)unitA|unitB) with
+    optional trailing caseless backref."""
+    rng = np.random.default_rng(seed)
+    frags = ["[a-f]{2}", "\\d", "[xyz]", "q\\p{Ll}"]
+    smps = [
+        lambda rng: "".join(rng.choice(list("abcdef"), 2)),
+        lambda rng: str(rng.integers(0, 10)),
+        lambda rng: str(rng.choice(list("xyz"))),
+        lambda rng: "q" + str(rng.choice(list("mnop"))),
+    ]
+    gi = int(rng.integers(0, len(frags)))
+    yi = int(rng.integers(0, len(frags)))
+    ni = int(rng.integers(0, len(frags)))
+    ci = rng.integers(0, 2) == 0
+    pat = "(%s)?(?(1)%s|%s)" % (frags[gi], frags[yi], frags[ni])
+    if ci:
+        pat = "(?i)" + pat + r"\1"
+    samplers = [
+        lambda rng, a=smps[gi], b=smps[yi]: a(rng) + b(rng),
+        lambda rng, c=smps[ni]: c(rng),
+        lambda rng, a=smps[gi], b=smps[yi]: (a(rng) + b(rng)).upper(),
+    ]
+    lines = _lines_corpus(rng, samplers)
+    assert _matcher_line_set(pat.encode(), lines) == _grep_selected(
+        pat.encode(), lines
+    ), pat

@@ -84,9 +84,13 @@ def test_errors():
     with pytest.raises(RegexSyntaxError):
         parse(b"[a")
     with pytest.raises(RegexSyntaxError):
-        parse(b"(?(1)a|b)")  # conditionals are unsupported
+        parse(b"(?(1)a|b|c)")  # conditional with three branches
+    with pytest.raises(RegexSyntaxError):
+        parse(b"(?(R)a|b)")  # recursion conditions are unsupported
     with pytest.raises(RegexSyntaxError):
         parse(b"(?R)")  # recursion is unsupported
+    with pytest.raises(RegexSyntaxError):
+        parse(b"\\p{Nope}")  # unknown property name
     with pytest.raises(RegexSyntaxError):
         parse(b"\\k<nope>ab")  # unknown group name
 
