@@ -34,10 +34,10 @@ import jax
 import numpy as np
 
 from grab_tpu.ops.class_prefilter import CompiledSeqs
-from grab_tpu.ops.pallas_bloom import (
-    _HASH_CONSTS,
-    BloomWordTests,
-    np_bloom_bitmap,
+from grab_tpu.ops.pallas_xorfilter import (
+    XorWordTests,
+    np_xor_bitmap,
+    xor_member_test,
 )
 from grab_tpu.ops.pallas_classseq import _seq_span, np_classseq_bitmap
 from grab_tpu.ops.pallas_corewords import (
@@ -55,7 +55,7 @@ from grab_tpu.ops.pallas_corewords import (
 
 def _build_kernel(
     cw_shapes: Tuple[Tuple[int, int, bool], ...],  # (k, n_words, masked)
-    levels: int,  # bloom levels (0 = no bloom member)
+    xor_groups: Tuple[Tuple[int, ...], ...],  # per-group hash consts
     seqs: Optional[CompiledSeqs],
     tile_rows: int,
 ):
@@ -72,8 +72,8 @@ def _build_kernel(
 
         tabs = refs[: len(cw_shapes)]
         pos = len(cw_shapes)
-        tbl_ref = refs[pos] if levels else None
-        pos += 1 if levels else 0
+        tbl_ref = refs[pos] if xor_groups else None
+        pos += 1 if xor_groups else 0
         a_ref, b_ref, bm_ref = refs[pos], refs[pos + 1], refs[pos + 2]
 
         xx = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
@@ -108,19 +108,11 @@ def _build_kernel(
                         eq = t if eq is None else jnp.logical_and(eq, t)
                     fold(eq)
 
-        # bloom member (ops/pallas_bloom semantics)
-        if levels:
-            bh = None
-            for l in range(levels):
-                h = x0 * jnp.uint32(_HASH_CONSTS[l])
-                h1 = (h >> 25).astype(jnp.int32)
-                h2 = ((h >> 20) & jnp.uint32(31)).astype(jnp.int32)
-                row = tbl_ref[l].reshape(1, LANES)
-                tb = jnp.broadcast_to(row, (tile_rows, LANES))
-                m = jnp.take_along_axis(tb, h1, axis=1)
-                t = ((m >> h2) & jnp.int32(1)) != 0
-                bh = t if bh is None else jnp.logical_and(bh, t)
-            fold(bh)
+        # long-literal member: exact XOR-filter core-word membership
+        # (ops/pallas_xorfilter; the round-4 bloom replacement — 16
+        # ops/word at fp ~2^-32 vs bloom's ~35 at 1e-5)
+        for gi, consts in enumerate(xor_groups):
+            fold(xor_member_test(x0, tbl_ref[gi], consts, tile_rows))
 
         # class sequences (ops/pallas_classseq semantics)
         if seqs:
@@ -171,14 +163,16 @@ def _build_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("cw_shapes", "levels", "seqs", "tile_rows", "interpret"),
+    static_argnames=(
+        "cw_shapes", "xor_groups", "seqs", "tile_rows", "interpret"
+    ),
 )
 def fused_word_bitmap(
     words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
     cw_tabs,  # tuple of int32 [2, 4, K, W] compare tables
-    bloom_tbl,  # int32 [levels, 128] or None
+    xor_tbl,  # int32 [n_groups, 4, 128] or None
     cw_shapes: Tuple[Tuple[int, int, bool], ...],
-    levels: int,
+    xor_groups: Tuple[Tuple[int, ...], ...],
     seqs: Optional[CompiledSeqs],
     tile_rows: int = 1024,
     interpret: bool = False,
@@ -192,14 +186,14 @@ def fused_word_bitmap(
     assert rows % tile_rows == 0, (rows, tile_rows)
     assert tile_rows % 32 == 0, tile_rows
     ntiles = rows // tile_rows
-    kernel = _build_kernel(cw_shapes, levels, seqs, tile_rows)
+    kernel = _build_kernel(cw_shapes, xor_groups, seqs, tile_rows)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM) for _ in cw_shapes
     ]
     args = list(cw_tabs)
-    if levels:
+    if xor_groups:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        args.append(bloom_tbl)
+        args.append(xor_tbl)
     in_specs += [
         pl.BlockSpec(
             (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -242,9 +236,9 @@ class FusedEnsembleScanner:
         lits = [bytes(l) for l in literals]
         longs = [l for l in lits if len(l) >= 7]
         shorts = [l for l in lits if len(l) < 7]
-        self.bloom: Optional[BloomWordTests] = None
+        self.xor: Optional[XorWordTests] = None
         if len(longs) > 4:
-            self.bloom = BloomWordTests(longs)
+            self.xor = XorWordTests(longs)
         else:
             shorts += longs
         self.cw_tests: List[CoreWordTests] = []
@@ -254,7 +248,7 @@ class FusedEnsembleScanner:
         self.interpret = interpret
 
         units = sum(t.k * t.n_words for t in self.cw_tests)
-        units += (self.bloom.levels if self.bloom else 0) * 2
+        units += (len(self.xor.groups) if self.xor else 0) * 4
         if self.seqs:
             units += sum(len(s) for s in self.seqs)
         self.tile_rows = pick_tile_rows(units, tile_rows)
@@ -263,24 +257,24 @@ class FusedEnsembleScanner:
             (t.k, t.n_words, t.masked) for t in self.cw_tests
         )
         self._cw_tabs = tuple(jnp.asarray(t.tab) for t in self.cw_tests)
-        self.levels = self.bloom.levels if self.bloom else 0
-        self._tbl = jnp.asarray(self.bloom.tbl) if self.bloom else None
+        self.xor_groups = self.xor.consts() if self.xor else ()
+        self._tbl = jnp.asarray(self.xor.tables()) if self.xor else None
 
         self.probe_back = max(
             [t.probe_back for t in self.cw_tests]
-            + ([self.bloom.probe_back] if self.bloom else [])
+            + ([self.xor.probe_back] if self.xor else [])
             + ([4] if self.seqs else [0])
         )
         self.probe_fwd = max(
             [t.probe_fwd for t in self.cw_tests]
-            + ([self.bloom.probe_fwd] if self.bloom else [])
+            + ([self.xor.probe_fwd] if self.xor else [])
             + ([_seq_span(self.seqs) + 8] if self.seqs else [0])
         )
 
     @property
     def n_members(self) -> int:
         return (
-            len(self.cw_tests) + (1 if self.bloom else 0) + (1 if self.seqs else 0)
+            len(self.cw_tests) + (1 if self.xor else 0) + (1 if self.seqs else 0)
         )
 
     def bitmap(self, words2d):
@@ -289,7 +283,7 @@ class FusedEnsembleScanner:
             self._cw_tabs,
             self._tbl,
             self.cw_shapes,
-            self.levels,
+            self.xor_groups,
             self.seqs,
             tile_rows=self.tile_rows,
             interpret=self.interpret,
@@ -310,8 +304,8 @@ def np_fused_bitmap(words2d: np.ndarray, sc: FusedEnsembleScanner) -> np.ndarray
     for t in sc.cw_tests:
         b = np_core_word_bitmap(words2d, t)
         bm = b if bm is None else (bm.view(np.uint32) | b.view(np.uint32)).view(np.int32)
-    if sc.bloom:
-        b = np_bloom_bitmap(words2d, sc.bloom)
+    if sc.xor:
+        b = np_xor_bitmap(words2d, sc.xor)
         bm = b if bm is None else (bm.view(np.uint32) | b.view(np.uint32)).view(np.int32)
     if sc.seqs:
         b = np_classseq_bitmap(words2d, sc.seqs)

@@ -1,0 +1,295 @@
+"""XOR-filter core-word prefilter: the round-4 replacement for the
+bloom ensemble member on large literal batches.
+
+Same architectural slot as ops/pallas_bloom (hyperscan's literal-mass
+role for the 100-literal batch, /root/reference/README.md:63-92) but a
+fundamentally better test. The bloom member needs L≈5 independent
+4096-bit levels to reach fp≈1e-5 — ~35 VPU ops per int32 word — and
+its cost scales with log(1/fp). An XOR filter (Graf & Lemire 2019)
+answers exact set membership of the (literal, phase) core words with
+
+    T1[h1(x)] ^ T2[h2(x)] ^ T3[h3(x)] ^ T4[h4(x)] == x
+
+— 4 lane-gathers + 4 multiplies + 3 XORs + 1 compare ≈ 16 ops/word,
+with a false-positive rate of ~2^-32 per word (the fingerprint is the
+full 32-bit word), i.e. practically exact on random text. Fewer ops
+AND a ~27-bit better fp than bloom; candidates still verify on host
+as always, so adversarial corpora only cost replay time.
+
+Construction is 4-ary hypergraph peeling over 4 banks of 128 slots
+(one bank per gather row). 512 slots hold up to ~440 keys reliably
+(load 0.86 < the ~0.92 4-ary threshold); larger literal sets split
+into multiple independent filter groups of <= 384 keys, each costing
+one more 16-op test per word (vs the compare kernel's 8 ops per
+LITERAL per word, and bloom's 35 flat).
+
+Keys: one aligned core word per (literal, phase), exactly
+pallas_bloom._phase_words (needs len >= 7 so a full aligned int32
+lies inside the literal at every phase; shorter literals stay on the
+compare kernel). Output geometry and decode contract are identical to
+ops/pallas_corewords.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from grab_tpu.ops.pallas_bloom import _phase_words
+from grab_tpu.ops.pallas_corewords import (
+    LANES,
+    PAD_ROWS,
+    _bitmap_rows,
+    decode_packed_flags,
+    np_bitmap_rows,
+    packed_block_flags,
+)
+
+N_BANKS = 4
+BANK_SLOTS = LANES  # one 128-lane gather row per bank
+GROUP_KEYS = 384  # comfortable peeling load: 384/512 = 0.75
+
+# base odd multiplicative constants, salted per construction attempt
+_BASE_CONSTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+
+
+def _salted_consts(salt: int) -> Tuple[int, ...]:
+    # xor with an even salt keeps the constants odd (full-period
+    # multiplicative hashes)
+    return tuple((c ^ (salt * 0x9E3779B9 * 2)) & 0xFFFFFFFF for c in _BASE_CONSTS)
+
+
+def _hash_slots(x: int, consts) -> List[int]:
+    return [((x * c) & 0xFFFFFFFF) >> 25 for c in consts]
+
+
+def _peel(keys: List[int], consts) -> "np.ndarray | None":
+    """Assign bank tables so xor of each key's 4 slots equals the key.
+    Returns uint32 [4, 128] or None if peeling fails."""
+    # slot id = bank * 128 + h_bank(key)
+    occ: dict = {}
+    key_slots = []
+    for k in keys:
+        slots = [b * BANK_SLOTS + h for b, h in enumerate(_hash_slots(k, consts))]
+        key_slots.append(slots)
+        for s in slots:
+            occ.setdefault(s, set()).add(len(key_slots) - 1)
+    order = []  # (key_idx, owned_slot) in peel order
+    ready = [s for s, ks in occ.items() if len(ks) == 1]
+    peeled = [False] * len(keys)
+    while ready:
+        s = ready.pop()
+        ks = occ.get(s)
+        if not ks:
+            continue
+        (ki,) = ks
+        if peeled[ki]:
+            continue
+        peeled[ki] = True
+        order.append((ki, s))
+        for s2 in key_slots[ki]:
+            k2 = occ.get(s2)
+            if k2 is not None:
+                k2.discard(ki)
+                if len(k2) == 1:
+                    ready.append(s2)
+    if not all(peeled):
+        return None
+    # random-init all slots (so empty slots never xor to a plausible
+    # key like 0x00000000 — NUL runs are common in binary corpora),
+    # then back-substitute in reverse peel order
+    rng = np.random.default_rng(0xF117E4 ^ consts[0])
+    tbl = rng.integers(1, 1 << 32, size=N_BANKS * BANK_SLOTS, dtype=np.uint32)
+    for ki, owned in reversed(order):
+        acc = np.uint32(keys[ki])
+        for s in key_slots[ki]:
+            if s != owned:
+                acc ^= tbl[s]
+        tbl[owned] = acc
+    return tbl.reshape(N_BANKS, BANK_SLOTS)
+
+
+class XorWordTests:
+    """K literals -> XOR filter groups + decode slack.
+
+    ``groups``: list of (consts tuple, uint32 [4, 128] table); a word
+    is a candidate iff ANY group's xor-check passes.
+    """
+
+    def __init__(self, literals: Sequence[bytes]):
+        lits = [bytes(l) for l in literals]
+        assert lits and all(len(l) >= 7 for l in lits), "xor filter needs len>=7"
+        self.literals = lits
+        keys = set()
+        max_back = 0
+        maxlen = max(len(l) for l in lits)
+        for lit in lits:
+            for j, w in _phase_words(lit):
+                keys.add(w)
+                max_back = max(max_back, 4 * j + 3)
+        self.n_keys = len(keys)
+        key_list = sorted(keys)
+        self.groups: List[tuple] = []
+        for i in range(0, len(key_list), GROUP_KEYS):
+            chunk = key_list[i : i + GROUP_KEYS]
+            built = None
+            for salt in range(64):
+                consts = _salted_consts(salt)
+                tbl = _peel(chunk, consts)
+                if tbl is not None:
+                    built = (consts, tbl)
+                    break
+            if built is None:
+                # pathological chunk: split in half (always succeeds at
+                # low enough load; each half retries its own salts)
+                half = len(chunk) // 2
+                for sub in (chunk[:half], chunk[half:]):
+                    for salt in range(256):
+                        consts = _salted_consts(salt + 64)
+                        tbl = _peel(sub, consts)
+                        if tbl is not None:
+                            self.groups.append((consts, tbl))
+                            break
+                    else:
+                        raise RuntimeError("xor filter construction failed")
+                continue
+            self.groups.append(built)
+        self.probe_back = max_back + maxlen
+        self.probe_fwd = maxlen + 8
+
+    def tables(self) -> np.ndarray:
+        """int32 [n_groups, 4, 128] stacked bank tables."""
+        return np.stack([t for _, t in self.groups]).view(np.int32)
+
+    def consts(self) -> Tuple[Tuple[int, ...], ...]:
+        return tuple(c for c, _ in self.groups)
+
+    def member_np(self, words: np.ndarray) -> np.ndarray:
+        """Oracle membership test for uint32 word array."""
+        w = words.astype(np.uint64)
+        hit = np.zeros(words.shape, dtype=bool)
+        for consts, tbl in self.groups:
+            acc = np.zeros(words.shape, dtype=np.uint32)
+            for b, c in enumerate(consts):
+                h = ((w * c) & 0xFFFFFFFF).astype(np.uint32) >> np.uint32(25)
+                acc ^= tbl[b][h.astype(np.int64)]
+            hit |= acc == words.astype(np.uint32)
+        return hit
+
+
+def xor_member_test(x, tbl_ref, consts, tile_rows: int):
+    """Kernel fragment: bool [tile_rows, LANES] candidate test for one
+    filter group. ``x`` uint32 words; ``tbl_ref`` int32 [4, 128] (or a
+    ref slice); shared by the standalone kernel and the fused ensemble.
+    """
+    import jax.numpy as jnp
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc = None
+    for b in range(N_BANKS):
+        h = ((x * jnp.uint32(consts[b])) >> 25).astype(jnp.int32)
+        row = tbl_ref[b].reshape(1, LANES)
+        tb = jnp.broadcast_to(row, (tile_rows, LANES))
+        g = jnp.take_along_axis(tb, h, axis=1)
+        acc = g if acc is None else acc ^ g
+    return pltpu.bitcast(acc, jnp.uint32) == x
+
+
+def _build_kernel(consts_groups, tile_rows: int):
+    import jax.numpy as jnp
+
+    def kernel(tbl_ref, a_ref, bm_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        hit = None
+        for gi, consts in enumerate(consts_groups):
+            t = xor_member_test(x, tbl_ref[gi], consts, tile_rows)
+            hit = t if hit is None else jnp.logical_or(hit, t)
+        bm_ref[:] = _bitmap_rows(hit, tile_rows)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("consts_groups", "tile_rows", "interpret"))
+def xor_word_bitmap(
+    words2d,  # int32 [rows + PAD_ROWS, 128] (tail ignored)
+    tbl,  # int32 [n_groups, 4, 128]
+    consts_groups: Tuple[Tuple[int, ...], ...],
+    tile_rows: int = 2048,
+    interpret: bool = False,
+):
+    """→ row bitmap: int32 [rows/32, 128] (see pallas_corewords)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = words2d.shape[0] - PAD_ROWS
+    assert rows % tile_rows == 0, (rows, tile_rows)
+    assert tile_rows % 32 == 0, tile_rows
+    ntiles = rows // tile_rows
+    kernel = _build_kernel(consts_groups, tile_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows // 32, LANES), jnp.int32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tiny tables
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows // 32, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(tbl, words2d)
+
+
+def np_xor_bitmap(words2d: np.ndarray, tests: XorWordTests) -> np.ndarray:
+    """Numpy oracle for the kernel."""
+    rows = words2d.shape[0] - PAD_ROWS
+    x = words2d[:rows].view(np.uint32).reshape(rows, LANES)
+    return np_bitmap_rows(tests.member_np(x))
+
+
+class XorWordScanner:
+    """Host-facing wrapper, same contract as BloomWordScanner."""
+
+    def __init__(
+        self,
+        literals: Sequence[bytes],
+        tile_rows: int = 2048,
+        interpret: bool = False,
+    ):
+        import jax.numpy as jnp
+
+        self.tests = XorWordTests(literals)
+        self.tile_rows = tile_rows
+        self.interpret = interpret
+        self._tbl = jnp.asarray(self.tests.tables())
+
+    def bitmap(self, words2d):
+        return xor_word_bitmap(
+            words2d,
+            self._tbl,
+            self.tests.consts(),
+            tile_rows=self.tile_rows,
+            interpret=self.interpret,
+        )
+
+    def packed(self, words2d):
+        """→ (total int32, packed flag bits) on device."""
+        return packed_block_flags(self.bitmap(words2d))
+
+    def flags_np(self, packed, n_blocks: int) -> np.ndarray:
+        return decode_packed_flags(
+            packed,
+            n_blocks,
+            self.tests.probe_back,
+            self.tests.probe_fwd,
+        )

@@ -1,0 +1,128 @@
+"""XOR-filter core-word prefilter: construction exactness, kernel
+oracle equivalence, superset contract, and the near-zero FP budget
+that motivates replacing bloom (docs/BENCH round-4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grab_tpu.golden.scanner import literal_scan_starts
+from grab_tpu.ops.pallas_bloom import _phase_words
+from grab_tpu.ops.pallas_corewords import BLOCK, LANES, PAD_ROWS
+from grab_tpu.ops.pallas_xorfilter import (
+    XorWordScanner,
+    XorWordTests,
+    np_xor_bitmap,
+    xor_word_bitmap,
+)
+
+TR = 64
+N = 128 * 1024
+
+
+def mk_words(data: bytes) -> np.ndarray:
+    w = np.frombuffer(data, dtype="<i4").reshape(-1, LANES)
+    return np.concatenate([w, np.zeros((PAD_ROWS, LANES), "<i4")])
+
+
+def random_text(n, seed, needles=()):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(32, 127, size=n, dtype=np.uint8)
+    buf = bytearray(data.tobytes())
+    for pos, s in needles:
+        buf[pos : pos + len(s)] = s
+    return bytes(buf)
+
+
+def random_literals(k, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(k):
+        ln = int(rng.integers(7, 13))
+        out.append(bytes(rng.integers(33, 127, size=ln, dtype=np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 10, 100, 250])
+def test_construction_is_exact_on_keys(k):
+    """Every (literal, phase) core word must test positive — the
+    filter is an exact-membership structure, not probabilistic on
+    members."""
+    lits = random_literals(k, 31)
+    t = XorWordTests(lits)
+    keys = sorted(
+        {w for lit in lits for _j, w in _phase_words(lit)}
+    )
+    got = t.member_np(np.array(keys, dtype=np.uint32))
+    assert got.all()
+
+
+def test_random_word_fp_is_negligible():
+    t = XorWordTests(random_literals(100, 33))
+    rng = np.random.default_rng(0)
+    probe = rng.integers(0, 1 << 32, size=2_000_000, dtype=np.uint32)
+    keys = {w for lit in t.literals for _j, w in _phase_words(lit)}
+    fp = t.member_np(probe) & ~np.isin(probe, np.fromiter(keys, np.uint32))
+    # 2^-32 per group per word: expect ~0.0005 hits in 2M probes
+    assert fp.sum() <= 2
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_kernel_matches_numpy_oracle(k):
+    lits = random_literals(k, 21)
+    data = random_text(N, 7, [(1000 + 31 * i, l) for i, l in enumerate(lits[:20])])
+    w2d = mk_words(data)
+    t = XorWordTests(lits)
+    bm_np = np_xor_bitmap(w2d, t)
+    bm = xor_word_bitmap(
+        jnp.asarray(w2d),
+        jnp.asarray(t.tables()),
+        t.consts(),
+        tile_rows=TR,
+        interpret=True,
+    )
+    assert (np.asarray(bm) == bm_np).all()
+
+
+def test_superset_100_literals():
+    lits = random_literals(100, 3)
+    needles = [(997 + 517 * i + (i % 4), lits[i * 3 % 100]) for i in range(30)]
+    data = random_text(N, 5, needles)
+    sc = XorWordScanner(lits, tile_rows=TR, interpret=True)
+    total, packed = sc.packed(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(packed, N // BLOCK)
+    starts = literal_scan_starts(lits, data)
+    want = np.unique(np.nonzero(starts)[0] // BLOCK)
+    assert len(want) >= 25
+    missed = [b for b in want if not flags[b]]
+    assert not missed, missed
+
+
+def test_false_positive_blocks_near_zero():
+    """The bloom member budgeted 5% dirty blocks; the XOR filter's
+    fp ~2^-32 makes a clean corpus decode fully clean."""
+    lits = random_literals(100, 9)
+    data = random_text(N, 11)  # nothing planted
+    sc = XorWordScanner(lits, tile_rows=TR, interpret=True)
+    total, packed = sc.packed(jnp.asarray(mk_words(data)))
+    flags = sc.flags_np(packed, N // BLOCK)
+    assert flags.sum() == 0
+
+
+def test_groups_split_for_large_sets():
+    t = XorWordTests(random_literals(250, 13))
+    assert len(t.groups) >= 2
+    assert t.n_keys > 384
+
+
+def test_nul_word_not_member():
+    """All-zero words (NUL runs, common in binaries) must not pass:
+    unassigned slots are random-initialized, not zero."""
+    t = XorWordTests(random_literals(20, 17))
+    assert not t.member_np(np.zeros(4, dtype=np.uint32)).any()
+
+
+def test_short_literal_rejected():
+    with pytest.raises(AssertionError):
+        XorWordTests([b"abcdef"])  # len 6 < 7
