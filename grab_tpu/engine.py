@@ -486,8 +486,9 @@ class Engine:
             # in-buffer; cross-batch coverage comes from no-split
             # packing + forced full replay of oversize files (see
             # _dfa_tier_unbounded). Only stride-ineligible automata
-            # (fragmented classes, > 128 states) fall back to the
-            # host-exact scan.
+            # (> 512 states, or class/run capacity blown — the 16-bit
+            # wide tables widened this from 128 in round 4) fall back
+            # to the host-exact scan.
             from grab_tpu.scan_pipeline import HALO, DeviceScanner
 
             if DeviceScanner._alpha_eligible(cp.alpha_plan):

@@ -3,7 +3,7 @@ factor-less regexes.
 
 Patterns with no literal factor and no usable class sequence fall to
 the gather-DFA kernel, which is VPU-gather-bound at ~94 GB/s
-(ops/pallas_gatherdfa, tools/bench_dfa_variants.py). But EVERY
+(now ops/pallas_stridedfa's cls modes, tools/bench_dfa_variants.py). But EVERY
 automatable pattern admits one more necessary condition that needs no
 gathers at all: a match of byte-length >= L consists of L consecutive
 bytes that ALL belong to the pattern's match alphabet Π (the bytes

@@ -56,7 +56,7 @@ def test_exact_unbounded_device_served_and_identical():
     from grab_tpu.ops.pallas_stridedfa import StrideDfaScanner
 
     assert isinstance(eng_dev._get_scanner()._gdfa, StrideDfaScanner)
-    assert not eng_dev._get_scanner()._gdfa.halo_mode
+    assert not eng_dev._get_scanner()._gdfa.window_mode
 
     _, out_host = _run([PAT], payload, exact=True, device="none")
     assert out_dev == out_host

@@ -1,8 +1,9 @@
 """The union stride-DFA ensemble member (round 3): seq-routed patterns
 served by ONE k-byte-strided automaton walk instead of per-(seq, phase)
-range-test AND chains (scan_pipeline._StrideSeqMember). OPT-IN via
-GRAB_TPU_SEQDFA=1 — measured net loss on miss-heavy corpora (the
-member's transpose dominates), kept for hit-dense replay savings; see
+range-test AND chains (scan_pipeline._StrideSeqMember). Round 4 made
+it the DEFAULT for multi-seq batches and standalone class_seq mode —
+the tiled Pallas relayout removed the transpose penalty that kept it
+opt-in in round 3; GRAB_TPU_SEQDFA=0 forces it off for A/B runs; see
 _seq_scanner's docstring and docs/BENCH.md.
 
 Contract pinned here:
@@ -56,9 +57,9 @@ PLANTS = [
 
 def _flags(monkeypatch, member):
     if member:
-        monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")
+        monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)  # default on
     else:
-        monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)
+        monkeypatch.setenv("GRAB_TPU_SEQDFA", "0")
     cp = compile_multi(PATS)
     sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
     rng = np.random.default_rng(5)
@@ -85,7 +86,7 @@ def test_member_flags_sound_and_tighter(monkeypatch):
 
 
 def test_pure_seq_mode_uses_stride_member(monkeypatch):
-    monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")
+    monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)  # default on
     cp = compile_multi([rb"[0-9]{4}-[0-9]{2}-[0-9]{2}"])
     sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
     assert sc.mode == "class_seq"
@@ -100,7 +101,7 @@ def test_pure_seq_mode_uses_stride_member(monkeypatch):
 
 
 def test_unbounded_seq_keeps_classseq(monkeypatch):
-    monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")  # even opted in: unbounded subset
+    monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)  # unbounded subset
     cp = compile_multi([rb"[a-z]+[0-9]+[a-z]+"])
     sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
     assert not any(isinstance(s, _StrideSeqMember) for s in sc._cw_list)
@@ -124,9 +125,9 @@ def test_engine_identity_with_member(monkeypatch, n_shards):
 
     def run(member):
         if member:
-            monkeypatch.setenv("GRAB_TPU_SEQDFA", "1")
-        else:
             monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)
+        else:
+            monkeypatch.setenv("GRAB_TPU_SEQDFA", "0")
         cfg = EngineConfig(
             output=OutputConfig(recursive=True),
             scan_buf_size=2 << 20,

@@ -156,7 +156,7 @@ def _scanner_flags(pattern: bytes, buf: np.ndarray, buf_size: int):
 def test_scanner_threading_cross_stream_match():
     """Unbounded pattern whose only match spans a stream boundary: the
     threading fixpoint must carry the state across and flag the end."""
-    buf_size = N_STREAMS * 32  # minimum geometry: stride = 32 bytes
+    buf_size = N_STREAMS * 32  # minimum geometry: stride = 128 bytes
     buf = np.full(buf_size, ord(" "), dtype=np.uint8)
     # match a...digits...b crossing the byte-64 stream boundary
     start, end = 50, 77
@@ -164,7 +164,7 @@ def test_scanner_threading_cross_stream_match():
     buf[start + 1 : end] = ord("7")
     buf[end] = ord("b")
     sc, flags = _scanner_flags(rb"a[0-9]*b", buf, buf_size)
-    assert not sc.halo_mode
+    assert not sc.window_mode
     assert flags[end // 512] == 1
     # no-match corpus → no flags
     clean = np.full(buf_size, ord(" "), dtype=np.uint8)
@@ -185,15 +185,15 @@ def test_scanner_threading_long_chain():
     assert flags[end // 512] == 1
 
 
-def test_scanner_halo_mode_bounded():
-    """Bounded pattern stays on the single-pass halo layout and flags
-    matches that span a stream boundary (within the halo)."""
+def test_scanner_window_mode_bounded():
+    """Bounded pattern takes the single-pass main walk + boundary
+    window pass and flags matches that span a stream boundary."""
     buf_size = N_STREAMS * 32
     buf = np.full(buf_size, ord("x"), dtype=np.uint8)
     pos = 62  # [0-9]{5} crossing the byte-64 boundary
     buf[pos : pos + 5] = np.frombuffer(b"12345", dtype=np.uint8)
     sc, flags = _scanner_flags(rb"[0-9]{5}", buf, buf_size)
-    assert sc.halo_mode
+    assert sc.window_mode
     assert flags[: (pos + 5) // 512 + 1].any()
     clean = np.full(buf_size, ord("x"), dtype=np.uint8)
     bm = sc.packed(clean)
@@ -264,7 +264,8 @@ def test_cls_mode_kernel_and_scanner():
         _, want_exit = _golden_word_hits(cp.dfa, sb, int(entries[r, c]))
         assert int(ex_np[r, c]) == want_exit
 
-    # scanner end-to-end: match crossing a stream boundary (halo mode,
+    # scanner end-to-end: match crossing a stream boundary (window
+    # pass,
     # bounded len-3 pattern)
     buf_size = N_STREAMS * 32
     buf = np.full(buf_size, ord("b"), dtype=np.uint8)
@@ -283,10 +284,116 @@ def test_threading_round_cap_falls_back_to_all_flags(monkeypatch):
     monkeypatch.setattr(mod, "MAX_ROUNDS", 1)
     buf_size = N_STREAMS * 32
     buf = np.full(buf_size, ord(" "), dtype=np.uint8)
-    buf[50] = ord("a")
-    buf[51:77] = ord("7")
-    buf[77] = ord("b")  # needs round 2: entries != start after round 1
+    buf[100] = ord("a")
+    buf[101:180] = ord("7")  # digit run crossing the byte-128 stream
+    buf[180] = ord("b")  # boundary: entries != start after round 1
     cp = _dfa(rb"a[0-9]*b")
     sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=True)
     flags = sc.flags_np(sc.packed(buf), buf_size // 512)
     assert flags.sum() == buf_size // 512  # every block flagged
+
+
+# -- 16-bit wide-table modes (round 4: >128-state device service) -----------
+
+
+def test_plan_16bit_modes():
+    cp = _dfa(rb"[0-9]{200}")  # ~201 states, m=3 runs
+    assert cp.dfa.n_states > 128
+    assert stride_plan(cp.dfa) == ("run16", 1)
+    cp2 = _dfa(rb"[acegikmoqsuwy]{150}")  # fragmented classes, S>128
+    assert cp2.dfa.n_states > 128
+    assert stride_plan(cp2.dfa) == ("cls16", 1)
+
+
+@pytest.mark.parametrize(
+    "pattern", [rb"[0-9]{200}", rb"[acegikmoqsuwy]{150}"]
+)
+def test_16bit_oracle_matches_per_byte_walk(pattern):
+    cp = _dfa(pattern)
+    plan = stride_plan(cp.dfa)
+    assert plan[0] in ("run16", "cls16")
+    t = StrideDfaTables(cp.dfa, plan)
+    assert t.tab.shape[0] >= 2  # multi-row table in play
+    rng = np.random.default_rng(41)
+    n_words = 8
+    raw = rng.choice(
+        np.frombuffer(b"0123456789acegikmoqsuwy \n", dtype=np.uint8),
+        size=(n_words * STREAM_ROWS, LANES, 4),
+    ).astype(np.uint8)
+    w2d = np.ascontiguousarray(raw).view("<i4").reshape(
+        n_words * STREAM_ROWS, LANES
+    )
+    entries = rng.integers(
+        0, cp.dfa.n_states, (STREAM_ROWS, LANES), dtype=np.int32
+    )
+    bm, exits = np_stride_scan(w2d, t, entries)
+    for s in (0, 1, 255, 8191, N_STREAMS - 1):
+        r, c = divmod(s, LANES)
+        sb = np.empty(n_words * 4, dtype=np.uint8)
+        for g in range(n_words):
+            sb[g * 4 : (g + 1) * 4] = np.array(
+                [w2d[g * STREAM_ROWS + r, c]], dtype="<i4"
+            ).view(np.uint8)
+        want_hits, want_exit = _golden_word_hits(
+            cp.dfa, sb, int(entries[r, c])
+        )
+        assert int(exits[r, c]) == want_exit, s
+        for g in range(n_words):
+            row = g * STREAM_ROWS + r
+            got = bool(
+                (np.uint32(bm[row // 16, c]) >> np.uint32(row % 16)) & 1
+            )
+            assert got == want_hits[g], (s, g)
+
+
+@pytest.mark.parametrize(
+    "pattern", [rb"[0-9]{200}", rb"[acegikmoqsuwy]{150}"]
+)
+def test_16bit_kernel_matches_oracle(pattern):
+    import jax.numpy as jnp
+
+    cp = _dfa(pattern)
+    plan = stride_plan(cp.dfa)
+    t = StrideDfaTables(cp.dfa, plan)
+    rng = np.random.default_rng(43)
+    n_words = 8
+    raw = rng.choice(
+        np.frombuffer(b"0123456789acegikmoqsuwy \n", dtype=np.uint8),
+        size=(n_words * STREAM_ROWS, LANES, 4),
+    ).astype(np.uint8)
+    w2d = np.ascontiguousarray(raw).view("<i4").reshape(
+        n_words * STREAM_ROWS, LANES
+    )
+    entries = rng.integers(
+        0, cp.dfa.n_states, (STREAM_ROWS, LANES), dtype=np.int32
+    )
+    bm_np, ex_np = np_stride_scan(w2d, t, entries)
+    bm, ex = stride_dfa_scan(
+        jnp.asarray(w2d),
+        jnp.asarray(t.tab),
+        jnp.asarray(entries),
+        t.thresholds,
+        t.m,
+        t.k,
+        mode=t.mode,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(bm), bm_np)
+    assert np.array_equal(np.asarray(ex), ex_np)
+
+
+def test_16bit_scanner_threading_long_match():
+    """A 200-digit match spanning a stream boundary: the >128-state
+    automaton runs device-side with exact threading (previously
+    host-only, VERDICT r3 item 3)."""
+    buf_size = N_STREAMS * 32
+    buf = np.full(buf_size, ord(" "), dtype=np.uint8)
+    start = 500  # stride is 32: the match spans ~7 stream boundaries
+    buf[start : start + 200] = ord("5")
+    cp = _dfa(rb"[0-9]{200}")
+    sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=True)
+    assert not sc.window_mode  # 200 > HALO-8: threading fixpoint path
+    flags = sc.flags_np(sc.packed(buf), buf_size // 512)
+    end_block = (start + 199) // 512
+    assert flags[end_block] == 1
+    assert flags.sum() <= 4  # tight candidates, not all-flags

@@ -1,0 +1,198 @@
+"""Round-4 experiment 3: MXU-based 128x128 int32 tile transpose.
+
+The VPU in-kernel transpose costs ~190 GB/s-equivalent and serializes
+with the DFA chain (exp2: G4 interleave only reached 94 GB/s). The MXU
+is idle during the walk. x^T = dot_general(x, I, contract dim0·dim0);
+int32 exactness via 16-bit half split (two f32 matmuls, values <= 65535
+are exact in f32). Variants:
+
+  mxu_transcopy   full relayout pass (read + write)      -> plan B rate
+  vpu_transcopy   same shapes, jnp.transpose             -> baseline 137
+  mxu_walk_G4     natural-layout walk, MXU transpose,
+                  4 interleaved stream-group chains      -> plan A rate
+  mxu_walk_G2/G6  VMEM/ILP trade points
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from axon_timing import make_stack, measure
+
+MB = 256
+N_WORDS = (MB << 20) // 4
+ROWS = N_WORDS // 128
+
+
+def mxu_T(x):
+    """(128,128) int32 -> exact transpose via two f32 MXU dots."""
+    eye = jnp.eye(128, dtype=jnp.float32)
+    lo = (x & 0xFFFF).astype(jnp.float32)
+    hi = ((x >> 16) & 0xFFFF).astype(jnp.float32)
+    dn = (((0,), (0,)), ((), ()))
+    loT = jax.lax.dot_general(lo, eye, dn, preferred_element_type=jnp.float32)
+    hiT = jax.lax.dot_general(hi, eye, dn, preferred_element_type=jnp.float32)
+    return loT.astype(jnp.int32) | (hiT.astype(jnp.int32) << 16)
+
+
+def group_T(x, R):
+    """(R*128, 128) int32 natural block -> (128*R, 128) stream-major
+    (row w*R + i = word w of streams in band i), via R MXU tile
+    transposes."""
+    outs = [mxu_T(x[i * 128 : (i + 1) * 128]) for i in range(R)]
+    t = jnp.stack(outs, axis=1)  # [w, band, lane]
+    return t.reshape(R * 128, 128)
+
+
+P = 2048
+G = ROWS // P
+
+
+def k_mxu_transcopy(x_ref, o_ref):
+    o_ref[:] = group_T(x_ref[:], P // 128)
+
+
+def k_vpu_transcopy(x_ref, o_ref):
+    t = jnp.transpose(x_ref[:].reshape(P // 128, 128, 128), (2, 0, 1))
+    o_ref[:] = t.reshape(P, 128)
+
+
+def mk_copy(kernel):
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.int32),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((P, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (P, 128), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        )(x)
+
+    return run
+
+
+def build_walk(NG):
+    R = P // 128  # 16
+    S_w = N_WORDS // (NG * P)
+    GW = S_w // 128
+
+    def kernel(*refs):
+        x_refs = refs[:NG]
+        o_refs = refs[NG : 2 * NG]
+        s_refs = refs[2 * NG :]
+        g = pl.program_id(0)
+        for i in range(NG):
+            @pl.when(g == 0)
+            def _(i=i):
+                s_refs[i][:] = jnp.zeros((R, 128), jnp.int32)
+
+        H = jnp.uint32(0x80808080)
+        L7 = jnp.uint32(0x7F7F7F7F)
+        L1 = 0x01010101
+        C = jnp.uint32(1 | (3 << 8) | (9 << 16) | (27 << 24))
+        trans = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1), (R, 128)
+        )
+
+        ts = []
+        qs = []
+        for i in range(NG):
+            t3 = jnp.stack(
+                [mxu_T(x_refs[i][b * 128 : (b + 1) * 128]) for b in range(R)],
+                axis=1,
+            )  # [w, band, lane]
+            ts.append(t3)
+            x = pltpu.bitcast(t3, jnp.uint32)
+            a1 = (((x & L7) + jnp.uint32(70 * L1)) | x) & H
+            a2 = (((x & L7) + jnp.uint32(60 * L1)) | x) & H
+            acc = (a1 >> jnp.uint32(7)) + (a2 >> jnp.uint32(7))
+            qs.append(((acc * C) >> jnp.uint32(24)).astype(jnp.int32))
+
+        states = [s_refs[i][:] for i in range(NG)]
+        bms = [jnp.zeros((R, 128), jnp.int32) for _ in range(NG)]
+        for w in range(128):
+            for i in range(NG):
+                idx = states[i] * 4 + (qs[i][w] & 3)
+                wv = jnp.take_along_axis(trans, (idx >> 2) & 127, axis=1)
+                e = (wv >> ((idx & 3) << 3)) & 0xFF
+                states[i] = e & 0x7F
+                bms[i] = bms[i] | jnp.where(
+                    e >= 128, jnp.int32(1) << (w % 31), 0
+                )
+        for i in range(NG):
+            s_refs[i][:] = states[i]
+            o_refs[i][:] = bms[i]
+
+    @jax.jit
+    def run(xw):
+        a = xw.reshape(NG, P, S_w)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((GW * R, 128), jnp.int32)
+                for _ in range(NG)
+            ),
+            grid=(GW,),
+            in_specs=[
+                pl.BlockSpec((P, 128), lambda g: (0, g), memory_space=pltpu.VMEM)
+                for _ in range(NG)
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((R, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+                for _ in range(NG)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, 128), jnp.int32) for _ in range(NG)
+            ],
+        )(*[a[i].reshape(P, S_w) for i in range(NG)])
+        return outs[0]
+
+    return run
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    base = jax.jit(
+        lambda k: jax.random.randint(k, (ROWS, 128), 32, 127, dtype=jnp.int32)
+    )(key)
+    base.block_until_ready()
+    print(f"corpus {MB} MB on device", flush=True)
+    stack = make_stack(base, 12)
+    nbytes = ROWS * 128 * 4
+
+    for name, fn in [
+        ("mxu_transcopy", mk_copy(k_mxu_transcopy)),
+        ("vpu_transcopy", mk_copy(k_vpu_transcopy)),
+        ("mxu_walk_G2", build_walk(2)),
+        ("mxu_walk_G4", build_walk(4)),
+        ("mxu_walk_G6", build_walk(6)),
+    ]:
+        try:
+            t0 = time.time()
+            fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled in {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(
+                f"{name}: {nbytes/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)",
+                flush=True,
+            )
+        except Exception as e:
+            print(
+                f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Round-4 experiment 5: 1 GiB reruns of the split/W variants (256 MB
+differences are below the tunnel-jitter floor for fast kernels).
+Includes a jnp.sum roofline reference to sanity-check the protocol."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+import jax.numpy as jnp
+
+from axon_timing import make_stack, measure
+
+import exp_split_chain as E
+
+E.MB = 1024
+E.N_WORDS = (E.MB << 20) // 4
+E.ROWS = E.N_WORDS // 128
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    base = jax.jit(
+        lambda k: jax.random.randint(
+            k, (E.ROWS, 128), 32, 127, dtype=jnp.int32
+        )
+    )(key)
+    base.block_until_ready()
+    print(f"corpus {E.MB} MB on device", flush=True)
+    stack = make_stack(base, 10)
+    nbytes = E.ROWS * 128 * 4
+
+    for name, fn in [
+        ("roofline_sum", jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32).reshape(1, 1))),
+        ("base_w8", E.build(8, 1)),
+        ("base_w16", E.build(16, 1)),
+        ("split2_w16", E.build(16, 2)),
+        ("split4_w16", E.build(16, 4)),
+        ("base_w32", E.build(32, 1)),
+        ("trans_then_base", E.build_trans_then_base()),
+    ]:
+        try:
+            t0 = time.time()
+            fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled in {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(
+                f"{name}: {nbytes/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)",
+                flush=True,
+            )
+        except Exception as e:
+            print(
+                f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

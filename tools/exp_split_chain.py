@@ -1,0 +1,175 @@
+"""Round-4 experiment 4: split-chain ILP inside the PRE-TRANSPOSED
+stride kernel (the production 467 GB/s quad walker).
+
+The walk is part latency-bound (~123 cycles per 64 KiB link vs ~50
+cycles of pure ALU throughput). Splitting the (128,128) state into S
+independent stream-bands gives S chains in flight. Variants:
+
+  base_w8          current kernel shape (W=8, one chain)  ~467
+  split2_w8        two (64,128) chains
+  split4_w8        four (32,128) chains
+  split2_w16       two chains, 16 words unrolled
+  trans_then_base  tiled VPU transpose pass + base kernel chained
+                   (plan-B end-to-end rate)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from axon_timing import make_stack, measure
+
+MB = 256
+N_WORDS = (MB << 20) // 4
+ROWS = N_WORDS // 128  # transposed geometry rows
+
+
+def build(W, SPLIT):
+    """Quad-stride walk on transposed geometry (row w*128+r), m=3,
+    mk=81-ish prototype with table row broadcast; SPLIT chains."""
+    B = 128 // SPLIT  # band rows per chain
+
+    def kernel(entry_ref, a_ref, bm_ref, exit_ref, state_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            state_ref[:] = entry_ref[:]
+
+        H = jnp.uint32(0x80808080)
+        L7 = jnp.uint32(0x7F7F7F7F)
+        L1 = 0x01010101
+        C = jnp.uint32(1 | (3 << 8) | (9 << 16) | (27 << 24))
+        trans_full = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1), (B, 128)
+        )
+        states = [
+            state_ref[s * B : (s + 1) * B] for s in range(SPLIT)
+        ]
+        for w in range(W):
+            x = pltpu.bitcast(
+                a_ref[w * 128 : (w + 1) * 128], jnp.uint32
+            )
+            a1 = (((x & L7) + jnp.uint32(70 * L1)) | x) & H
+            a2 = (((x & L7) + jnp.uint32(60 * L1)) | x) & H
+            acc = (a1 >> jnp.uint32(7)) + (a2 >> jnp.uint32(7))
+            q = ((acc * C) >> jnp.uint32(24)).astype(jnp.int32)
+            hits = []
+            for s in range(SPLIT):
+                qs = q[s * B : (s + 1) * B]
+                idx = states[s] * 4 + (qs & 3)
+                wv = jnp.take_along_axis(trans_full, (idx >> 2) & 127, axis=1)
+                e = (wv >> ((idx & 3) << 3)) & 0xFF
+                states[s] = e & 0x7F
+                hits.append(e >= 128)
+            hit = jnp.concatenate(hits, axis=0)
+            pw = jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (1, 16, 128), 1
+            )
+            h3 = hit.reshape(8, 16, 128)
+            bm_ref[w * 8 : (w + 1) * 8] = jnp.sum(
+                jnp.where(h3, pw, 0), axis=1
+            )
+        st = jnp.concatenate(states, axis=0)
+        state_ref[:] = st
+        exit_ref[:] = st
+
+    @jax.jit
+    def run(w2d):
+        n_steps = ROWS // (128 * W)
+        entries = jnp.zeros((128, 128), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((ROWS // 16, 128), jnp.int32),
+                jax.ShapeDtypeStruct((128, 128), jnp.int32),
+            ),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((128, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (128 * W, 128), lambda g: (g, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (128 * W // 16, 128), lambda g: (g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((128, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((128, 128), jnp.int32)],
+        )(entries, w2d)[0]
+
+    return run
+
+
+def k_vpu_transcopy(x_ref, o_ref):
+    t = jnp.transpose(x_ref[:].reshape(16, 128, 128), (2, 0, 1))
+    o_ref[:] = t.reshape(2048, 128)
+
+
+def build_trans_then_base():
+    walk = build(8, 1)
+
+    @jax.jit
+    def run(x):
+        t = pl.pallas_call(
+            k_vpu_transcopy,
+            out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.int32),
+            grid=(ROWS // 2048,),
+            in_specs=[
+                pl.BlockSpec((2048, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (2048, 128), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        )(x)
+        return walk(t)
+
+    return run
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    base = jax.jit(
+        lambda k: jax.random.randint(k, (ROWS, 128), 32, 127, dtype=jnp.int32)
+    )(key)
+    base.block_until_ready()
+    print(f"corpus {MB} MB on device", flush=True)
+    stack = make_stack(base, 12)
+    nbytes = ROWS * 128 * 4
+
+    for name, fn in [
+        ("base_w8", build(8, 1)),
+        ("split2_w8", build(8, 2)),
+        ("split4_w8", build(8, 4)),
+        ("split2_w16", build(16, 2)),
+        ("split4_w16", build(16, 4)),
+        ("trans_then_base", build_trans_then_base()),
+    ]:
+        try:
+            t0 = time.time()
+            fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled in {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(
+                f"{name}: {nbytes/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)",
+                flush=True,
+            )
+        except Exception as e:
+            print(
+                f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Round-4 experiment: can the stride-DFA kernel read NATURAL-layout
+corpus and transpose tiles in VMEM, killing the ~64 GB/s XLA
+relayout pass (VERDICT r3 item 1)?
+
+Measures, with the honest differencing protocol (tools/axon_timing):
+
+  copy       (2048,128) block copy                -> r+w reference
+  sumread    weighted block reduce                 -> pure-read + ~3 ops
+  transread  same but through a (16,128,128)->(2,0,1) in-VMEM transpose
+             (weights applied AFTER transpose so it cannot be elided)
+  transcopy  full tiled transpose write-out        -> the 2-pass plan B
+
+If transread ~ sumread, the scan kernel can fold the relayout in for
+free (plan A: single HBM pass). If Mosaic refuses the transpose
+lowering, fall back to plan B (tiled transpose kernel, ceiling ~273).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from axon_timing import make_stack, measure
+
+MB = 256
+N_WORDS = (MB << 20) // 4
+ROWS = N_WORDS // 128  # 524288
+P = 2048  # stream-rows per block
+G = ROWS // P  # 256 grid steps
+
+
+def k_copy(x_ref, o_ref):
+    o_ref[:] = x_ref[:]
+
+
+def k_sumread(x_ref, o_ref):
+    w = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    r = (x_ref[:] * w).reshape(P // 8, 8, 128)
+    o_ref[:] = jnp.sum(r, axis=0)
+
+
+def k_transread(x_ref, o_ref):
+    t = jnp.transpose(x_ref[:].reshape(16, 128, 128), (2, 0, 1))
+    t2 = t.reshape(P, 128)
+    w = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    r = (t2 * w).reshape(P // 8, 8, 128)
+    o_ref[:] = jnp.sum(r, axis=0)
+
+
+def k_transcopy(x_ref, o_ref):
+    t = jnp.transpose(x_ref[:].reshape(16, 128, 128), (2, 0, 1))
+    o_ref[:] = t.reshape(P, 128)
+
+
+def mk(kernel, out_rows, accum=False):
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (G * out_rows, 128), jnp.int32
+            ),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((P, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        )(x)
+
+    return run
+
+
+def k_walk(x_ref, o_ref, s_ref):
+    """Prototype natural-geometry DFA walk: transpose the block, then
+    128 sequential word-steps on (16,128) vregs with a SWAR-ish cost
+    model (2 thresholds + mul + gather + extract + accept)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        s_ref[:] = jnp.zeros((16, 128), jnp.int32)
+
+    t = jnp.transpose(x_ref[:].reshape(16, 128, 128), (2, 0, 1))
+    state = s_ref[:]
+    trans = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1), (16, 128)
+    )
+    H = jnp.uint32(0x80808080)
+    L7 = jnp.uint32(0x7F7F7F7F)
+    L1 = 0x01010101
+    acc_bm = jnp.zeros((16, 128), jnp.int32)
+    for w in range(128):
+        x = pltpu.bitcast(t[w], jnp.uint32)
+        a1 = (((x & L7) + jnp.uint32(70 * L1)) | x) & H
+        a2 = (((x & L7) + jnp.uint32(60 * L1)) | x) & H
+        acc = (a1 >> jnp.uint32(7)) + (a2 >> jnp.uint32(7))
+        C = jnp.uint32(1 | (3 << 8) | (9 << 16) | (27 << 24))
+        q = ((acc * C) >> jnp.uint32(24)).astype(jnp.int32)
+        idx = state * 4 + (q & 3)
+        wv = jnp.take_along_axis(trans, (idx >> 2) & 127, axis=1)
+        e = (wv >> ((idx & 3) << 3)) & 0xFF
+        state = e & 0x7F
+        acc_bm = acc_bm | jnp.where(e >= 128, jnp.int32(1) << (w % 31), 0)
+    s_ref[:] = state
+    o_ref[:] = acc_bm
+
+
+def mk_walk():
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            k_walk,
+            out_shape=jax.ShapeDtypeStruct((G * 16, 128), jnp.int32),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((P, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (16, 128), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32)],
+        )(x)
+
+    return run
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    base = jax.jit(
+        lambda k: jax.random.randint(
+            k, (ROWS, 128), 32, 127, dtype=jnp.int32
+        )
+    )(key)
+    base.block_until_ready()
+    print(f"corpus {MB} MB on device", flush=True)
+    stack = make_stack(base, 12)
+    nbytes = ROWS * 128 * 4
+
+    for name, fn in [
+        ("copy", mk(k_copy, P)),
+        ("sumread", mk(k_sumread, 8)),
+        ("transread", mk(k_transread, 8)),
+        ("transcopy", mk(k_transcopy, P)),
+        ("walk", mk_walk()),
+    ]:
+        try:
+            t0 = time.time()
+            fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled in {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(f"{name}: {nbytes/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:500]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

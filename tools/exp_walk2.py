@@ -1,0 +1,175 @@
+"""Round-4 experiment 2: natural-layout stride walk, group-interleaved.
+
+The chain state -> take -> state is LATENCY-bound (~100 cycles per
+link at any width: old kernel 467 GB/s @ 64 KiB links == exp1 walk
+78.5 GB/s @ 8 KiB links). So: run N_G independent stream-group chains
+interleaved in ONE kernel body (ILP), precompute the SWAR run indices
+for the whole block OUTSIDE the chain, and fold the stream-major
+transpose into the kernel (validated: Mosaic lowers (16,128,128)
+(2,0,1) permutes; exp1 shows its cost hides under chain stalls).
+
+Variants: (P streams/group, N_G groups). VMEM block footprint =
+N_G * P * 512 B; Mosaic rejects oversubscription.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from axon_timing import make_stack, measure
+
+MB = 256
+N_WORDS = (MB << 20) // 4
+ROWS = N_WORDS // 128  # total natural rows
+
+
+def build(P, NG, hoist_q=True, premult=False):
+    """Walk kernel: NG groups of P streams; each grid step walks 128
+    words of every stream. m=3 runs, k=4 quad stride (mk=81)."""
+    R = P // 128  # sublane rows per group state
+    GRID = ROWS // (P * NG)  # word-step majors per stream... see below
+    # geometry: view corpus as (NG*P, S_w) streams; S_w = ROWS*128/(NG*P)
+    S_w = N_WORDS // (NG * P)
+    GW = S_w // 128  # word-block steps
+
+    mk = 81
+
+    def kernel(*refs):
+        x_refs = refs[:NG]
+        o_refs = refs[NG : 2 * NG]
+        s_refs = refs[2 * NG :]
+        g = pl.program_id(0)
+
+        for i in range(NG):
+            @pl.when(g == 0)
+            def _(i=i):
+                s_refs[i][:] = jnp.zeros((R, 128), jnp.int32)
+
+        H = jnp.uint32(0x80808080)
+        L7 = jnp.uint32(0x7F7F7F7F)
+        L1 = 0x01010101
+        C = jnp.uint32(1 | (3 << 8) | (9 << 16) | (27 << 24))
+
+        trans = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1), (R, 128)
+        )
+
+        qs = []
+        ts = []
+        for i in range(NG):
+            t = jnp.transpose(
+                x_refs[i][:].reshape(R, 128, 128), (2, 0, 1)
+            )  # [w, r, lane]
+            ts.append(t)
+            if hoist_q:
+                x = pltpu.bitcast(t, jnp.uint32)
+                a1 = (((x & L7) + jnp.uint32(70 * L1)) | x) & H
+                a2 = (((x & L7) + jnp.uint32(60 * L1)) | x) & H
+                acc = (a1 >> jnp.uint32(7)) + (a2 >> jnp.uint32(7))
+                q = ((acc * C) >> jnp.uint32(24)).astype(jnp.int32)
+                qs.append(q)
+
+        states = [s_refs[i][:] for i in range(NG)]
+        bms = [jnp.zeros((R, 128), jnp.int32) for _ in range(NG)]
+        for w in range(128):
+            for i in range(NG):
+                if hoist_q:
+                    q = qs[i][w]
+                else:
+                    x = pltpu.bitcast(ts[i][w], jnp.uint32)
+                    a1 = (((x & L7) + jnp.uint32(70 * L1)) | x) & H
+                    a2 = (((x & L7) + jnp.uint32(60 * L1)) | x) & H
+                    acc = (a1 >> jnp.uint32(7)) + (a2 >> jnp.uint32(7))
+                    q = ((acc * C) >> jnp.uint32(24)).astype(jnp.int32)
+                if premult:
+                    idx = states[i] + (q & 3)
+                else:
+                    idx = states[i] * 4 + (q & 3)
+                wv = jnp.take_along_axis(trans, (idx >> 2) & 127, axis=1)
+                e = (wv >> ((idx & 3) << 3)) & 0xFF
+                states[i] = e & 0x7F
+                bms[i] = bms[i] | jnp.where(
+                    e >= 128, jnp.int32(1) << (w % 31), 0
+                )
+        for i in range(NG):
+            s_refs[i][:] = states[i]
+            o_refs[i][:] = bms[i]
+
+    @jax.jit
+    def run(xw):
+        a = xw.reshape(NG, P, S_w)  # group i, stream j, word w
+
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((GW * (P // 128), 128), jnp.int32)
+                for _ in range(NG)
+            ),
+            grid=(GW,),
+            in_specs=[
+                pl.BlockSpec(
+                    (P, 128), lambda g: (0, g), memory_space=pltpu.VMEM
+                )
+                for _ in range(NG)
+            ],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (P // 128, 128), lambda g: (g, 0), memory_space=pltpu.VMEM
+                )
+                for _ in range(NG)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((P // 128, 128), jnp.int32) for _ in range(NG)
+            ],
+        )(*[a[i].reshape(P, S_w) for i in range(NG)])
+        return outs[0]
+
+    return run
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    base = jax.jit(
+        lambda k: jax.random.randint(k, (ROWS, 128), 32, 127, dtype=jnp.int32)
+    )(key)
+    base.block_until_ready()
+    print(f"corpus {MB} MB on device", flush=True)
+    stack = make_stack(base, 12)
+    nbytes = ROWS * 128 * 4
+
+    variants = [
+        ("P2048xG1", 2048, 1, True, False),
+        ("P2048xG4", 2048, 4, True, False),
+        ("P2048xG8", 2048, 8, True, False),
+        ("P4096xG4", 4096, 4, True, False),
+        ("P2048xG4_noq", 2048, 4, False, False),
+        ("P2048xG8_premult", 2048, 8, True, True),
+        ("P8192xG2", 8192, 2, True, False),
+    ]
+    for name, P, NG, hq, pm in variants:
+        try:
+            fn = build(P, NG, hq, pm)
+            t0 = time.time()
+            fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled in {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(
+                f"{name}: {nbytes/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)",
+                flush=True,
+            )
+        except Exception as e:
+            print(
+                f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

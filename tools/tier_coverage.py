@@ -62,6 +62,15 @@ BATTERY = [
     rb"(a+)b\1",
     # lookahead (host verify path)
     rb"foo(?=bar)",
+    # round-4 PCRE surface: \p properties, conditionals
+    rb"\p{Lu}\p{Ll}+",
+    rb"(<)?\w{3}(?(1)>)",
+    # >128-state automata: 16-bit wide stride tables (round 4; these
+    # were host-only before, and the 129-512-state small-run family
+    # was the retired gather-DFA's residual eligibility — ADVICE r3)
+    rb"[0-9]{200}",
+    rb"[acegikmoqsuwy]{150}",
+    rb"(?:[0-9]{120}x){2}[0-9]{60}",  # ~300 states, bounded
 ]
 
 
@@ -91,7 +100,7 @@ def classify(pat: bytes, buf_size: int):
             mode = "stride-dfa"
             d = (
                 f"plan=({t.mode},{t.k}) states={t.n_states} m={t.m} "
-                f"{'halo' if g.halo_mode else 'threaded'}"
+                f"{'window' if g.window_mode else 'threaded'}"
             )
         else:
             mode = "gather-dfa"
@@ -127,6 +136,11 @@ def exact_tier(pat: bytes):
 
 
 def main():
+    import jax
+
+    # report planning only — never touch the real TPU (a second axon
+    # client contends with any live bench, axon-tpu-backend-quirks)
+    jax.config.update("jax_platforms", "cpu")
     buf_size = 32 << 20
     if "--buf-size" in sys.argv:
         buf_size = int(sys.argv[sys.argv.index("--buf-size") + 1])
