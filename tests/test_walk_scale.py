@@ -74,16 +74,19 @@ def test_engine_walk_uses_native_and_output_identical(tmp_path):
 
 
 def test_host_entries_stripes_stats(tmp_path):
-    """VERDICT r2 item 5b done-criterion: each host stats O(total/H)."""
+    """VERDICT r2 item 5b done-criterion: each host stats O(total/H)
+    (striping logic; the walk-once broadcast is pinned by the
+    2-process test below)."""
     from grab_tpu.parallel.hostrun import host_entries
 
     root = _tree(tmp_path)
-    total = len(list(walk_names(str(root))))
+    all_names = list(walk_names(str(root)))
+    total = len(all_names)
     H = 4
     seen = {}
     stat_counts = []
     for h in range(H):
-        mine, n_stats = host_entries(str(root), h, H)
+        mine, n_stats = host_entries(str(root), h, H, names=all_names)
         stat_counts.append(n_stats)
         assert n_stats == len(mine)  # no extra stats beyond the stripe
         assert n_stats <= -(-total // H)
@@ -106,25 +109,84 @@ sys.path.insert(0, sys.argv[4])
 pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 from grab_tpu.parallel import multihost, hostrun
 multihost.init_distributed(f"127.0.0.1:{port}", n, pid)
-hostrun.GATHER_CHUNK = 4096  # force many rounds
+multihost._KV_CHUNK = 4096  # force many chunks
 # ragged payloads: host 1's blob is ~24x host 0's
 pieces = [(i * n + pid, bytes([65 + pid]) * (1000 * (1 + pid * 23) + i))
           for i in range(4)]
-merged = hostrun._gather_pieces(pieces, n)
-assert merged is not None
-idxs = [i for i, _ in merged]
-assert idxs == sorted(idxs) and len(merged) == 4 * n
-for i, buf in merged:
-    host = i % n
-    assert buf == bytes([65 + host]) * (1000 * (1 + host * 23) + i // n)
+merged = hostrun._gather_pieces(pieces, pid, n)
+if pid != 0:
+    # root-only gather: non-root hosts receive NO payload bytes
+    assert merged == [], merged
+else:
+    assert merged is not None
+    idxs = [i for i, _ in merged]
+    assert idxs == sorted(idxs) and len(merged) == 4 * n
+    for i, buf in merged:
+        host = i % n
+        assert buf == bytes([65 + host]) * (1000 * (1 + host * 23) + i // n)
 print("GATHER_OK", flush=True)
 """
 
 
+WALK_ONCE_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[5])
+pid, n, port, root = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+from grab_tpu.parallel import multihost, hostrun
+from grab_tpu.ingest import native
+from grab_tpu.ingest import walker
+if pid != 0:
+    # the cluster walks ONCE (main.cc:175-178): a non-root host that
+    # readdirs anything is a regression
+    def _boom(*a, **k):
+        raise AssertionError("non-root host walked the tree")
+    native.walk_names_native = _boom
+    walker.walk_names = _boom
+    hostrun.walk_names = _boom
+multihost.init_distributed(f"127.0.0.1:{port}", n, pid)
+mine, n_stats = hostrun.host_entries(root, pid, n)
+assert all(g % n == pid for g, _, _ in mine)
+assert n_stats == len(mine) > 0
+print("WALKED", n_stats, flush=True)
+"""
+
+
+def test_walk_once_two_processes(tmp_path):
+    """Round-4 (VERDICT r3 item 6): host 0 walks once and broadcasts
+    the index list over the coordinator KV store; non-root hosts do
+    ZERO readdir work."""
+    root = _tree(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WALK_ONCE_WORKER, str(pid), "2",
+             str(port), str(root), REPO],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    total = 0
+    for p in procs:
+        out, err = p.communicate(timeout=150)
+        assert p.returncode == 0, err.decode()[-2000:]
+        assert b"WALKED" in out
+        total += int(out.split(b"WALKED")[1].split()[0])
+    assert total == len(list(walk_names(str(root))))
+
+
 def test_chunked_gather_multi_round_two_processes(tmp_path):
-    """Payloads far beyond one GATHER_CHUNK round-trip exactly through
-    the bounded-round gather (the round-2 version padded every host to
-    the global max in one shot and hard-capped at 64 MB)."""
+    """Payloads far beyond one KV chunk round-trip exactly through the
+    point-to-root gather; non-root hosts receive no payload (VERDICT
+    r3 item 6)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
