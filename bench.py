@@ -298,24 +298,39 @@ def secondary_metrics():
     ]
     cpseq = compile_multi(regex10)
     assert cpseq.seq_dfa is not None and cpseq.seq_max_len is not None
+    # the member runs at the production 32 MiB buffer geometry (its
+    # relayout rate depends on the stream stride; see stridedfa_e2e)
+    mbuf = 32 << 20
     member = _StrideSeqMember(
         cpseq.seq_dfa,
         cpseq.seq_max_len,
-        n,
+        mbuf,
         jax.default_backend() == "cpu",
     )
+    mrun = member.sc.traceable_run
+    msw = member.sc.stride // 4
+    from grab_tpu.ops.pallas_stridedfa import N_STREAMS as _NS
+
+    def member_total(x):
+        a = x[:rows].reshape(n // mbuf * _NS, msw)
+        acc = jnp.int32(0)
+        for i in range(n // mbuf):
+            bm, _n_, _c = mrun(a[i * _NS : (i + 1) * _NS].reshape(-1))
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc
+
     fsc = FusedEnsembleScanner(lits100, None, tile_rows=1024)
     emit(
         "fused_ensemble_bytes_per_sec",
         measure(
-            lambda x: fsc.packed(x)[0] + member.packed(x)[0], stack
+            jax.jit(lambda x: fsc.packed(x)[0] + member_total(x)), stack
         ),
     )
 
     dt_f = measure(lambda x: fsc.bitmap(x), stack)
     emit("fused_lits100_bytes_per_sec", dt_f)
 
-    dt_s = measure(lambda x: member.packed(x)[0], stack)
+    dt_s = measure(jax.jit(lambda x: member_total(x).reshape(1, 1)), stack)
     emit("seqdfa10_bytes_per_sec", dt_s)
 
     # the retired all-in-one alternative (seq AND chains inside the
@@ -360,14 +375,31 @@ def secondary_metrics():
     )
     from grab_tpu.regex.compiler import compile_multi
 
-    g_rows = (rows // (STREAM_ROWS * W)) * STREAM_ROWS * W
-    gstack = make_stack(w[:g_rows], 12)  # device slice: no host copy
+    # 1 GiB stacks for the stride metrics (VERDICT r3 weak 3: 256 MB
+    # differences for these fast kernels sit inside the ~20 ms
+    # round-trip jitter — captured values swung 325-944 GB/s; at
+    # 1 GiB x 8 the 4-scan difference is ~7 ms of real signal)
+    del stack  # release the 3 GB 256 MB stack first
+    g_mb = 1024
+    g_rows_all = (g_mb << 20) // (4 * LANES)
+    wg = device_corpus_words(g_rows_all, PAD_ROWS, seed=11)
+    g_rows = (g_rows_all // (STREAM_ROWS * W)) * STREAM_ROWS * W
+    gstack = make_stack(wg[:g_rows], 8)  # 8 GB HBM
     g_bytes = g_rows * 4 * LANES
 
     def emit_g(metric, dt):
         print(
             json.dumps(
                 {"metric": metric, "value": round(g_bytes / dt, 1), "unit": "bytes/s"}
+            ),
+            file=sys.stderr,
+        )
+
+    def emit_g2(metric, dt):
+        nb = (g_bytes // (32 << 20)) * (32 << 20)
+        print(
+            json.dumps(
+                {"metric": metric, "value": round(nb / dt, 1), "unit": "bytes/s"}
             ),
             file=sys.stderr,
         )
@@ -400,25 +432,43 @@ def secondary_metrics():
     # 1-2: was ~56 GB/s with the XLA transpose).
     from grab_tpu.ops.pallas_stridedfa import StrideDfaScanner
 
+    # measured at the PRODUCTION buffer size (32 MiB, stride 2 KiB),
+    # chained over the corpus exactly as the engine submits batches:
+    # the relayout's strided-DMA efficiency depends on the stream
+    # stride (241.8 GB/s at 2 KiB vs 95 at 16 KiB, tools/exp_t2.py)
+    e2e_buf = 32 << 20
     for metric, pat in (
         ("stridedfa_e2e_bytes_per_sec", rb"[0-9]{5}"),  # window mode
         ("stridedfa_e2e_unbounded_bytes_per_sec", rb"a[0-9]*b"),  # fixpoint
     ):
         cpx = compile_multi([pat])
-        scx = StrideDfaScanner(cpx.dfa, cpx.max_len, n, interpret=False)
-        runx = jax.jit(scx.traceable_run)
-        emit(
-            metric,
-            measure(
-                lambda x, runx=runx: runx(x[:rows].reshape(-1))[0], stack
-            ),
-        )
+        scx = StrideDfaScanner(cpx.dfa, cpx.max_len, e2e_buf, interpret=False)
+        runx = scx.traceable_run
+        s_w = scx.stride // 4
+        from grab_tpu.ops.pallas_stridedfa import N_STREAMS as NS
 
-    # fragmented class map: the cls plan (2 gathers/byte, W-unrolled —
-    # replaces the round-2 class-gather fallback, 90 GB/s, cap 128)
+        n_bufs = g_rows * 4 * LANES // e2e_buf
+
+        @jax.jit
+        def e2e_fn(x, runx=runx, s_w=s_w, n_bufs=n_bufs):
+            # leading-dim row slices of the (n_buf*16384, s_w) view are
+            # cheap; mid-buffer 1-D slices forced XLA copies the real
+            # per-buffer pipeline never issues (tools/exp_t2.py)
+            a = x.reshape(-1)[: n_bufs * NS * s_w].reshape(n_bufs * NS, s_w)
+            acc = jnp.int32(0)
+            for i in range(n_bufs):
+                sub = a[i * NS : (i + 1) * NS]
+                bm, _n_, _c = runx(sub.reshape(-1))
+                acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+            return acc.reshape(1, 1)
+
+        emit_g2(metric, measure(e2e_fn, gstack))
+
+    # fragmented class map: the k-strided cls plan (round 4; the
+    # round-3 per-byte class-gather walk ran 126 GB/s)
     cpf = compile_multi([rb"[acegikmoqsuwy]{3}"])
     planf = stride_plan(cpf.dfa)
-    assert planf == ("cls", 1), planf
+    assert planf == ("cls", 4), planf  # round 4: k-strided cls
     tf = StrideDfaTables(cpf.dfa, planf)
     tabf = jnp.asarray(tf.tab)
     entriesf = jnp.full((STREAM_ROWS, LANES), tf.start, jnp.int32)

@@ -112,7 +112,7 @@ def _build_kernel(
         # (ops/pallas_xorfilter; the round-4 bloom replacement — 16
         # ops/word at fp ~2^-32 vs bloom's ~35 at 1e-5)
         for gi, consts in enumerate(xor_groups):
-            fold(xor_member_test(x0, tbl_ref[gi], consts, tile_rows))
+            fold(xor_member_test(x0, tbl_ref, consts, tile_rows, base=gi * 4))
 
         # class sequences (ops/pallas_classseq semantics)
         if seqs:
@@ -170,7 +170,7 @@ def _build_kernel(
 def fused_word_bitmap(
     words2d,  # int32 [rows + PAD_ROWS, 128], tail rows zero
     cw_tabs,  # tuple of int32 [2, 4, K, W] compare tables
-    xor_tbl,  # int32 [n_groups, 4, 128] or None
+    xor_tbl,  # int32 [n_groups * 4, 128] or None
     cw_shapes: Tuple[Tuple[int, int, bool], ...],
     xor_groups: Tuple[Tuple[int, ...], ...],
     seqs: Optional[CompiledSeqs],

@@ -161,8 +161,9 @@ class XorWordTests:
         self.probe_fwd = maxlen + 8
 
     def tables(self) -> np.ndarray:
-        """int32 [n_groups, 4, 128] stacked bank tables."""
-        return np.stack([t for _, t in self.groups]).view(np.int32)
+        """int32 [n_groups * 4, 128] stacked bank rows (2-D: slicing a
+        3-D VMEM ref per (group, bank) lowered poorly on Mosaic)."""
+        return np.concatenate([t for _, t in self.groups]).view(np.int32)
 
     def consts(self) -> Tuple[Tuple[int, ...], ...]:
         return tuple(c for c, _ in self.groups)
@@ -180,11 +181,11 @@ class XorWordTests:
         return hit
 
 
-def xor_member_test(x, tbl_ref, consts, tile_rows: int):
+def xor_member_test(x, tbl_ref, consts, tile_rows: int, base: int = 0):
     """Kernel fragment: bool [tile_rows, LANES] candidate test for one
-    filter group. ``x`` uint32 words; ``tbl_ref`` int32 [4, 128] (or a
-    ref slice); shared by the standalone kernel and the fused ensemble.
-    """
+    filter group. ``x`` uint32 words; ``tbl_ref`` int32 [n*4, 128] with
+    this group's bank rows at base..base+3; shared by the standalone
+    kernel and the fused ensemble."""
     import jax.numpy as jnp
 
     from jax.experimental.pallas import tpu as pltpu
@@ -192,7 +193,7 @@ def xor_member_test(x, tbl_ref, consts, tile_rows: int):
     acc = None
     for b in range(N_BANKS):
         h = ((x * jnp.uint32(consts[b])) >> 25).astype(jnp.int32)
-        row = tbl_ref[b].reshape(1, LANES)
+        row = tbl_ref[base + b].reshape(1, LANES)
         tb = jnp.broadcast_to(row, (tile_rows, LANES))
         g = jnp.take_along_axis(tb, h, axis=1)
         acc = g if acc is None else acc ^ g
@@ -208,7 +209,7 @@ def _build_kernel(consts_groups, tile_rows: int):
         x = pltpu.bitcast(a_ref[:], jnp.uint32)
         hit = None
         for gi, consts in enumerate(consts_groups):
-            t = xor_member_test(x, tbl_ref[gi], consts, tile_rows)
+            t = xor_member_test(x, tbl_ref, consts, tile_rows, base=gi * 4)
             hit = t if hit is None else jnp.logical_or(hit, t)
         bm_ref[:] = _bitmap_rows(hit, tile_rows)
 
@@ -218,7 +219,7 @@ def _build_kernel(consts_groups, tile_rows: int):
 @partial(jax.jit, static_argnames=("consts_groups", "tile_rows", "interpret"))
 def xor_word_bitmap(
     words2d,  # int32 [rows + PAD_ROWS, 128] (tail ignored)
-    tbl,  # int32 [n_groups, 4, 128]
+    tbl,  # int32 [n_groups * 4, 128]
     consts_groups: Tuple[Tuple[int, ...], ...],
     tile_rows: int = 2048,
     interpret: bool = False,

@@ -41,12 +41,21 @@ class CompiledPattern:
     alpha_plan: Optional[tuple]  # ((lo, hi) byte ranges, run length):
     # mandatory class-run prefilter plan for factor-less patterns —
     # works even without a DFA (regex/alphabet.py + ops/pallas_alpharun)
-    seq_dfa: Optional[DFA]  # union automaton over ONLY the patterns
-    # routed to class_seqs: when stride-eligible, the ensemble serves
+    seq_dfa: Optional[DFA]  # union automaton over the patterns routed
+    # to class_seqs (PLUS short literal factors when seqs exist — see
+    # seq_includes_shorts): when stride-eligible, the ensemble serves
     # all of them with one k-byte-strided gather per word instead of
     # per-(seq, phase) range-test AND chains (ops/pallas_stridedfa)
     seq_max_len: Optional[int]  # max match length over seq-routed
     # patterns; None if any unbounded
+    seq_dfa_shorts: Optional[DFA]  # union of seq_dfa's patterns PLUS
+    # the < 7-byte literal factors (round 4): each short costs ~17
+    # fused VPU ops/word in a compare bucket but is free inside the
+    # member's automaton. Whether absorbing them is a win depends on
+    # how the extra byte classes change the stride plan, so the scan
+    # pipeline compares stride_plan(seq_dfa) vs
+    # stride_plan(seq_dfa_shorts) and picks at build time.
+    seq_shorts_max_len: Optional[int]
     has_captures: bool
     needs_verify: bool  # device candidates are a superset → host must verify
     literal_mode: bool  # compiled via -S (plain literals, no regex parse)
@@ -127,24 +136,36 @@ def compile_multi(
     if class_seqs is not None and len(class_seqs) > 32:
         class_seqs, covered = None, False
 
-    # union automaton of just the seq-routed patterns (candidate
-    # generator for the ensemble's seq member — same superset trust as
-    # the whole-batch dfa; exactness still host-verified per pattern)
-    seq_dfa: Optional[DFA] = None
-    seq_max_len: Optional[int] = 0
-    if seq_asts and class_seqs:
+    # union automaton of the seq-routed patterns (candidate generator
+    # for the ensemble's seq member — same superset trust as the
+    # whole-batch dfa; exactness still host-verified per pattern).
+    # Short literal factors (< 7 bytes: no aligned core word at every
+    # phase, so the XOR filter can't serve them) join the union for
+    # free — the member's per-word cost is independent of what the
+    # automaton recognizes, while each short costs ~17 fused VPU
+    # ops/word in a compare bucket.
+    def _union_dfa(ts):
         try:
-            seq_dfa = build_dfa(seq_asts, unanchored=True, state_cap=1024)
+            d = build_dfa(ts, unanchored=True, state_cap=1024)
         except (NotAutomatable, DFABlowup):
-            seq_dfa = None
-        for t in seq_asts:
+            return None, None
+        ml: Optional[int] = 0
+        for t in ts:
             m = A.max_len(t)
-            seq_max_len = (
-                None if (m is None or seq_max_len is None)
-                else max(seq_max_len, m)
+            ml = None if (m is None or ml is None) else max(ml, m)
+        return d, ml
+
+    seq_dfa: Optional[DFA] = None
+    seq_max_len: Optional[int] = None
+    seq_dfa_shorts: Optional[DFA] = None
+    seq_shorts_max_len: Optional[int] = None
+    if seq_asts and class_seqs:
+        seq_dfa, seq_max_len = _union_dfa(seq_asts)
+        shorts = [l for l in (lits or []) if len(l) < 7]
+        if shorts and seq_dfa is not None:
+            seq_dfa_shorts, seq_shorts_max_len = _union_dfa(
+                seq_asts + [A.literal_string(l) for l in shorts]
             )
-    else:
-        seq_max_len = None
 
     alpha_plan: Optional[tuple] = None
     if not covered:
@@ -177,6 +198,8 @@ def compile_multi(
         alpha_plan=alpha_plan,
         seq_dfa=seq_dfa,
         seq_max_len=seq_max_len,
+        seq_dfa_shorts=seq_dfa_shorts,
+        seq_shorts_max_len=seq_shorts_max_len,
         has_captures=caps,
         needs_verify=needs_verify,
         literal_mode=literal_mode,

@@ -150,6 +150,8 @@ class DeviceScanner:
             self._seqs = None
             self._seq_dfa = getattr(cp, "seq_dfa", None)
             self._seq_max_len = getattr(cp, "seq_max_len", None)
+            self._seq_dfa_shorts = getattr(cp, "seq_dfa_shorts", None)
+            self._seq_shorts_max_len = getattr(cp, "seq_shorts_max_len", None)
             if cp.class_seqs:
                 from grab_tpu.ops.class_prefilter import compile_sequences
 
@@ -218,18 +220,46 @@ class DeviceScanner:
             stride_plan,
         )
 
+        def _eligible(d, ml):
+            return (
+                d is not None
+                and ml is not None
+                and ml <= S_HALO - 8
+                and stride_plan(d) is not None
+            )
+
+        def _score(d):
+            # plan quality: k-stride depth dominates, run beats cls
+            # (no class gathers), 8-bit beats 16-bit (no row selects)
+            mode, k = stride_plan(d)
+            return (
+                2 * k
+                + (2 if mode.startswith("run") else 1)
+                - (1 if mode.endswith("16") else 0)
+            )
+
         sd = getattr(self, "_seq_dfa", None)
         sml = getattr(self, "_seq_max_len", None)
         n_seqs = len(self._seqs) if self._seqs is not None else 0
+        self._shorts_absorbed = False
         if (
-            sd is not None
-            and sml is not None
-            and sml <= S_HALO - 8
+            _eligible(sd, sml)
             and self.buf_size >= (1 << 20)
-            and stride_plan(sd) is not None
             and (standalone or n_seqs >= 2)
             and _os.environ.get("GRAB_TPU_SEQDFA") != "0"
         ):
+            # absorb the < 7-byte literal factors into the union when
+            # that does not degrade the stride plan (extra byte
+            # classes can fragment the map: run-k2 -> cls-k1 is a net
+            # loss; same-or-better plan means the shorts ride free and
+            # their compare buckets disappear from the fused kernel)
+            sds = getattr(self, "_seq_dfa_shorts", None)
+            smls = getattr(self, "_seq_shorts_max_len", None)
+            if _eligible(sds, smls) and _score(sds) >= _score(sd):
+                self._shorts_absorbed = True
+                return _StrideSeqMember(
+                    sds, smls, self.buf_size, self._interpret
+                )
             return _StrideSeqMember(
                 sd, sml, self.buf_size, self._interpret
             )
@@ -333,8 +363,13 @@ class DeviceScanner:
                 # Split programs remain the GRAB_TPU_NO_FUSED fallback.
                 from grab_tpu.ops.pallas_fused import FusedEnsembleScanner
 
+                fused_lits = (
+                    [l for l in self._literals if len(l) >= 7]
+                    if getattr(self, "_shorts_absorbed", False)
+                    else self._literals
+                )
                 fsc = FusedEnsembleScanner(
-                    self._literals,
+                    fused_lits,
                     None if stride_seq else self._seqs,
                     tile_rows=tile_rows,
                     interpret=self._interpret,
@@ -346,7 +381,13 @@ class DeviceScanner:
                         s.packed(words2d) for s in scanners
                     ]
             longs = [l for l in self._literals if len(l) >= 7]
-            shorts = [l for l in self._literals if len(l) < 7]
+            # shorts absorbed into the stride-seq member ride its union
+            # automaton; their compare buckets would be duplicate work
+            shorts = (
+                []
+                if getattr(self, "_shorts_absorbed", False)
+                else [l for l in self._literals if len(l) < 7]
+            )
             scanners = []
             if len(longs) > 4:
                 scanners.append(

@@ -143,3 +143,51 @@ def test_engine_identity_with_member(monkeypatch, n_shards):
     without = run(False)
     assert with_member == without
     assert with_member.count(b"\n") >= 12
+
+
+def test_shorts_absorption_pick(monkeypatch):
+    """Short literal factors join the member's union automaton ONLY
+    when that doesn't degrade the stride plan (round 4): fragmenting
+    shorts stay in compare buckets; class-compatible shorts are
+    absorbed and their buckets disappear."""
+    monkeypatch.delenv("GRAB_TPU_SEQDFA", raising=False)
+    from grab_tpu.ops.pallas_corewords import CoreWordScanner
+    from grab_tpu.ops.pallas_stridedfa import stride_plan
+
+    # fragmenting shorts: 'qZxW' introduces singleton byte classes ->
+    # the with-shorts union plans worse than the seq-only union
+    frag = [b"[0-9]{3}[a-z]{2}", b"[0-9]{4}[a-z]"] + [b"qZxW", b"kV9#p"]
+    cp = compile_multi(frag)
+    assert cp.seq_dfa_shorts is not None
+    sc = DeviceScanner(cp, buf_size=2 << 20, pallas_interpret=True)
+    assert not sc._shorts_absorbed
+    # fused kernel still carries the shorts (compare shapes exist)
+    fsc = sc._cw_list[0]
+    assert fsc.cw_shapes, "shorts should stay in compare buckets"
+
+    # class-compatible shorts: digit-only literals add no new byte
+    # classes beyond what the digit automaton already splits... use a
+    # fragmented-class seq so the union is cls-planned either way
+    compat = [b"[acegik]{3}[acegik]{2}", b"[acegik]{4}x[acegik]"] + [
+        b"aca",
+        b"egik",
+    ]
+    cp2 = compile_multi(compat)
+    if cp2.seq_dfa_shorts is not None:
+        from grab_tpu.scan_pipeline import DeviceScanner as DS
+
+        sc2 = DS(cp2, buf_size=2 << 20, pallas_interpret=True)
+        if sc2._shorts_absorbed:
+            # absorbed: no compare buckets for the shorts, and the
+            # member covers planted short matches
+            fsc2 = sc2._cw_list[0]
+            assert not any(
+                len(l) < 7 for t in fsc2.cw_tests for l in t.literals
+            )
+            rng = np.random.default_rng(3)
+            buf = rng.integers(66, 91, size=(2 << 20) + 32 * 512, dtype=np.uint8)
+            _plant(buf, [(5000, b"egik"), (90000, b"aca")])
+            flags = sc2.scan(buf)
+            hit = set(np.nonzero(flags)[0])
+            assert (5000 // 512) in hit or (5004 // 512) in hit
+            assert (90000 // 512) in hit

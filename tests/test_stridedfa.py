@@ -226,7 +226,7 @@ def test_cls_mode_kernel_and_scanner():
 
     cp = _dfa(rb"[acegikmoqsuwy]{3}")
     plan = stride_plan(cp.dfa)
-    assert plan == ("cls", 1), plan
+    assert plan == ("cls", 4), plan  # 2-class map: k=4 striding (r4)
     t = StrideDfaTables(cp.dfa, plan)
     rng = np.random.default_rng(31)
     n_words = 16
@@ -302,7 +302,7 @@ def test_plan_16bit_modes():
     assert stride_plan(cp.dfa) == ("run16", 1)
     cp2 = _dfa(rb"[acegikmoqsuwy]{150}")  # fragmented classes, S>128
     assert cp2.dfa.n_states > 128
-    assert stride_plan(cp2.dfa) == ("cls16", 1)
+    assert stride_plan(cp2.dfa) == ("cls16", 2)
 
 
 @pytest.mark.parametrize(

@@ -1,0 +1,114 @@
+"""Solo re-measure of the production-geometry chained metrics after
+the row-slice-view fix (leading-dim slices avoid XLA copies)."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from axon_timing import make_stack, measure
+
+N = 256 << 20
+ROWS = N // 512
+
+
+def main():
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
+    from grab_tpu.ops.pallas_stridedfa import N_STREAMS, StrideDfaScanner
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import _StrideSeqMember
+
+    w = device_corpus_words(ROWS, PAD_ROWS, seed=7)
+    stack = make_stack(w, 12)
+    BUF = 32 << 20
+    NBUF = N // BUF
+
+    def emit(name, dt):
+        print(f"{name}: {N/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)", flush=True)
+
+    fns = []
+    for nm, pat in (
+        ("e2e_window", rb"[0-9]{5}"),
+        ("e2e_fixpoint", rb"a[0-9]*b"),
+    ):
+        cp = compile_multi([pat])
+        sc = StrideDfaScanner(cp.dfa, cp.max_len, BUF, interpret=False)
+        run = sc.traceable_run
+        s_w = sc.stride // 4
+
+        @jax.jit
+        def fn(x, run=run, s_w=s_w):
+            a = x[:ROWS].reshape(NBUF * N_STREAMS, s_w)
+            acc = jnp.int32(0)
+            for i in range(NBUF):
+                bm, _n_, _c = run(a[i * N_STREAMS : (i + 1) * N_STREAMS].reshape(-1))
+                acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+            return acc.reshape(1, 1)
+
+        fns.append((nm, fn))
+
+    regex10 = [
+        ("[0-9]{%d}[a-z]{%d}" % (3 + i % 3, 1 + i % 2)).encode()
+        for i in range(10)
+    ]
+    cps = compile_multi(regex10)
+    member = _StrideSeqMember(cps.seq_dfa, cps.seq_max_len, BUF, False)
+    mrun = member.sc.traceable_run
+    msw = member.sc.stride // 4
+
+    @jax.jit
+    def memfn(x):
+        a = x[:ROWS].reshape(NBUF * N_STREAMS, msw)
+        acc = jnp.int32(0)
+        for i in range(NBUF):
+            bm, _n_, _c = mrun(a[i * N_STREAMS : (i + 1) * N_STREAMS].reshape(-1))
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    fns.append(("member10_chained", memfn))
+
+    from grab_tpu.ops.pallas_stridedfa import (
+        STREAM_ROWS,
+        StrideDfaTables,
+        stride_dfa_scan,
+        stride_plan,
+    )
+
+    cpf = compile_multi([rb"[acegikmoqsuwy]{3}"])
+    planf = stride_plan(cpf.dfa)
+    print("cls plan:", planf, flush=True)
+    tf = StrideDfaTables(cpf.dfa, planf)
+    tabf = jnp.asarray(tf.tab)
+    entriesf = jnp.full((STREAM_ROWS, LANES), tf.start, jnp.int32)
+    g_rows = (ROWS // (STREAM_ROWS * 32)) * STREAM_ROWS * 32
+
+    fns.append(
+        (
+            "cls_k4_kernel",
+            jax.jit(
+                lambda x: stride_dfa_scan(
+                    x[:g_rows], tabf, entriesf, tf.thresholds, tf.m, tf.k,
+                    mode=tf.mode,
+                )[0]
+            ),
+        )
+    )
+
+    for name, fn in fns:
+        try:
+            t0 = time.time()
+            fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled {time.time()-t0:.1f}s", flush=True)
+            emit(name, measure(fn, stack))
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__} {str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

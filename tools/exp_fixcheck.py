@@ -1,0 +1,73 @@
+"""Round-4 check: did the transpose-shape fix (wc=128/BANDS=16) and
+2-D XOR tables recover the measured rates? 256 MB, honest protocol."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from axon_timing import make_stack, measure
+
+MB = 256
+N = MB << 20
+ROWS = N // 512
+
+
+def main():
+    from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
+    from grab_tpu.ops.pallas_stridedfa import (
+        N_STREAMS,
+        StrideDfaScanner,
+        stride_transpose,
+    )
+    from grab_tpu.ops.pallas_xorfilter import XorWordTests, xor_word_bitmap
+    from grab_tpu.regex.compiler import compile_multi
+    from bench import device_corpus_words
+
+    w = device_corpus_words(ROWS, PAD_ROWS, seed=7)
+    stack = make_stack(w, 12)
+    s_w = N // 4 // N_STREAMS
+
+    def emit(name, dt):
+        print(f"{name}: {N/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)", flush=True)
+
+    fns = []
+    fns.append(
+        (
+            "transpose_wc128",
+            lambda x: stride_transpose(x[:ROWS].reshape(-1), s_w),
+        )
+    )
+    for nm, pat in (
+        ("e2e_window", rb"[0-9]{5}"),
+        ("e2e_fixpoint", rb"a[0-9]*b"),
+    ):
+        cp = compile_multi([pat])
+        sc = StrideDfaScanner(cp.dfa, cp.max_len, N, interpret=False)
+        run = jax.jit(sc.traceable_run)
+        fns.append((nm, lambda x, run=run: run(x[:ROWS].reshape(-1))[0]))
+    rng = np.random.default_rng(7)
+    lits = [bytes(rng.integers(33, 127, 9, np.uint8).tobytes()) for _ in range(100)]
+    xt = XorWordTests(lits)
+    xtbl = jnp.asarray(xt.tables())
+    fns.append(
+        ("xor100_2d", lambda x: xor_word_bitmap(x, xtbl, xt.consts()))
+    )
+    for name, fn in fns:
+        try:
+            jfn = jax.jit(fn)
+            t0 = time.time()
+            jfn(stack[0]).block_until_ready()
+            print(f"{name}: compiled {time.time()-t0:.1f}s", flush=True)
+            emit(name, measure(jfn, stack))
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__} {str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Decompose the e2e chain cost: transpose / +walk / +windows."""
+import sys, time
+sys.path.insert(0, "/root/repo/tools"); sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from axon_timing import make_stack, measure
+
+N = 256 << 20; ROWS = N // 512; BUF = 32 << 20; NBUF = N // BUF
+
+def main():
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
+    from grab_tpu.ops.pallas_stridedfa import (
+        N_STREAMS, STREAM_ROWS, StrideDfaScanner, StrideDfaTables,
+        stride_dfa_scan, stride_plan, stride_transpose,
+    )
+    from grab_tpu.regex.compiler import compile_multi
+
+    # NO pad rows and NO [:ROWS] slice: the slice of a padded array
+    # forced XLA to copy the whole corpus before the reshape — a cost
+    # the production path (exact-size 1-D prep) never pays
+    w = device_corpus_words(ROWS, 0, seed=7)
+    stack = make_stack(w, 12)
+    cp = compile_multi([rb"[0-9]{5}"])
+    sc = StrideDfaScanner(cp.dfa, cp.max_len, BUF, interpret=False)
+    t = sc.tables
+    tab = jnp.asarray(t.tab)
+    s_w = sc.stride // 4
+    e0 = jnp.full((STREAM_ROWS, LANES), t.start, jnp.int32)
+
+    def sub_i(x, i):
+        a = x.reshape(NBUF * N_STREAMS, s_w)
+        return a[i * N_STREAMS : (i + 1) * N_STREAMS]
+
+    @jax.jit
+    def f_t(x):
+        acc = jnp.int32(0)
+        for i in range(NBUF):
+            o = stride_transpose(sub_i(x, i).reshape(-1), s_w)
+            acc = acc + o[0, 0] + o[-1, -1]
+        return acc.reshape(1, 1)
+
+    @jax.jit
+    def f_tw(x):
+        acc = jnp.int32(0)
+        for i in range(NBUF):
+            o = stride_transpose(sub_i(x, i).reshape(-1), s_w)
+            bm, ex = stride_dfa_scan(o, tab, e0, t.thresholds, t.m, t.k, mode=t.mode)
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    run = sc.traceable_run
+    @jax.jit
+    def f_full(x):
+        acc = jnp.int32(0)
+        for i in range(NBUF):
+            bm, _n_, _c = run(sub_i(x, i).reshape(-1))
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    for name, fn in [("transpose8", f_t), ("trans_walk8", f_tw), ("full8", f_full)]:
+        try:
+            t0 = time.time(); fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(f"{name}: {N/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__} {str(e)[:250]}", flush=True)
+
+if __name__ == "__main__":
+    main()

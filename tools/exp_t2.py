@@ -1,0 +1,129 @@
+"""Transpose variant hunt, round 2: whole-stream contiguous blocks at
+the production geometry (32 MiB buffer, s_w=512). 256 MB corpus
+processed as 8 chained 32 MB buffer transposes inside one jit."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from axon_timing import make_stack, measure
+
+LANES = 128
+N_STREAMS = 16384
+S_W = 512  # 32 MiB buffer / 16384 streams / 4
+BANDS = 16
+N_BUF = 8  # 8 x 32 MiB = 256 MB per measurement
+
+
+def t_whole(a):  # a: [16384, 512] int32, one 32 MiB buffer
+    sub_n, sub_w = S_W // 128, 128
+
+    def kernel(x_ref, o_ref):
+        x4 = x_ref[:].reshape(BANDS, LANES, sub_n, sub_w)
+        for sub in range(sub_n):
+            o_ref[sub * sub_w : (sub + 1) * sub_w] = jnp.transpose(
+                x4[:, :, sub, :], (2, 0, 1)
+            )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S_W, 128, LANES), jnp.int32),
+        grid=(N_STREAMS // (BANDS * LANES),),
+        in_specs=[
+            pl.BlockSpec(
+                (BANDS * LANES, S_W), lambda b: (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (S_W, BANDS, LANES), lambda b: (0, b, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(a)
+
+
+def t_strided(a):  # the known-working wc=128 variant (95 GB/s baseline)
+    def kernel(x_ref, o_ref):
+        o_ref[:] = jnp.transpose(
+            x_ref[:].reshape(BANDS, LANES, 128), (2, 0, 1)
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S_W, 128, LANES), jnp.int32),
+        grid=(N_STREAMS // (BANDS * LANES), S_W // 128),
+        in_specs=[
+            pl.BlockSpec(
+                (BANDS * LANES, 128), lambda b, g: (b, g),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (128, BANDS, LANES), lambda b, g: (g, b, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(a)
+
+
+def chain(tfn):
+    @jax.jit
+    def run(x):  # x: [N_BUF * 16384, 512]
+        acc = jnp.int32(0)
+        for i in range(N_BUF):
+            o = tfn(x[i * N_STREAMS : (i + 1) * N_STREAMS])
+            acc = acc + o[0, 0, 0] + o[-1, -1, -1]
+        return acc.reshape(1, 1)
+
+    return run
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    base = jax.jit(
+        lambda k: jax.random.randint(
+            k, (N_BUF * N_STREAMS, S_W), 32, 127, dtype=jnp.int32
+        )
+    )(key)
+    base.block_until_ready()
+    stack = make_stack(base, 12)
+    nbytes = N_BUF * N_STREAMS * S_W * 4
+    print(f"corpus {nbytes>>20} MB", flush=True)
+
+    # correctness probe for t_whole
+    probe = jnp.arange(N_STREAMS * S_W, dtype=jnp.int32).reshape(
+        N_STREAMS, S_W
+    )
+    try:
+        o = np.asarray(jax.jit(t_whole)(probe))
+        a = np.arange(N_STREAMS * S_W, dtype=np.int64).reshape(N_STREAMS, S_W)
+        for g, r, c in [(0, 0, 0), (5, 17, 33), (511, 127, 127)]:
+            assert o[g, r, c] == a[r * 128 + c, g], (g, r, c)
+        print("t_whole values ok", flush=True)
+    except Exception as e:
+        print(f"t_whole FAILED {type(e).__name__} {str(e)[:300]}", flush=True)
+
+    for name, tfn in [("whole", t_whole), ("strided128", t_strided)]:
+        try:
+            fn = chain(tfn)
+            t0 = time.time()
+            fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(
+                f"{name}: {nbytes/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__} {str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
