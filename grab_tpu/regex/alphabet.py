@@ -62,10 +62,12 @@ def _combine(a: _Run, b: _Run) -> _Run:
 def _info(n: A.Node, in_x: Callable[[int], bool]) -> _Run:
     if isinstance(n, (A.Empty, A.Anchor, A.Look)):
         return _Run.zero_width()
-    if isinstance(n, A.Backref):
+    if isinstance(n, (A.Backref, A.Call)):
         # referenced text is opaque here: contributes nothing, breaks
         # run continuity conservatively
         return _Run(0, 0, 0, False, 0)
+    if isinstance(n, A.Define):
+        return _Run.zero_width()
     if isinstance(n, A.CharClass):
         if in_x(n.mask):
             return _Run(1, 1, 1, True, 1)

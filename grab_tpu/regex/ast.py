@@ -117,6 +117,30 @@ class Backref(Node):
     ci: bool = False
 
 
+@dataclass
+class Call(Node):
+    """Subroutine call (?N) / (?R) / (?&name) / (?P>name): match the
+    referenced capturing group's pattern (0 = the whole pattern) at
+    the current position. PCRE1 semantics — the reference's engine
+    (grab.cc:106) — make the call ATOMIC (no backtracking into a
+    completed call); PCRE2 relaxed this in 10.30+, a documented
+    deviation vs grep -P corner cases. Not automatable; routes to the
+    backtracking engine like backrefs. ``index`` is resolved after
+    parsing (named/forward references), hence the mutable node."""
+
+    index: int
+    name: "Optional[str]" = None
+
+
+@dataclass(frozen=True)
+class Define(Node):
+    """(?(DEFINE)...) group: never matched inline (zero-width no-op at
+    runtime); exists so its named subpatterns can be called. The body
+    still participates in group numbering and subprogram compilation."""
+
+    node: Node
+
+
 @dataclass(frozen=True)
 class Cond(Node):
     """Conditional group (?(n)yes|no) testing whether capturing group
@@ -235,6 +259,9 @@ def min_len(node: Node) -> int:
         return 0  # conservative: referenced group may have matched ""
     if isinstance(node, Cond):
         return min(min_len(node.yes), min_len(node.no))
+    if isinstance(node, (Call, Define)):
+        return 0  # conservative: called pattern may match empty;
+        # DEFINE matches nothing inline
     raise TypeError(f"unknown node {node!r}")
 
 
@@ -275,6 +302,10 @@ def max_len(node: Node) -> Optional[int]:
         if my is None or mn_ is None:
             return None
         return max(my, mn_)
+    if isinstance(node, Call):
+        return None  # recursion: unbounded
+    if isinstance(node, Define):
+        return 0
     raise TypeError(f"unknown node {node!r}")
 
 
@@ -296,6 +327,8 @@ def has_captures(node: Node) -> bool:
         return has_captures(node.node)
     if isinstance(node, Cond):
         return has_captures(node.yes) or has_captures(node.no)
+    if isinstance(node, Define):
+        return has_captures(node.node)
     return False
 
 
@@ -312,6 +345,8 @@ def has_backrefs(node: Node) -> bool:
         return has_backrefs(node.node)
     if isinstance(node, Cond):
         return True  # needs runtime group state, like a backreference
+    if isinstance(node, (Call, Define)):
+        return True  # subroutine calls need the backtracking engine
     return False
 
 
@@ -334,6 +369,10 @@ def has_anchors(node: Node) -> bool:
         return has_anchors(node.node)
     if isinstance(node, Cond):
         return has_anchors(node.yes) or has_anchors(node.no)
+    if isinstance(node, Call):
+        return True  # conservative: the called body may assert
+    if isinstance(node, Define):
+        return has_anchors(node.node)
     return False
 
 
@@ -357,6 +396,8 @@ def may_match_newline(node: Node) -> bool:
         return True  # unknown content
     if isinstance(node, Cond):
         return may_match_newline(node.yes) or may_match_newline(node.no)
+    if isinstance(node, Call):
+        return True  # called body is opaque here
     return False
 
 
@@ -395,6 +436,10 @@ def _lit_info(node: Node) -> _LitInfo:
         return _LitInfo(None, None)
     if isinstance(node, Group):
         return _lit_info(node.node)
+    if isinstance(node, Call):
+        return _LitInfo(None, None)
+    if isinstance(node, Define):
+        return _LitInfo(frozenset({b""}), None)  # zero-width inline
     if isinstance(node, Cond):
         # language ⊆ L(yes) ∪ L(no): union the required sets like Alt;
         # never exact (which branch runs depends on group state)
@@ -516,8 +561,10 @@ def prefix_class_sequences(node: Node, k: int) -> Optional[list]:
         if isinstance(n, (Empty, Anchor, Look)):
             # zero-width: dropping the assertion over-approximates
             return [((), True)]
-        if isinstance(n, Backref):
+        if isinstance(n, (Backref, Call)):
             return None
+        if isinstance(n, Define):
+            return [((), True)]  # zero-width inline
         if isinstance(n, CharClass):
             return [(((n.mask),), True)]
         if isinstance(n, Group):

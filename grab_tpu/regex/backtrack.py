@@ -40,6 +40,10 @@ CHKREG = 7  # (reg,) fail branch if pos == reg (no progress in loop body)
 BACKREF = 8  # (group, ci) consume text of group (ci: caseless compare)
 LOOK = 9  # (ahead, negate, sub_pc, behind_len) zero-width sub-match
 CONDGROUP = 10  # (group, else_pc) jump to else_pc unless group matched
+CALL = 11  # (sub_pc, group) match the group's subprogram here; ATOMIC
+# (PCRE1 recursion semantics, grab.cc:106 — PCRE2 10.30+ differs)
+
+_MAX_CALL_DEPTH = 64
 
 
 class PatternTooLarge(ValueError):
@@ -65,6 +69,28 @@ class _Compiler:
         self.mask_ids = {}
         self.n_regs = 0
         self.max_group = 0
+        self.group_nodes = {}  # capture idx -> body AST (call targets)
+        self.call_sites: List[tuple] = []  # (pc, target_idx)
+
+    def register_groups(self, node: A.Node) -> None:
+        """Record capturing-group bodies (call targets) without
+        emitting code — also applied to (?(DEFINE)...) bodies, whose
+        groups exist ONLY as subroutine targets."""
+        if isinstance(node, A.Group):
+            if node.capturing:
+                self.group_nodes[node.index] = node.node
+            self.register_groups(node.node)
+        elif isinstance(node, A.Concat):
+            for p in node.parts:
+                self.register_groups(p)
+        elif isinstance(node, A.Alt):
+            for b in node.branches:
+                self.register_groups(b)
+        elif isinstance(node, (A.Repeat, A.Look, A.Define)):
+            self.register_groups(node.node)
+        elif isinstance(node, A.Cond):
+            self.register_groups(node.yes)
+            self.register_groups(node.no)
 
     def mask_id(self, mask: int) -> int:
         if mask not in self.mask_ids:
@@ -91,6 +117,12 @@ class _Compiler:
             self.max_group = max(self.max_group, node.index)
             self.emit(BACKREF, node.index, node.ci)
             return
+        if isinstance(node, A.Call):
+            self.call_sites.append((len(self.code), node.index))
+            self.emit(CALL, None, node.index)  # sub_pc patched later
+            return
+        if isinstance(node, A.Define):
+            return  # zero-width inline; targets via register_groups
         if isinstance(node, A.Cond):
             # CONDGROUP g, else; yes; JMP end; else: no; end:
             self.max_group = max(self.max_group, node.ref)
@@ -204,8 +236,26 @@ class _Compiler:
 
 def compile_program(node: A.Node) -> Program:
     c = _Compiler()
+    c.register_groups(node)
     c.compile(node)
     c.emit(MATCH)
+    # subroutine-call targets: compile each referenced group's body
+    # (0 = the whole pattern) as a standalone subprogram appended after
+    # the main MATCH; recursion just re-enters the same entry point.
+    sub_pc = {}
+    while any(t not in sub_pc for _, t in c.call_sites):
+        for _, t in list(c.call_sites):
+            if t in sub_pc:
+                continue
+            if t != 0 and t not in c.group_nodes:
+                raise PatternTooLarge(
+                    f"subroutine call to non-existent group {t}"
+                )
+            sub_pc[t] = len(c.code)
+            c.compile(node if t == 0 else c.group_nodes[t])
+            c.emit(MATCH)
+    for pc, t in c.call_sites:
+        c.code[pc] = (CALL, sub_pc[t], t)
     return Program(code=c.code, masks=c.masks, n_groups=c.max_group, n_regs=c.n_regs)
 
 
@@ -231,7 +281,7 @@ class Matcher:
         self.budget = budget
         self._pike = None
         self._has_backref = any(
-            op[0] in (BACKREF, LOOK, CONDGROUP) for op in program.code
+            op[0] in (BACKREF, LOOK, CONDGROUP, CALL) for op in program.code
         )
         if not self._has_backref:
             from grab_tpu.regex.pikevm import PikeVM
@@ -251,14 +301,28 @@ class Matcher:
         return self._exec(data, pos, lo, hi, 0)
 
     def _exec(
-        self, data: bytes, pos: int, lo: int, hi: int, pc0: int
+        self,
+        data: bytes,
+        pos: int,
+        lo: int,
+        hi: int,
+        pc0: int,
+        depth: int = 0,
+        groups0: Optional[List[int]] = None,
     ) -> Optional[int]:
-        """Run the VM from ``pc0`` (0 = whole pattern; lookaround
-        sub-programs re-enter here with their own stack — captures made
-        inside assertions are scratch, documented in docs/PARITY.md)."""
+        """Run the VM from ``pc0`` (0 = whole pattern; lookaround and
+        subroutine-call sub-programs re-enter here with their own stack
+        — captures made inside are scratch after the sub returns,
+        documented in docs/PARITY.md). ``groups0`` seeds the capture
+        state (subroutine calls see the caller's captures, PCRE-style;
+        changes are discarded on return)."""
         code = self.prog.code
         masks = self.prog.masks
-        groups = [-1] * (2 * (self.prog.n_groups + 1))
+        groups = (
+            list(groups0)
+            if groups0 is not None
+            else [-1] * (2 * (self.prog.n_groups + 1))
+        )
         regs = [-1] * self.prog.n_regs
         # stack entries: (pc, pos, undo_list) where undo_list restores
         # groups/regs slots on backtrack
@@ -349,11 +413,17 @@ class Matcher:
             elif kind == LOOK:
                 ahead, neg, sub_pc, blen = op[1], op[2], op[3], op[4]
                 if ahead:
-                    ok = self._exec(data, cur, lo, hi, sub_pc) is not None
+                    ok = (
+                        self._exec(data, cur, lo, hi, sub_pc, depth + 1, groups)
+                        is not None
+                    )
                 else:
                     s = cur - blen
                     # fixed length: a sub-match from s ends exactly at cur
-                    ok = s >= lo and self._exec(data, s, lo, hi, sub_pc) is not None
+                    ok = s >= lo and (
+                        self._exec(data, s, lo, hi, sub_pc, depth + 1, groups)
+                        is not None
+                    )
                 if neg:
                     ok = not ok
                 if ok:
@@ -390,6 +460,19 @@ class Matcher:
                 else:
                     pc = op[2]
                 continue
+            elif kind == CALL:
+                # atomic subroutine call (PCRE1 recursion semantics):
+                # match the target subprogram once, greedily; no
+                # backtracking into a completed call
+                if depth < _MAX_CALL_DEPTH:
+                    res = self._exec(
+                        data, cur, lo, hi, op[1], depth + 1, groups
+                    )
+                    if res is not None:
+                        cur = res
+                        pc += 1
+                        continue
+                # depth blown or sub failed: fail this branch
             bt = backtrack()
             if bt is None:
                 return None

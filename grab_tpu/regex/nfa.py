@@ -64,6 +64,15 @@ def _build(nfa: NFA, node: A.Node) -> Tuple[int, int]:
         return s, e
     if isinstance(node, A.Backref):
         raise NotAutomatable("backreferences are not automatable")
+    if isinstance(node, A.Call):
+        raise NotAutomatable("subroutine calls are not automatable")
+    if isinstance(node, A.Define):
+        # zero-width inline (the body only matters through calls,
+        # which already force NotAutomatable for the whole pattern)
+        s = nfa.new_state()
+        e = nfa.new_state()
+        nfa.add_eps(s, e)
+        return s, e
     if isinstance(node, A.CharClass):
         s = nfa.new_state()
         e = nfa.new_state()

@@ -19,10 +19,12 @@ engines only — it disables DFA coverage; see tests/test_lookaround_flags).
 classes over Latin-1 code points (libpcre's 8-bit non-UTF behavior),
 and conditionals ``(?(n)yes|no)`` / ``(?(name)..)`` / ``(?(?=..)..)``
 compile (group conditions route to the backtracking engine, assertion
-conditions desugar exactly). Unsupported constructs (subroutine
-calls, recursion conditions ``(?(R)``, script runs) raise
-RegexSyntaxError; the engine surfaces that as the reference surfaces
-pcre_compile errors (grab.cc:107).
+conditions desugar exactly). Subroutine calls ``(?N) (?+N) (?-N) (?R)
+(?&name) (?P>name)`` and ``(?(DEFINE)...)`` compile with PCRE1-atomic
+call semantics (regex/backtrack CALL). Unsupported constructs
+(recursion conditions ``(?(R)``, script runs) raise RegexSyntaxError;
+the engine surfaces that as the reference surfaces pcre_compile
+errors (grab.cc:107).
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ from typing import List, Optional
 
 from grab_tpu.regex.ast import (
     ALL_BYTES_MASK,
+    Call,
+    Define,
     Look,
     fold_case_mask,
     ALNUM_MASK,
@@ -235,7 +239,31 @@ class _Parser:
         node = self._alternation()
         if self.pos != len(self.pat):
             self._error(f"unexpected {chr(self._peek())!r}")
+        self._resolve_calls(node)
         return node
+
+    def _resolve_calls(self, node: Node) -> None:
+        """Fix up subroutine-call targets after the whole pattern is
+        parsed (PCRE allows forward references: (?2)(ab)(cd))."""
+        if isinstance(node, Call):
+            if node.name is not None:
+                if node.name not in self.names:
+                    self._error(
+                        f"subroutine call to unknown group {node.name!r}"
+                    )
+                node.index = self.names[node.name]
+            elif not (0 <= node.index <= self.ngroups):
+                self._error(
+                    f"subroutine call to non-existent group {node.index}"
+                )
+            return
+        for attr in ("parts", "branches"):
+            for child in getattr(node, attr, ()) or ():
+                self._resolve_calls(child)
+        for attr in ("node", "yes", "no"):
+            child = getattr(node, attr, None)
+            if isinstance(child, Node):
+                self._resolve_calls(child)
 
     def _alternation(self) -> Node:
         branches = [self._concat()]
@@ -378,6 +406,10 @@ class _Parser:
                 nx = self._next()
                 if nx == ord("<"):
                     name = self._group_name(ord(">"))
+                elif nx == ord(">"):
+                    # (?P>name): Python-syntax subroutine call
+                    name2 = self._group_name(ord(")"))
+                    return Call(-1, name2)
                 elif nx == ord("="):
                     # (?P=name): named backreference
                     name = self._group_name(ord(")"))
@@ -388,6 +420,40 @@ class _Parser:
                     self._error("malformed (?P construct")
             elif c == ord("("):
                 return self._conditional()
+            elif c == ord("R"):
+                # (?R): whole-pattern recursion (PCRE1-atomic at match
+                # time, regex/backtrack CALL)
+                if self._next() != ord(")"):
+                    self._error("malformed (?R")
+                return Call(0)
+            elif ord("0") <= c <= ord("9") or c in (ord("+"), ord("-")):
+                # (?N) absolute / (?+N) (?-N) relative subroutine call
+                sign = 0
+                if c in (ord("+"), ord("-")):
+                    sign = 1 if c == ord("+") else -1
+                    c = self._next()
+                if not (ord("0") <= c <= ord("9")):
+                    self._error("malformed subroutine call")
+                digits = bytes([c])
+                while ord("0") <= self._peek() <= ord("9"):
+                    digits += bytes([self._next()])
+                if self._next() != ord(")"):
+                    self._error("malformed subroutine call")
+                n = int(digits)
+                if sign > 0:
+                    idx = self.ngroups + n
+                elif sign < 0:
+                    idx = self.ngroups - n + 1
+                else:
+                    idx = n
+                if sign != 0 and idx < 1:
+                    self._error("relative subroutine call out of range")
+                return Call(idx)
+            elif c == ord("&"):
+                # (?&name): named subroutine call (forward refs
+                # resolved after the parse)
+                name = self._group_name(ord(")"))
+                return Call(-1, name)
             elif c in _FLAG_CHARS or c == ord("-"):
                 return self._flag_group(c)
             else:
@@ -453,10 +519,17 @@ class _Parser:
                     self._error("invalid condition (?(0)")
             else:
                 name = self._group_name(ord(")"))
-                if name in ("R", "DEFINE"):
+                if name == "DEFINE":
+                    # (?(DEFINE)...): zero-width at runtime; its groups
+                    # exist only as subroutine-call targets
+                    body = self._alternation()
+                    if self._next() != ord(")"):
+                        self._error("missing )")
+                    return Define(body)
+                if name == "R":
                     self._error(
-                        f"unsupported conditional (?({name}) (needs "
-                        "subroutine calls)"
+                        "unsupported conditional (?(R) (needs call-"
+                        "stack introspection)"
                     )
                 if name not in self.names:
                     self._error(f"unknown group name {name!r}")

@@ -29,6 +29,7 @@ from grab_tpu.regex import ctype as _ctype
 from grab_tpu.regex.backtrack import (
     ASSERT,
     BACKREF,
+    CALL,
     CHAR,
     CONDGROUP,
     CHKREG,
@@ -113,7 +114,7 @@ def _build_closures(code) -> List[List[Tuple[int, tuple]]]:
 
 class PikeVM:
     def __init__(self, program: Program):
-        if any(op[0] in (BACKREF, CONDGROUP) for op in program.code):
+        if any(op[0] in (BACKREF, CONDGROUP, CALL) for op in program.code):
             raise ValueError("PikeVM cannot run backreference programs")
         self.prog = program
         self._closures = _build_closures(program.code)

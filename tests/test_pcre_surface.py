@@ -176,3 +176,45 @@ def test_fuzzed_conditionals_vs_grep(seed):
     assert _matcher_line_set(pat.encode(), lines) == _grep_selected(
         pat.encode(), lines
     ), pat
+
+
+SUBROUTINE_CASES = [
+    # balanced parens: THE classic recursion pattern
+    (rb"\((?:[^()]|(?R))*\)", [lambda rng: "(a(b)c)", lambda rng: "()"]),
+    # numeric call duplicating a group's pattern (not its text)
+    (rb"([0-9]{2})-(?1)", [lambda rng: "12-99"]),
+    # named call + DEFINE library
+    (
+        rb"(?(DEFINE)(?<oct>25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?))"
+        rb"(?&oct)\.(?&oct)",
+        [lambda rng: "192.168", lambda rng: "8.8"],
+    ),
+    # forward numeric reference
+    (rb"(?2)x(q)(ab|cd)", [lambda rng: "abxqcd", lambda rng: "cdxqab"]),
+    # relative call
+    (rb"([a-c]{3})(?-1)", [lambda rng: "abcbca"]),
+]
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize("case", range(len(SUBROUTINE_CASES)))
+def test_subroutine_calls_vs_grep(case):
+    """Subroutine calls / recursion / DEFINE vs grep -P. Cases chosen
+    where PCRE1 (atomic calls — our semantics, matching the reference's
+    libpcre) and PCRE2 (non-atomic since 10.30) agree; the atomicity
+    deviation is documented in docs/PARITY.md."""
+    pat, samplers = SUBROUTINE_CASES[case]
+    rng = np.random.default_rng(1200 + case)
+    lines = _lines_corpus(rng, samplers)
+    assert _matcher_line_set(pat, lines) == _grep_selected(pat, lines), pat
+
+
+def test_recursion_depth_capped():
+    """Unbounded recursion fails the branch instead of overflowing
+    (PCRE's match-limit analog)."""
+    m = Matcher.from_pattern(rb"(a(?1)?z)")
+    deep = b"a" * 100 + b"z" * 100
+    assert m.search(deep, 0, len(deep)) is not None
+    # pathological: recursion that cannot terminate within the cap
+    m2 = Matcher.from_pattern(rb"(x(?1))")
+    assert m2.search(b"x" * 500, 0, 500) is None

@@ -88,7 +88,7 @@ def test_errors():
     with pytest.raises(RegexSyntaxError):
         parse(b"(?(R)a|b)")  # recursion conditions are unsupported
     with pytest.raises(RegexSyntaxError):
-        parse(b"(?R)")  # recursion is unsupported
+        parse(b"(?5)(a)")  # subroutine call to non-existent group
     with pytest.raises(RegexSyntaxError):
         parse(b"\\p{Nope}")  # unknown property name
     with pytest.raises(RegexSyntaxError):

@@ -62,9 +62,10 @@ BATTERY = [
     rb"(a+)b\1",
     # lookahead (host verify path)
     rb"foo(?=bar)",
-    # round-4 PCRE surface: \p properties, conditionals
+    # round-4 PCRE surface: \p properties, conditionals, subroutines
     rb"\p{Lu}\p{Ll}+",
     rb"(<)?\w{3}(?(1)>)",
+    rb"([0-9]{4})-(?1)",  # subroutine call (host verify, run prefilter)
     # >128-state automata: 16-bit wide stride tables (round 4; these
     # were host-only before, and the 129-512-state small-run family
     # was the retired gather-DFA's residual eligibility — ADVICE r3)
