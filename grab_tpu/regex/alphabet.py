@@ -74,7 +74,7 @@ def _info(n: A.Node, in_x: Callable[[int], bool]) -> _Run:
         return _Run(0, 0, 0, False, 1)
     if isinstance(n, A.Group):
         return _info(n.node, in_x)
-    if isinstance(n, (A.Alt, A.Cond)):
+    if isinstance(n, (A.Alt, A.Cond, A.CondR)):
         rs = [
             _info(b, in_x)
             for b in (
@@ -121,7 +121,7 @@ def _collect_masks(n: A.Node, out: set) -> None:
             _collect_masks(p, out)
     elif isinstance(n, A.Repeat):
         _collect_masks(n.node, out)
-    elif isinstance(n, A.Cond):
+    elif isinstance(n, (A.Cond, A.CondR)):
         _collect_masks(n.yes, out)
         _collect_masks(n.no, out)
     elif isinstance(n, A.Look):

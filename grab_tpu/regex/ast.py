@@ -142,6 +142,17 @@ class Define(Node):
 
 
 @dataclass(frozen=True)
+class CondR(Node):
+    """Recursion condition (?(R)yes|no): yes iff the matcher is
+    currently inside a subroutine call / recursion. Backtracking
+    engine only (the VM threads an in-call flag); the candidate
+    automaton over-approximates as Alt((yes, no)) like Cond."""
+
+    yes: Node
+    no: Node
+
+
+@dataclass(frozen=True)
 class Cond(Node):
     """Conditional group (?(n)yes|no) testing whether capturing group
     ``ref`` has matched. Lookaround conditions (?(?=..)..) are
@@ -257,7 +268,7 @@ def min_len(node: Node) -> int:
         return min_len(node.node)
     if isinstance(node, Backref):
         return 0  # conservative: referenced group may have matched ""
-    if isinstance(node, Cond):
+    if isinstance(node, (Cond, CondR)):
         return min(min_len(node.yes), min_len(node.no))
     if isinstance(node, (Call, Define)):
         return 0  # conservative: called pattern may match empty;
@@ -297,7 +308,7 @@ def max_len(node: Node) -> Optional[int]:
         return max_len(node.node)
     if isinstance(node, Backref):
         return None
-    if isinstance(node, Cond):
+    if isinstance(node, (Cond, CondR)):
         my, mn_ = max_len(node.yes), max_len(node.no)
         if my is None or mn_ is None:
             return None
@@ -325,7 +336,7 @@ def has_captures(node: Node) -> bool:
         return any(has_captures(b) for b in node.branches)
     if isinstance(node, (Repeat, Look)):
         return has_captures(node.node)
-    if isinstance(node, Cond):
+    if isinstance(node, (Cond, CondR)):
         return has_captures(node.yes) or has_captures(node.no)
     if isinstance(node, Define):
         return has_captures(node.node)
@@ -343,8 +354,8 @@ def has_backrefs(node: Node) -> bool:
         return any(has_backrefs(b) for b in node.branches)
     if isinstance(node, (Repeat, Look)):
         return has_backrefs(node.node)
-    if isinstance(node, Cond):
-        return True  # needs runtime group state, like a backreference
+    if isinstance(node, (Cond, CondR)):
+        return True  # needs runtime state, like a backreference
     if isinstance(node, (Call, Define)):
         return True  # subroutine calls need the backtracking engine
     return False
@@ -367,7 +378,7 @@ def has_anchors(node: Node) -> bool:
         return any(has_anchors(b) for b in node.branches)
     if isinstance(node, Repeat):
         return has_anchors(node.node)
-    if isinstance(node, Cond):
+    if isinstance(node, (Cond, CondR)):
         return has_anchors(node.yes) or has_anchors(node.no)
     if isinstance(node, Call):
         return True  # conservative: the called body may assert
@@ -394,7 +405,7 @@ def may_match_newline(node: Node) -> bool:
         return may_match_newline(node.node)
     if isinstance(node, Backref):
         return True  # unknown content
-    if isinstance(node, Cond):
+    if isinstance(node, (Cond, CondR)):
         return may_match_newline(node.yes) or may_match_newline(node.no)
     if isinstance(node, Call):
         return True  # called body is opaque here
@@ -440,9 +451,9 @@ def _lit_info(node: Node) -> _LitInfo:
         return _LitInfo(None, None)
     if isinstance(node, Define):
         return _LitInfo(frozenset({b""}), None)  # zero-width inline
-    if isinstance(node, Cond):
+    if isinstance(node, (Cond, CondR)):
         # language ⊆ L(yes) ∪ L(no): union the required sets like Alt;
-        # never exact (which branch runs depends on group state)
+        # never exact (which branch runs depends on runtime state)
         iy, in_ = _lit_info(node.yes), _lit_info(node.no)
         required = None
         if iy.required is not None and in_.required is not None:
@@ -569,7 +580,7 @@ def prefix_class_sequences(node: Node, k: int) -> Optional[list]:
             return [(((n.mask),), True)]
         if isinstance(n, Group):
             return walk(n.node, budget)
-        if isinstance(n, (Alt, Cond)):
+        if isinstance(n, (Alt, Cond, CondR)):
             branches = n.branches if isinstance(n, Alt) else (n.yes, n.no)
             out = []
             for b in branches:

@@ -42,6 +42,7 @@ LOOK = 9  # (ahead, negate, sub_pc, behind_len) zero-width sub-match
 CONDGROUP = 10  # (group, else_pc) jump to else_pc unless group matched
 CALL = 11  # (sub_pc, group) match the group's subprogram here; ATOMIC
 # (PCRE1 recursion semantics, grab.cc:106 — PCRE2 10.30+ differs)
+CONDR = 12  # (else_pc,) jump to else_pc unless inside a call/recursion
 
 _MAX_CALL_DEPTH = 64
 
@@ -88,7 +89,7 @@ class _Compiler:
                 self.register_groups(b)
         elif isinstance(node, (A.Repeat, A.Look, A.Define)):
             self.register_groups(node.node)
-        elif isinstance(node, A.Cond):
+        elif isinstance(node, (A.Cond, A.CondR)):
             self.register_groups(node.yes)
             self.register_groups(node.no)
 
@@ -123,6 +124,15 @@ class _Compiler:
             return
         if isinstance(node, A.Define):
             return  # zero-width inline; targets via register_groups
+        if isinstance(node, A.CondR):
+            # CONDR else; yes; JMP end; else: no; end:
+            cond = self.emit(CONDR, None)
+            self.compile(node.yes)
+            jmp = self.emit(JMP, None)
+            self.code[cond] = (CONDR, len(self.code))
+            self.compile(node.no)
+            self.code[jmp] = (JMP, len(self.code))
+            return
         if isinstance(node, A.Cond):
             # CONDGROUP g, else; yes; JMP end; else: no; end:
             self.max_group = max(self.max_group, node.ref)
@@ -281,7 +291,8 @@ class Matcher:
         self.budget = budget
         self._pike = None
         self._has_backref = any(
-            op[0] in (BACKREF, LOOK, CONDGROUP, CALL) for op in program.code
+            op[0] in (BACKREF, LOOK, CONDGROUP, CALL, CONDR)
+            for op in program.code
         )
         if not self._has_backref:
             from grab_tpu.regex.pikevm import PikeVM
@@ -309,6 +320,7 @@ class Matcher:
         pc0: int,
         depth: int = 0,
         groups0: Optional[List[int]] = None,
+        in_call: bool = False,
     ) -> Optional[int]:
         """Run the VM from ``pc0`` (0 = whole pattern; lookaround and
         subroutine-call sub-programs re-enter here with their own stack
@@ -414,14 +426,20 @@ class Matcher:
                 ahead, neg, sub_pc, blen = op[1], op[2], op[3], op[4]
                 if ahead:
                     ok = (
-                        self._exec(data, cur, lo, hi, sub_pc, depth + 1, groups)
+                        self._exec(
+                            data, cur, lo, hi, sub_pc, depth + 1, groups,
+                            in_call,
+                        )
                         is not None
                     )
                 else:
                     s = cur - blen
                     # fixed length: a sub-match from s ends exactly at cur
                     ok = s >= lo and (
-                        self._exec(data, s, lo, hi, sub_pc, depth + 1, groups)
+                        self._exec(
+                            data, s, lo, hi, sub_pc, depth + 1, groups,
+                            in_call,
+                        )
                         is not None
                     )
                 if neg:
@@ -460,13 +478,16 @@ class Matcher:
                 else:
                     pc = op[2]
                 continue
+            elif kind == CONDR:
+                pc = pc + 1 if in_call else op[1]
+                continue
             elif kind == CALL:
                 # atomic subroutine call (PCRE1 recursion semantics):
                 # match the target subprogram once, greedily; no
                 # backtracking into a completed call
                 if depth < _MAX_CALL_DEPTH:
                     res = self._exec(
-                        data, cur, lo, hi, op[1], depth + 1, groups
+                        data, cur, lo, hi, op[1], depth + 1, groups, True
                     )
                     if res is not None:
                         cur = res

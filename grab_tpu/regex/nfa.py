@@ -91,7 +91,7 @@ def _build(nfa: NFA, node: A.Node) -> Tuple[int, int]:
                 nfa.add_eps(prev_exit, ps)
             prev_exit = pe
         return entry, prev_exit
-    if isinstance(node, (A.Alt, A.Cond)):
+    if isinstance(node, (A.Alt, A.Cond, A.CondR)):
         # Cond over-approximates as Alt((yes, no)) for the candidate
         # automaton (the group-state test is dropped, widening the
         # language); host backtracking verifies exactly (needs_verify

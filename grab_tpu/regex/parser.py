@@ -20,9 +20,10 @@ classes over Latin-1 code points (libpcre's 8-bit non-UTF behavior),
 and conditionals ``(?(n)yes|no)`` / ``(?(name)..)`` / ``(?(?=..)..)``
 compile (group conditions route to the backtracking engine, assertion
 conditions desugar exactly). Subroutine calls ``(?N) (?+N) (?-N) (?R)
-(?&name) (?P>name)`` and ``(?(DEFINE)...)`` compile with PCRE1-atomic
-call semantics (regex/backtrack CALL). Unsupported constructs
-(recursion conditions ``(?(R)``, script runs) raise RegexSyntaxError;
+(?&name) (?P>name)``, ``(?(DEFINE)...)``, and bare recursion
+conditions ``(?(R)yes|no)`` compile with PCRE1-atomic call semantics
+(regex/backtrack CALL). Unsupported constructs (per-group recursion
+conditions ``(?(RN)``, script runs) raise RegexSyntaxError;
 the engine surfaces that as the reference surfaces pcre_compile
 errors (grab.cc:107).
 """
@@ -34,6 +35,7 @@ from typing import List, Optional
 from grab_tpu.regex.ast import (
     ALL_BYTES_MASK,
     Call,
+    CondR,
     Define,
     Look,
     fold_case_mask,
@@ -527,10 +529,15 @@ class _Parser:
                         self._error("missing )")
                     return Define(body)
                 if name == "R":
-                    self._error(
-                        "unsupported conditional (?(R) (needs call-"
-                        "stack introspection)"
-                    )
+                    # (?(R)yes|no): inside-any-recursion condition
+                    yes = self._concat()
+                    no: Node = Empty()
+                    if self._peek() == ord("|"):
+                        self.pos += 1
+                        no = self._concat()
+                    if self._next() != ord(")"):
+                        self._error("missing )")
+                    return CondR(yes, no)
                 if name not in self.names:
                     self._error(f"unknown group name {name!r}")
                 ref = self.names[name]

@@ -32,6 +32,7 @@ from grab_tpu.regex.backtrack import (
     CALL,
     CHAR,
     CONDGROUP,
+    CONDR,
     CHKREG,
     JMP,
     MATCH,
@@ -114,7 +115,7 @@ def _build_closures(code) -> List[List[Tuple[int, tuple]]]:
 
 class PikeVM:
     def __init__(self, program: Program):
-        if any(op[0] in (BACKREF, CONDGROUP, CALL) for op in program.code):
+        if any(op[0] in (BACKREF, CONDGROUP, CALL, CONDR) for op in program.code):
             raise ValueError("PikeVM cannot run backreference programs")
         self.prog = program
         self._closures = _build_closures(program.code)

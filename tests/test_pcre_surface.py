@@ -218,3 +218,19 @@ def test_recursion_depth_capped():
     # pathological: recursion that cannot terminate within the cap
     m2 = Matcher.from_pattern(rb"(x(?1))")
     assert m2.search(b"x" * 500, 0, 500) is None
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+def test_recursion_condition_vs_grep():
+    """(?(R)yes|no): different body at top level vs inside recursion."""
+    pat = rb"x(?(R)y|z)"
+    rng = np.random.default_rng(1300)
+    lines = _lines_corpus(rng, [lambda rng: "xz", lambda rng: "xy"])
+    assert _matcher_line_set(pat, lines) == _grep_selected(pat, lines)
+
+
+def test_recursion_condition_inside_call():
+    m = Matcher.from_pattern(rb"((?(R)b|a)(?1)?)")
+    # top level must start 'a'; recursive levels must be 'b'
+    assert m.search(b"abbb", 0, 4) == (0, 4)
+    assert m.match_at(b"bbbb", 0, 0, 4) is None

@@ -86,7 +86,7 @@ def test_errors():
     with pytest.raises(RegexSyntaxError):
         parse(b"(?(1)a|b|c)")  # conditional with three branches
     with pytest.raises(RegexSyntaxError):
-        parse(b"(?(R)a|b)")  # recursion conditions are unsupported
+        parse(b"(?(R2)a|b)")  # per-group recursion conditions unsupported
     with pytest.raises(RegexSyntaxError):
         parse(b"(?5)(a)")  # subroutine call to non-existent group
     with pytest.raises(RegexSyntaxError):
