@@ -12,9 +12,13 @@ answers exact set membership of the (literal, phase) core words with
 
 — 4 lane-gathers + 4 multiplies + 3 XORs + 1 compare ≈ 16 ops/word,
 with a false-positive rate of ~2^-32 per word (the fingerprint is the
-full 32-bit word), i.e. practically exact on random text. Fewer ops
-AND a ~27-bit better fp than bloom; candidates still verify on host
-as always, so adversarial corpora only cost replay time.
+full 32-bit word), i.e. practically exact on random text. Measured at
+1 GiB (tools/exp_xor.py): 225 GB/s vs bloom's 164 — both are
+gather-count-bound (~940/n GB/s per broadcast-table gather), so the
+win is 5 gathers -> 4 plus the ~27-bit fp improvement; candidates
+still verify on host as always, so adversarial corpora only cost
+replay time. (A 3-hash/16-bit packing would reach ~270 at fp 1.5e-5;
+rejected so clean corpora keep decoding exactly clean.)
 
 Construction is 4-ary hypergraph peeling over 4 banks of 128 slots
 (one bank per gather row). 512 slots hold up to ~440 keys reliably

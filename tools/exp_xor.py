@@ -1,0 +1,77 @@
+"""Why does the 16-op XOR filter measure slower than the 40-op bloom?
+Variant ladder at 1 GiB."""
+import sys, time
+sys.path.insert(0, "/root/repo/tools"); sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from axon_timing import make_stack, measure
+
+MB = 1024; ROWS = (MB << 20) // 512; TR = 2048
+CONSTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
+
+def mk(kind, n_g):
+    def kernel(tbl_ref, a_ref, o_ref):
+        x = pltpu.bitcast(a_ref[:], jnp.uint32)
+        if kind == "bloom":
+            hit = None
+            for l in range(5):
+                h = x * jnp.uint32(CONSTS[l])
+                h1 = (h >> 25).astype(jnp.int32)
+                h2 = ((h >> 20) & jnp.uint32(31)).astype(jnp.int32)
+                tb = jnp.broadcast_to(tbl_ref[l].reshape(1, 128), (TR, 128))
+                m = jnp.take_along_axis(tb, h1, axis=1)
+                t = ((m >> h2) & jnp.int32(1)) != 0
+                hit = t if hit is None else jnp.logical_and(hit, t)
+        else:
+            acc = None
+            for b in range(n_g):
+                h = ((x * jnp.uint32(CONSTS[b])) >> 25).astype(jnp.int32)
+                tb = jnp.broadcast_to(tbl_ref[b].reshape(1, 128), (TR, 128))
+                g = jnp.take_along_axis(tb, h, axis=1)
+                if kind == "xor_and":
+                    acc = g if acc is None else acc & g
+                else:
+                    acc = g if acc is None else acc ^ g
+            if kind == "xor_nocmp":
+                hit = acc > 0
+            else:
+                hit = pltpu.bitcast(acc, jnp.uint32) == x
+        o = hit.reshape(TR // 32, 32, 128)
+        pw = jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (1, 32, 128), 1)
+        o_ref[:] = jnp.sum(jnp.where(o, pw, 0), axis=1)
+
+    @jax.jit
+    def run(x):
+        tbl = jnp.arange(5 * 128, dtype=jnp.int32).reshape(5, 128) | 1
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((ROWS // 32, 128), jnp.int32),
+            grid=(ROWS // TR,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TR // 32, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )(tbl, x)
+    return run
+
+def main():
+    base = jax.jit(lambda k: jax.random.randint(k, (ROWS, 128), 32, 127, dtype=jnp.int32))(jax.random.PRNGKey(0))
+    base.block_until_ready()
+    stack = make_stack(base, 8)
+    nb = ROWS * 512
+    for name, kind, ng in [("bloom5", "bloom", 5), ("xor4", "xor", 4),
+                           ("xor3", "xor", 3), ("xor4_and", "xor_and", 4),
+                           ("xor4_nocmp", "xor_nocmp", 4), ("xor2", "xor", 2)]:
+        try:
+            fn = mk(kind, ng)
+            t0 = time.time(); fn(stack[0]).block_until_ready()
+            print(f"{name}: compiled {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(f"{name}: {nb/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__} {str(e)[:250]}", flush=True)
+
+if __name__ == "__main__":
+    main()
