@@ -582,10 +582,16 @@ class StrideDfaScanner:
         # the window to cover it: max_len <= HALO - 8 <= stride - 8
         self.window_mode = max_len is not None and max_len <= HALO - 8
         # stream geometry: stride must be a multiple of 4*W so the
-        # word-step count divides the unroll
+        # word-step count divides the unroll; strides above 128 bytes
+        # round to 512-byte multiples so the relayout's word axis
+        # (s_w) stays a multiple of 128 — otherwise stride_transpose
+        # degenerates to whole-stride VMEM blocks that blow VMEM at
+        # odd user-set buffer sizes (e.g. scan_buf_size=36<<20)
         unit = 4 * W
         per = (buf_size + N_STREAMS - 1) // N_STREAMS  # ceil: no tail loss
         stride = max(unit, (per + unit - 1) // unit * unit)
+        if stride > 128:
+            stride = (stride + 511) // 512 * 512
         self.stride = stride
         self.probe_back = 8
         self.probe_fwd = 8

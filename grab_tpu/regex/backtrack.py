@@ -44,7 +44,13 @@ CALL = 11  # (sub_pc, group) match the group's subprogram here; ATOMIC
 # (PCRE1 recursion semantics, grab.cc:106 — PCRE2 10.30+ differs)
 CONDR = 12  # (else_pc,) jump to else_pc unless inside a call/recursion
 
-_MAX_CALL_DEPTH = 64
+# PCRE1's recursion limit is ~10M (practically stack-bound); ours is
+# bounded by Python frame nesting (_exec recurses natively, default
+# interpreter limit 1000). 400 covers realistic recursion depth; at
+# the cap the call fails its branch — the same observable the
+# reference produces when pcre_exec returns RECURSIONLIMIT and
+# grab.cc:179 treats rc<=0 as no-match-and-continue.
+_MAX_CALL_DEPTH = 400
 
 
 class PatternTooLarge(ValueError):

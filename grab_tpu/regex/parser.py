@@ -35,6 +35,7 @@ from typing import List, Optional
 from grab_tpu.regex.ast import (
     ALL_BYTES_MASK,
     Call,
+    Cond,
     CondR,
     Define,
     Look,
@@ -180,8 +181,36 @@ def _unicode_prop_mask(name: str):
             cat = unicodedata.category(chr(b))
             if cat == name or (len(name) == 1 and cat[0] == name):
                 mask |= 1 << b
+    elif name in _SCRIPTS_NO_LATIN1:
+        # valid script with no code points below 0x100: libpcre
+        # compiles it and it matches nothing in 8-bit mode (verified
+        # vs grep -P: \p{Greek} exits 1, not a compile error)
+        mask = 0
     _UPROP_CACHE[name] = mask
     return mask
+
+
+# Unicode scripts libpcre recognizes that have NO Latin-1 code points
+# (Latin and Common are handled above). Unknown names still error,
+# like pcre_compile's "unknown property name".
+_SCRIPTS_NO_LATIN1 = frozenset(
+    """Arabic Armenian Avestan Balinese Bamum Batak Bengali Bopomofo
+    Brahmi Braille Buginese Buhid Canadian_Aboriginal Carian Chakma
+    Cham Cherokee Coptic Cuneiform Cypriot Cyrillic Deseret Devanagari
+    Egyptian_Hieroglyphs Ethiopic Georgian Glagolitic Gothic Greek
+    Gujarati Gurmukhi Han Hangul Hanunoo Hebrew Hiragana
+    Imperial_Aramaic Inherited Inscriptional_Pahlavi
+    Inscriptional_Parthian Javanese Kaithi Kannada Katakana Kayah_Li
+    Kharoshthi Khmer Lao Lepcha Limbu Linear_B Lisu Lycian Lydian
+    Malayalam Mandaic Meetei_Mayek Meroitic_Cursive
+    Meroitic_Hieroglyphs Miao Mongolian Myanmar New_Tai_Lue Nko Ogham
+    Ol_Chiki Old_Italic Old_Persian Old_South_Arabian Old_Turkic
+    Oriya Osmanya Phags_Pa Phoenician Rejang Runic Samaritan
+    Saurashtra Sharada Shavian Sinhala Sora_Sompeng Sundanese
+    Syloti_Nagri Syriac Tagalog Tagbanwa Tai_Le Tai_Tham Tai_Viet
+    Takri Tamil Telugu Thaana Thai Tibetan Tifinagh Ugaritic Vai
+    Yi""".split()
+)
 
 
 class _Parser:
@@ -259,6 +288,11 @@ class _Parser:
                     f"subroutine call to non-existent group {node.index}"
                 )
             return
+        if isinstance(node, Cond) and not (1 <= node.ref <= self.ngroups):
+            # libpcre: 'reference to non-existent subpattern'
+            self._error(
+                f"conditional reference to non-existent group {node.ref}"
+            )
         for attr in ("parts", "branches"):
             for child in getattr(node, attr, ()) or ():
                 self._resolve_calls(child)
@@ -428,20 +462,25 @@ class _Parser:
                 if self._next() != ord(")"):
                     self._error("malformed (?R")
                 return Call(0)
-            elif ord("0") <= c <= ord("9") or c in (ord("+"), ord("-")):
+            elif ord("0") <= c <= ord("9") or (
+                c in (ord("+"), ord("-"))
+                and ord("0") <= self._peek() <= ord("9")
+            ):
                 # (?N) absolute / (?+N) (?-N) relative subroutine call
+                # (a '-' NOT followed by a digit is a flag-unset group,
+                # handled below)
                 sign = 0
                 if c in (ord("+"), ord("-")):
                     sign = 1 if c == ord("+") else -1
                     c = self._next()
-                if not (ord("0") <= c <= ord("9")):
-                    self._error("malformed subroutine call")
                 digits = bytes([c])
                 while ord("0") <= self._peek() <= ord("9"):
                     digits += bytes([self._next()])
                 if self._next() != ord(")"):
                     self._error("malformed subroutine call")
                 n = int(digits)
+                if sign != 0 and n == 0:
+                    self._error("a relative value of zero is not allowed")
                 if sign > 0:
                     idx = self.ngroups + n
                 elif sign < 0:
@@ -523,8 +562,14 @@ class _Parser:
                 name = self._group_name(ord(")"))
                 if name == "DEFINE":
                     # (?(DEFINE)...): zero-width at runtime; its groups
-                    # exist only as subroutine-call targets
-                    body = self._alternation()
+                    # exist only as subroutine-call targets. libpcre
+                    # rejects multi-branch DEFINE groups.
+                    body = self._concat()
+                    if self._peek() == ord("|"):
+                        self._error(
+                            "DEFINE subpattern contains more than one "
+                            "branch"
+                        )
                     if self._next() != ord(")"):
                         self._error("missing )")
                     return Define(body)
@@ -557,8 +602,6 @@ class _Parser:
             # shared Look body keeps capture numbering intact
             neg = Look(cond_look.node, cond_look.ahead, not cond_look.negate)
             return Alt((Concat((cond_look, yes)), Concat((neg, no))))
-        from grab_tpu.regex.ast import Cond
-
         return Cond(ref, yes, no)
 
     def _group_name(self, closer: int) -> str:

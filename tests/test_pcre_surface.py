@@ -234,3 +234,42 @@ def test_recursion_condition_inside_call():
     # top level must start 'a'; recursive levels must be 'b'
     assert m.search(b"abbb", 0, 4) == (0, 4)
     assert m.match_at(b"bbbb", 0, 0, 4) is None
+
+
+def test_review_fixes_round4():
+    """Regression pins for the round-4 self-review findings."""
+    from grab_tpu.regex.parser import RegexSyntaxError, parse
+
+    # (?-i) flag-unset groups must keep working next to (?-N) calls
+    parse(rb"(?-i)abc")
+    parse(rb"(?i)a(?-i)b")
+    # numeric conditional to a non-existent group is a compile error
+    with pytest.raises(RegexSyntaxError):
+        parse(rb"(a)(?(5)x|y)")
+    # multi-branch DEFINE is a compile error (libpcre parity)
+    with pytest.raises(RegexSyntaxError):
+        parse(rb"(?(DEFINE)a|b)ab")
+    # relative zero is a compile error
+    with pytest.raises(RegexSyntaxError):
+        parse(rb"(a)(?+0)")
+    # valid scripts with no Latin-1 code points compile and match nothing
+    m = Matcher.from_pattern(rb"\p{Greek}")
+    assert m.search(b"abc \xe9", 0, 5) is None
+    with pytest.raises(RegexSyntaxError):
+        parse(rb"\p{NotAScript}")
+    # deep recursion matches past the old 64 cap
+    m2 = Matcher.from_pattern(rb"\(((?R)|[^()])*\)")
+    t = b"(" * 80 + b"x" + b")" * 80
+    assert m2.search(t, 0, len(t)) == (0, 161)
+
+
+def test_stride_word_axis_stays_128_aligned():
+    """Odd buffer sizes must not degrade the relayout to whole-stride
+    VMEM blocks (review finding: scan_buf_size=36<<20 gave s_w=576)."""
+    from grab_tpu.ops.pallas_stridedfa import StrideDfaScanner
+    from grab_tpu.regex.compiler import compile_multi
+
+    cp = compile_multi([rb"[0-9]{5}"])
+    for buf in (36 << 20, 33 << 20, 7 << 20):
+        sc = StrideDfaScanner(cp.dfa, cp.max_len, buf, interpret=True)
+        assert (sc.stride // 4) % 128 == 0, buf
