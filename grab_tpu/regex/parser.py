@@ -677,7 +677,10 @@ class _Parser:
         if c in _CLASS_ESCAPES:
             return CharClass(_CLASS_ESCAPES[c]())
         if c in (ord("p"), ord("P")):
-            return self._class(self._uprop_mask(c))
+            # \p property tests are NOT case-folded under (?i)
+            # (verified vs grep -P: (?i)\p{Lu} does not match 'a';
+            # literals and POSIX classes DO fold)
+            return CharClass(self._uprop_mask(c))
         if not in_class:
             if c == ord("A"):
                 return Anchor("bos")
@@ -782,6 +785,7 @@ class _Parser:
             negate = True
             self.pos += 1
         mask = 0
+        pmask = 0  # \p contributions: never case-folded (PCRE parity)
         first = True
         while True:
             c = self._peek()
@@ -815,7 +819,7 @@ class _Parser:
                     continue
                 if e in (ord("p"), ord("P")):
                     self.pos += 1
-                    mask |= self._uprop_mask(e)
+                    pmask |= self._uprop_mask(e)
                     continue
                 if e == ord("b"):
                     self.pos += 1
@@ -841,9 +845,12 @@ class _Parser:
                 mask |= 1 << lo_b
         if self.flags & F_I:
             mask = fold_case_mask(mask)
+        mask |= pmask
         if negate:
             mask = ALL_BYTES_MASK & ~mask
-        return self._class(mask)
+        # folding already applied (with \p parts excluded) — do NOT
+        # route through _class, which would fold the \p contributions
+        return CharClass(mask)
 
 
 def parse(pattern) -> Node:

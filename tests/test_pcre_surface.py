@@ -273,3 +273,25 @@ def test_stride_word_axis_stays_128_aligned():
     for buf in (36 << 20, 33 << 20, 7 << 20):
         sc = StrideDfaScanner(cp.dfa, cp.max_len, buf, interpret=True)
         assert (sc.stride // 4) % 128 == 0, buf
+
+
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+def test_caseless_does_not_fold_properties():
+    """PCRE caseless folds literals and POSIX classes but NOT \\p
+    property tests (verified per byte vs grep -P)."""
+    for pat, text, match in [
+        (rb"(?i)\p{Lu}", b"a", False),
+        (rb"(?i)\p{Lu}", b"A", True),
+        (rb"(?i)[\p{Lu}]", b"a", False),
+        (rb"(?i)[\p{Lu}x]", b"X", True),  # the literal x still folds
+        (rb"(?i)[[:upper:]]", b"a", True),  # POSIX classes fold
+    ]:
+        got = Matcher.from_pattern(pat).search(text, 0, len(text))
+        assert (got is not None) == match, pat
+        r = subprocess.run(
+            [GREP, "-c", "-a", "-P", pat, "-"],
+            input=text + b"\n",
+            capture_output=True,
+            env={"LC_ALL": "C"},
+        )
+        assert (r.stdout.strip() == b"1") == match, (pat, "grep disagrees")
