@@ -132,7 +132,7 @@ def main():
         out.block_until_ready()
         dt = (time.time() - t0) / reps
     else:
-        sc = CoreWordScanner([literal], tile_rows=2048)
+        sc = CoreWordScanner([literal], tile_rows=4096)
         t = sc.tests
         words2d = device_corpus_words(n // (4 * LANES), PAD_ROWS, seed=42)
         words2d.block_until_ready()
@@ -146,7 +146,7 @@ def main():
         def chained(tabs, words):
             def body(acc, tab):
                 bm = core_word_bitmap(
-                    words, tab, t.k, t.n_words, tile_rows=2048, masked=t.masked
+                    words, tab, t.k, t.n_words, tile_rows=4096, masked=t.masked
                 )
                 return acc + jnp.sum(bm, dtype=jnp.int32), None
 

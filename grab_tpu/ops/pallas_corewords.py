@@ -366,7 +366,9 @@ def pick_tile_rows(units: int, requested: int) -> int:
     """Clamp the tile so the unrolled tests fit scoped VMEM (16 MB on
     v5e). Measured: k*n_words=32 tests at 2048 rows allocate ~61 MB of
     live (TR,128) temporaries — VMEM use scales with TR x units."""
-    if units <= 8:
+    if units <= 4:
+        cap = 4096  # 1 GiB sweep: tile4096 787 GB/s vs tile2048 743
+    elif units <= 8:
         cap = 2048
     elif units <= 16:
         cap = 1024

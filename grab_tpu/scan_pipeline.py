@@ -311,7 +311,7 @@ class DeviceScanner:
             if self._alpha_eligible(getattr(self, "_alpha_plan", None)):
                 ranges, runlen = self._alpha_plan
                 self._input_words = True
-                tile_rows = min(2048, self.buf_size // self.block)
+                tile_rows = min(4096, self.buf_size // self.block)
                 sc = AlphaRunScanner(
                     ranges,
                     runlen,
@@ -347,7 +347,7 @@ class DeviceScanner:
             from grab_tpu.ops.pallas_xorfilter import XorWordScanner
 
             self._input_words = True
-            tile_rows = min(2048, self.buf_size // self.block)
+            tile_rows = min(4096, self.buf_size // self.block)
             import os as _os
 
             # seq-routed patterns: union stride-DFA member when
@@ -414,7 +414,7 @@ class DeviceScanner:
         # word-packed range-test kernel — same output geometry/decode
         # contract either way (_seq_scanner)
         self._input_words = True
-        tile_rows = min(2048, self.buf_size // self.block)
+        tile_rows = min(4096, self.buf_size // self.block)
         sc = self._seq_scanner(tile_rows, standalone=True)
         self._cw_list = [sc]
         return lambda words2d: [sc.packed(words2d)]

@@ -1,0 +1,28 @@
+"""Headline core-word kernel: tile_rows sweep at 1 GiB."""
+import sys, time
+sys.path.insert(0, "/root/repo/tools"); sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from axon_timing import make_stack, measure
+
+def main():
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS, CoreWordScanner, core_word_bitmap
+    ROWS = (1024 << 20) // 512
+    w = device_corpus_words(ROWS, PAD_ROWS, seed=42)
+    stack = make_stack(w, 8)
+    sc = CoreWordScanner([b"qZx9kWv3"], tile_rows=2048)
+    t = sc.tests
+    tab = jnp.asarray(t.tab)
+    nb = ROWS * 512
+    for tr in (1024, 2048, 4096, 8192):
+        try:
+            fn = jax.jit(lambda x, tr=tr: core_word_bitmap(x, tab, t.k, t.n_words, tile_rows=tr, masked=t.masked))
+            t0 = time.time(); fn(stack[0]).block_until_ready()
+            print(f"tile{tr}: compiled {time.time()-t0:.1f}s", flush=True)
+            dt = measure(fn, stack)
+            print(f"tile{tr}: {nb/dt/1e9:.1f} GB/s ({dt*1e3:.3f} ms)", flush=True)
+        except Exception as e:
+            print(f"tile{tr}: FAILED {type(e).__name__} {str(e)[:200]}", flush=True)
+
+if __name__ == "__main__":
+    main()
