@@ -224,13 +224,15 @@ def secondary_metrics():
     w = device_corpus_words(rows, PAD_ROWS, seed=7)
     stack = make_stack(w, 12)  # 3 GB HBM: 6-scan difference per timing
 
-    def emit(metric, dt):
-        print(
-            json.dumps(
-                {"metric": metric, "value": round(n / dt, 1), "unit": "bytes/s"}
-            ),
-            file=sys.stderr,
-        )
+    def emit(metric, dt, _retry=[0]):
+        value = round(n / dt, 1)
+        out = {"metric": metric, "value": value, "unit": "bytes/s"}
+        if value > 1.4e12:
+            # differencing glitch (sub-jitter signal clamped to the
+            # 1e-9 floor): mark rather than publish a roofline-violating
+            # number (axon-timing fallback caveat, docs/BENCH.md)
+            out["suspect"] = True
+        print(json.dumps(out), file=sys.stderr)
 
     # measured HBM roofline reference (BASELINE's 819 GB/s table value
     # is the spec number; the chip itself has measured ~1020 at 1 GiB —
@@ -307,7 +309,7 @@ def secondary_metrics():
         mbuf,
         jax.default_backend() == "cpu",
     )
-    mrun = member.sc.traceable_run
+    mrun = member.sc.traceable_run.run2d
     msw = member.sc.stride // 4
     from grab_tpu.ops.pallas_stridedfa import N_STREAMS as _NS
 
@@ -315,7 +317,7 @@ def secondary_metrics():
         a = x[:rows].reshape(n // mbuf * _NS, msw)
         acc = jnp.int32(0)
         for i in range(n // mbuf):
-            bm, _n_, _c = mrun(a[i * _NS : (i + 1) * _NS].reshape(-1))
+            bm, _n_, _c = mrun(a[i * _NS : (i + 1) * _NS])
             acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
         return acc
 
@@ -432,38 +434,6 @@ def secondary_metrics():
     # 1-2: was ~56 GB/s with the XLA transpose).
     from grab_tpu.ops.pallas_stridedfa import StrideDfaScanner
 
-    # measured at the PRODUCTION buffer size (32 MiB, stride 2 KiB),
-    # chained over the corpus exactly as the engine submits batches:
-    # the relayout's strided-DMA efficiency depends on the stream
-    # stride (241.8 GB/s at 2 KiB vs 95 at 16 KiB, tools/exp_t2.py)
-    e2e_buf = 32 << 20
-    for metric, pat in (
-        ("stridedfa_e2e_bytes_per_sec", rb"[0-9]{5}"),  # window mode
-        ("stridedfa_e2e_unbounded_bytes_per_sec", rb"a[0-9]*b"),  # fixpoint
-    ):
-        cpx = compile_multi([pat])
-        scx = StrideDfaScanner(cpx.dfa, cpx.max_len, e2e_buf, interpret=False)
-        runx = scx.traceable_run
-        s_w = scx.stride // 4
-        from grab_tpu.ops.pallas_stridedfa import N_STREAMS as NS
-
-        n_bufs = g_rows * 4 * LANES // e2e_buf
-
-        @jax.jit
-        def e2e_fn(x, runx=runx, s_w=s_w, n_bufs=n_bufs):
-            # leading-dim row slices of the (n_buf*16384, s_w) view are
-            # cheap; mid-buffer 1-D slices forced XLA copies the real
-            # per-buffer pipeline never issues (tools/exp_t2.py)
-            a = x.reshape(-1)[: n_bufs * NS * s_w].reshape(n_bufs * NS, s_w)
-            acc = jnp.int32(0)
-            for i in range(n_bufs):
-                sub = a[i * NS : (i + 1) * NS]
-                bm, _n_, _c = runx(sub.reshape(-1))
-                acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
-            return acc.reshape(1, 1)
-
-        emit_g2(metric, measure(e2e_fn, gstack))
-
     # fragmented class map: the k-strided cls plan (round 4; the
     # round-3 per-byte class-gather walk ran 126 GB/s)
     cpf = compile_multi([rb"[acegikmoqsuwy]{3}"])
@@ -482,6 +452,61 @@ def secondary_metrics():
         ),
     )
 
+
+    # measured at the PRODUCTION buffer size (32 MiB, stride 2 KiB),
+    # chained over the corpus exactly as the engine submits batches:
+    # the relayout's strided-DMA efficiency depends on the stream
+    # stride (241.8 GB/s at 2 KiB vs 95 at 16 KiB, tools/exp_t2.py).
+    # The corpus for these metrics is BORN in the stream-row shape the
+    # production upload arrives in (StrideDfaScanner.packed uploads
+    # [16384, s_w]); reshaping a (rows,128)-born array is a TPU
+    # tiled-layout copy (~0.8 ms/GiB) the real pipeline never pays.
+    del gstack
+    e2e_buf = 32 << 20
+    from grab_tpu.ops.pallas_stridedfa import N_STREAMS as NS
+
+    e2e_sw = e2e_buf // 4 // NS
+    n_bufs = (g_mb << 20) // e2e_buf
+
+    @jax.jit
+    def gen2(key):
+        b = jax.random.randint(
+            key, (n_bufs * NS, e2e_sw, 4), 97, 123, dtype=jnp.uint8
+        )
+        return jax.lax.bitcast_convert_type(b, jnp.int32)
+
+    g2stack = make_stack(gen2(jax.random.PRNGKey(13)), 8)
+
+    def emit_g3(metric, dt):
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(n_bufs * e2e_buf / dt, 1),
+                    "unit": "bytes/s",
+                }
+            ),
+            file=sys.stderr,
+        )
+
+    for metric, pat in (
+        ("stridedfa_e2e_bytes_per_sec", rb"[0-9]{5}"),  # window mode
+        ("stridedfa_e2e_unbounded_bytes_per_sec", rb"a[0-9]*b"),  # fixpoint
+    ):
+        cpx = compile_multi([pat])
+        scx = StrideDfaScanner(cpx.dfa, cpx.max_len, e2e_buf, interpret=False)
+        runx = scx.traceable_run.run2d  # 2-D entry: no layout roundtrip
+        assert scx.stride // 4 == e2e_sw
+
+        @jax.jit
+        def e2e_fn(x, runx=runx):
+            acc = jnp.int32(0)
+            for i in range(n_bufs):
+                bm, _n_, _c = runx(x[i * NS : (i + 1) * NS])
+                acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+            return acc.reshape(1, 1)
+
+        emit_g3(metric, measure(e2e_fn, g2stack))
 
 if __name__ == "__main__":
     main()

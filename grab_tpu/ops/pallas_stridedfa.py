@@ -36,11 +36,14 @@ geometry; XLA's strided transpose produced it at ~64 GB/s, capping the
 END-TO-END tier at ~56 GB/s. ``stride_transpose`` moves 128-stream x
 128-word tiles through VMEM (241.8 GB/s r+w at the production 32 MiB /
 2 KiB-stride geometry, tools/exp_t2.py). The full production chain —
-1-D buffer view change (a TPU tiled-layout copy XLA inserts), Pallas
-relayout, W=32 walk, boundary-window pass, candidate count — measures
-87-105 GB/s per chained 32 MiB buffer (tools/exp_prof.py decomposes
-it), vs ~56 end-to-end in round 3 with the kernel-only number 8x away;
-both tier and kernel rates are driver-reported honestly.
+Pallas relayout, W=32 walk, boundary-window pass, candidate count,
+fed in the [16384, s_w] stream-row shape the host uploads
+(StrideDfaScanner.packed; a 1-D view reshape would be a TPU
+tiled-layout copy) — measures 120.7 GB/s driver-captured per chained
+32 MiB buffer (81.9 for the unbounded fixpoint path), vs ~56
+end-to-end in round 3 with the kernel-only number 8x away; both tier
+and kernel rates are driver-reported honestly
+(tools/exp_prof.py decomposes the chain).
 
 **Boundary windows for bounded patterns (round 4, replacing the halo
 layout).** A bounded match (max_len <= HALO-8 = 120) crossing a stream
@@ -507,8 +510,9 @@ def np_stride_scan(words2d: np.ndarray, tables: StrideDfaTables, entries):
 
 
 @partial(jax.jit, static_argnames=("s_w", "interpret"))
-def stride_transpose(words, s_w: int, interpret: bool = False):
-    """Linear word vector → stream-major kernel geometry, as a tiled
+def stride_transpose(a, s_w: int, interpret: bool = False):
+    """Stream-row words [N_STREAMS, s_w] → stream-major kernel
+    geometry, as a tiled
     Pallas relayout (round 4). The XLA strided transpose this replaces
     ran at ~64 GB/s and capped the END-TO-END tier at ~56 GB/s while
     the walk kernel alone does ~575; this kernel moves 128-stream x
@@ -533,7 +537,6 @@ def stride_transpose(words, s_w: int, interpret: bool = False):
             x_ref[:].reshape(BANDS, LANES, wc), (2, 0, 1)
         )
 
-    a = words[: N_STREAMS * s_w].reshape(N_STREAMS, s_w)
     out3 = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -635,28 +638,28 @@ class StrideDfaScanner:
 
         tab = self._tab
 
-        def windows(words):
+        def windows(a):
             """[N_STREAMS, 2*wb] boundary windows: window s = linear
             bytes [(s+1)*stride - 4*wb, (s+1)*stride + 4*wb)
             (zero-padded past the buffer end), relayouted to kernel
             geometry by the tiled Pallas pass (the XLA permute used
             here previously cost ~30% of the whole e2e scan)."""
-            a = words[: N_STREAMS * S_w].reshape(N_STREAMS, S_w)
             w1 = a[:, S_w - wb :]
             w2 = jnp.concatenate(
                 [a[1:, :wb], jnp.zeros((1, wb), a.dtype)], axis=0
             )
             win = jnp.concatenate([w1, w2], axis=1)  # [N_STREAMS, 2wb]
-            return stride_transpose(
-                win.reshape(-1), 2 * wb, interpret=interpret
-            )
+            return stride_transpose(win, 2 * wb, interpret=interpret)
 
-        def run(words):
-            w2d = stride_transpose(words, S_w, interpret=interpret)
+        def run2d(a):
+            # a: [N_STREAMS, S_w] stream rows — the fast entry: a host
+            # upload in this shape needs no device-side layout change
+            # (the 1-D view reshape is a real TPU tiled-layout copy)
+            w2d = stride_transpose(a, S_w, interpret=interpret)
             e0 = jnp.full((STREAM_ROWS, LANES), start, jnp.int32)
             bm, exits = step(w2d, tab, e0)
             if window_mode:
-                bmw, _ = step(windows(words), tab, e0)
+                bmw, _ = step(windows(a), tab, e0)
                 return (
                     jnp.concatenate([bm, bmw], axis=0),
                     jnp.int32(1),
@@ -692,6 +695,12 @@ class StrideDfaScanner:
             bm = jnp.where(converged, bm, jnp.full_like(bm, -1))
             return bm, n, converged
 
+        def run(words):  # 1-D contract (shard_map / ensemble member)
+            return run2d(
+                words[: N_STREAMS * S_w].reshape(N_STREAMS, S_w)
+            )
+
+        run.run2d = run2d
         return run
 
     @property
@@ -718,13 +727,16 @@ class StrideDfaScanner:
 
     def packed(self, buf: np.ndarray):
         """→ device hit bitmap (transposed geometry; window rows
-        appended in window mode); decode on host with ``flags_np``."""
+        appended in window mode); decode on host with ``flags_np``.
+        The buffer uploads in stream-row shape [N_STREAMS, stride/4]
+        (free on the host) so the device pays no layout copy."""
         import jax
         import jax.numpy as jnp
 
         if self._fn is None:
-            self._fn = jax.jit(self._make_run())
-        bm, _n, _conv = self._fn(jnp.asarray(self.prep(buf)))
+            self._fn = jax.jit(self._make_run().run2d)
+        a2 = self.prep(buf).reshape(N_STREAMS, self.stride // 4)
+        bm, _n, _conv = self._fn(jnp.asarray(a2))
         return bm
 
     def _decode(self, bm, n_blocks, pos_of) -> np.ndarray:

@@ -39,7 +39,7 @@ def main():
     ):
         cp = compile_multi([pat])
         sc = StrideDfaScanner(cp.dfa, cp.max_len, BUF, interpret=False)
-        run = sc.traceable_run
+        run = sc.traceable_run.run2d
         s_w = sc.stride // 4
 
         @jax.jit
@@ -47,7 +47,7 @@ def main():
             a = x[:ROWS].reshape(NBUF * N_STREAMS, s_w)
             acc = jnp.int32(0)
             for i in range(NBUF):
-                bm, _n_, _c = run(a[i * N_STREAMS : (i + 1) * N_STREAMS].reshape(-1))
+                bm, _n_, _c = run(a[i * N_STREAMS : (i + 1) * N_STREAMS])
                 acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
             return acc.reshape(1, 1)
 
@@ -59,7 +59,7 @@ def main():
     ]
     cps = compile_multi(regex10)
     member = _StrideSeqMember(cps.seq_dfa, cps.seq_max_len, BUF, False)
-    mrun = member.sc.traceable_run
+    mrun = member.sc.traceable_run.run2d
     msw = member.sc.stride // 4
 
     @jax.jit
@@ -67,7 +67,7 @@ def main():
         a = x[:ROWS].reshape(NBUF * N_STREAMS, msw)
         acc = jnp.int32(0)
         for i in range(NBUF):
-            bm, _n_, _c = mrun(a[i * N_STREAMS : (i + 1) * N_STREAMS].reshape(-1))
+            bm, _n_, _c = mrun(a[i * N_STREAMS : (i + 1) * N_STREAMS])
             acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
         return acc.reshape(1, 1)
 

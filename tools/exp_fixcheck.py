@@ -40,7 +40,7 @@ def main():
     fns.append(
         (
             "transpose_wc128",
-            lambda x: stride_transpose(x[:ROWS].reshape(-1), s_w),
+            lambda x: stride_transpose(x[:ROWS].reshape(-1, s_w), s_w),
         )
     )
     for nm, pat in (

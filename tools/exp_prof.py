@@ -35,7 +35,7 @@ def main():
     def f_t(x):
         acc = jnp.int32(0)
         for i in range(NBUF):
-            o = stride_transpose(sub_i(x, i).reshape(-1), s_w)
+            o = stride_transpose(sub_i(x, i), s_w)
             acc = acc + o[0, 0] + o[-1, -1]
         return acc.reshape(1, 1)
 
@@ -43,7 +43,7 @@ def main():
     def f_tw(x):
         acc = jnp.int32(0)
         for i in range(NBUF):
-            o = stride_transpose(sub_i(x, i).reshape(-1), s_w)
+            o = stride_transpose(sub_i(x, i), s_w)
             bm, ex = stride_dfa_scan(o, tab, e0, t.thresholds, t.m, t.k, mode=t.mode)
             acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
         return acc.reshape(1, 1)
