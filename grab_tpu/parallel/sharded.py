@@ -85,14 +85,15 @@ class ShardedScanner(DeviceScanner):
         nb = self.buf_size // self.block
 
         if self.mode == "gdfa":
-            # strided-DFA scanner: per-shard device transpose +
-            # threading fixpoint; the linear word vector is the
-            # shard input (ops/pallas_stridedfa — the only gdfa-mode
-            # scanner since the class-gather tier was retired)
-            run = self._gdfa.traceable_run
+            # strided-DFA scanner: per-shard Pallas relayout + walk (+
+            # windows / threading fixpoint); shards upload in the
+            # [16384, s_w] stream-row shape so no per-shard device
+            # layout copy happens (same round-4 optimization as the
+            # single-device packed path)
+            run2d = self._gdfa.traceable_run.run2d
 
-            def body(w2, v):  # [1, n_words] + validity per shard
-                bm, _n, _conv = run(w2[0])
+            def body(w3, v):  # [1, N_STREAMS, s_w] + validity per shard
+                bm, _n, _conv = run2d(w3[0])
                 total = jax.lax.psum(
                     (jnp.count_nonzero(bm) * v[0]).astype(jnp.int32),
                     "shards",
@@ -100,10 +101,10 @@ class ShardedScanner(DeviceScanner):
                 return total, bm[None]
 
             fn = _wrap_shard_map(
-                body, mesh, (P("shards", None), P("shards")),
+                body, mesh, (P("shards", None, None), P("shards")),
                 (P(), P("shards", None, None)),
             )
-            self._in_sharding = NamedSharding(mesh, P("shards", None))
+            self._in_sharding = NamedSharding(mesh, P("shards", None, None))
             return jax.jit(fn)
 
         if getattr(self, "_input_words", False):
@@ -158,9 +159,13 @@ class ShardedScanner(DeviceScanner):
 
     def _prep_one(self, buf: np.ndarray) -> np.ndarray:
         if self.mode == "gdfa":
-            if hasattr(self._gdfa, "prep"):
-                return self._gdfa.prep(np.asarray(buf[: self.buf_size]))
-            return self._gdfa._transpose(np.asarray(buf[: self.buf_size]))
+            from grab_tpu.ops.pallas_stridedfa import N_STREAMS
+
+            # stream-row shape: free on the host, saves the device
+            # layout copy (see _build_sharded)
+            return self._gdfa.prep(
+                np.asarray(buf[: self.buf_size])
+            ).reshape(N_STREAMS, self._gdfa.stride // 4)
         if getattr(self, "_input_words", False):
             from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
 
