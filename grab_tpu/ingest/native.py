@@ -101,6 +101,15 @@ def _load():
             _ERR_CB,
             ctypes.c_void_p,
         ]
+    if lib.gt_abi_version() >= 4:
+        lib.gt_transpose32.restype = ctypes.c_int
+        lib.gt_transpose32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
     _lib = lib
     return lib
 
@@ -263,6 +272,39 @@ def fill_native(
         arr[i].length = length
     ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     return int(lib.gt_fill(ptr, arr, n, nthreads))
+
+
+def transpose_stream_rows(
+    src: np.ndarray, nthreads: int = 8, out: "np.ndarray | None" = None
+) -> np.ndarray:
+    """Transpose an int32 [n_rows, row_words] stream-row matrix into
+    word-major layout (out flat word g * n_rows + s = src[s, g]) — the
+    TPU walk kernel's geometry, produced on the HOST so scan buffers
+    upload born-transposed (ops/pallas_stridedfa round 5). Uses the
+    blocked multithreaded native transpose (gt_transpose32, ~memory
+    bandwidth) when available; numpy fallback otherwise. ``out`` reuses
+    a caller-held [row_words, n_rows] int32 buffer (a fresh 32 MiB
+    allocation per batch costs kernel page-zeroing)."""
+    assert src.dtype == np.int32 and src.ndim == 2
+    n_rows, row_words = src.shape
+    lib = _load()
+    if lib is not None and hasattr(lib, "gt_transpose32"):
+        if not src.flags["C_CONTIGUOUS"]:
+            src = np.ascontiguousarray(src)
+        if out is not None:
+            assert out.shape == (row_words, n_rows) and out.dtype == np.int32
+            dst = out
+        else:
+            dst = np.empty((row_words, n_rows), dtype=np.int32)
+        lib.gt_transpose32(
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_rows,
+            row_words,
+            nthreads,
+        )
+        return dst
+    return np.ascontiguousarray(src.T)
 
 
 def fill_segments(

@@ -369,7 +369,63 @@ int gt_fill(uint8_t *buf, const gt_seg *segs, int32_t nsegs,
   return gt_fill2(buf, segs, nsegs, nthreads, nullptr);
 }
 
+// Blocked multithreaded 32-bit matrix transpose:
+//   dst[g * n_rows + s] = src[s * row_words + g]
+// for s in [0, n_rows), g in [0, row_words).
+//
+// This writes the TPU walk kernel's stream-major layout (word g of
+// every packed stream contiguous) directly on the host, so the scan
+// buffer uploads BORN in the layout ops/pallas_stridedfa wants and the
+// device-side relayout pass disappears from the production DFA tier
+// (the analog of the reference's scan loop reading mmap'd bytes in
+// exactly the order pcre_exec consumes them, grab.cc:154-178).
+//
+// Blocking (microbenchmarked against two alternatives, 2.3x the naive
+// slab copy): tasks are 16-word (64-byte, one source cache line) slabs
+// of the g axis; within a task, source rows are tiled 256 at a time and
+// the copy iterates j (dst row) outer, s inner — so WRITES are
+// perfectly sequential 1 KiB runs and each 64-byte source line is read
+// once per tile and reused by all 16 j's from cache. Tasks are handed
+// out dynamically so threads stay balanced.
+int gt_transpose32(int32_t *dst, const int32_t *src, int64_t n_rows,
+                   int64_t row_words, int32_t nthreads) {
+  const int64_t GB = 16;   // words per slab: one 64-byte source line
+  const int64_t SB = 256;  // source rows per tile (write run = 1 KiB)
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  int64_t n_blocks = (row_words + GB - 1) / GB;
+  std::atomic<int64_t> next{0};
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_blocks) return;
+      int64_t g0 = b * GB;
+      int64_t gn = std::min(GB, row_words - g0);
+      for (int64_t s0 = 0; s0 < n_rows; s0 += SB) {
+        int64_t sn = std::min(SB, n_rows - s0);
+        for (int64_t j = 0; j < gn; ++j) {
+          int32_t *dp = dst + (g0 + j) * n_rows + s0;
+          const int32_t *sp = src + s0 * row_words + g0 + j;
+          for (int64_t s = 0; s < sn; ++s) dp[s] = sp[s * row_words];
+        }
+      }
+    }
+  };
+
+  if (nthreads == 1 || n_blocks <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    int nt = (int)std::min<int64_t>(nthreads, n_blocks);
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+  return 0;
+}
+
 // Simple self-description for the loader's version handshake.
-int gt_abi_version(void) { return 3; }
+int gt_abi_version(void) { return 4; }
 
 }  // extern "C"

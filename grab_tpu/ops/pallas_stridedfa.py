@@ -638,28 +638,32 @@ class StrideDfaScanner:
 
         tab = self._tab
 
-        def windows(a):
-            """[N_STREAMS, 2*wb] boundary windows: window s = linear
-            bytes [(s+1)*stride - 4*wb, (s+1)*stride + 4*wb)
-            (zero-padded past the buffer end), relayouted to kernel
-            geometry by the tiled Pallas pass (the XLA permute used
-            here previously cost ~30% of the whole e2e scan)."""
-            w1 = a[:, S_w - wb :]
+        def windows_t(w2d):
+            """Boundary windows straight from the transposed buffer:
+            window s = linear bytes
+            [(s+1)*stride - 4*wb, (s+1)*stride + 4*wb) (zero-padded
+            past the buffer end). In kernel geometry the last wb words
+            of every stream are the trailing wb*128 rows (a free
+            leading-dim slice) and the first wb words are the leading
+            wb*128 rows shifted DOWN one stream — no relayout pass at
+            all (the round-4 version re-ran stride_transpose here)."""
+            w1 = w2d[(S_w - wb) * STREAM_ROWS :]
+            head = w2d[: wb * STREAM_ROWS].reshape(wb, N_STREAMS)
             w2 = jnp.concatenate(
-                [a[1:, :wb], jnp.zeros((1, wb), a.dtype)], axis=0
-            )
-            win = jnp.concatenate([w1, w2], axis=1)  # [N_STREAMS, 2wb]
-            return stride_transpose(win, 2 * wb, interpret=interpret)
+                [head[:, 1:], jnp.zeros((wb, 1), w2d.dtype)], axis=1
+            ).reshape(wb * STREAM_ROWS, LANES)
+            return jnp.concatenate([w1, w2], axis=0)
 
-        def run2d(a):
-            # a: [N_STREAMS, S_w] stream rows — the fast entry: a host
-            # upload in this shape needs no device-side layout change
-            # (the 1-D view reshape is a real TPU tiled-layout copy)
-            w2d = stride_transpose(a, S_w, interpret=interpret)
+        def run_t(w2d):
+            # w2d: [S_w*128, 128] kernel geometry — the production
+            # entry since round 5: the host packer/transpose writes the
+            # upload in this layout (ingest gt_transpose32), so the
+            # device runs ONLY the walk (+ windows or fixpoint); the
+            # round-4 per-batch Pallas relayout is off the hot path.
             e0 = jnp.full((STREAM_ROWS, LANES), start, jnp.int32)
             bm, exits = step(w2d, tab, e0)
             if window_mode:
-                bmw, _ = step(windows(a), tab, e0)
+                bmw, _ = step(windows_t(w2d), tab, e0)
                 return (
                     jnp.concatenate([bm, bmw], axis=0),
                     jnp.int32(1),
@@ -695,12 +699,20 @@ class StrideDfaScanner:
             bm = jnp.where(converged, bm, jnp.full_like(bm, -1))
             return bm, n, converged
 
+        def run2d(a):
+            # a: [N_STREAMS, S_w] stream rows — device-side relayout
+            # entry (tiled Pallas pass): used when the buffer shares an
+            # upload with word-kernel members (ensemble mode), where the
+            # linear layout is the one the other members need
+            return run_t(stride_transpose(a, S_w, interpret=interpret))
+
         def run(words):  # 1-D contract (shard_map / ensemble member)
             return run2d(
                 words[: N_STREAMS * S_w].reshape(N_STREAMS, S_w)
             )
 
         run.run2d = run2d
+        run.run_t = run_t
         return run
 
     @property
@@ -715,8 +727,7 @@ class StrideDfaScanner:
 
     def prep(self, buf: np.ndarray) -> np.ndarray:
         """Host prep: linear uint8 buffer → int32 word vector of the
-        exact geometry ``run`` expects (padding only; the stream-major
-        relayout happens on device in the Pallas transpose pass)."""
+        exact geometry ``run`` expects (padding only)."""
         need = N_STREAMS * self.stride
         buf = np.asarray(buf)
         if buf.shape[0] < need:
@@ -725,18 +736,36 @@ class StrideDfaScanner:
             )
         return buf[:need].view("<i4")
 
+    def prep_t(self, buf: np.ndarray) -> np.ndarray:
+        """Host prep into the walk kernel's OWN geometry: linear uint8
+        buffer → int32 [stride/4 * 128, 128] with word g of stream
+        (r, c) at row g*128 + r (s = r*128 + c; stream s = linear bytes
+        [s*stride, (s+1)*stride)). The blocked multithreaded C++
+        transpose (ingest gt_transpose32) produces this at host memory
+        bandwidth during packing, so the upload is BORN in the walk
+        layout and the device-side relayout pass disappears from the
+        production chain (round 5; the numpy fallback keeps toolchains
+        without the native library working)."""
+        from grab_tpu.ingest.native import transpose_stream_rows
+
+        s_w = self.stride // 4
+        a2 = self.prep(buf).reshape(N_STREAMS, s_w)
+        # no buffer reuse here: uploads dispatch asynchronously and the
+        # sharded path holds several prepped shards at once — a shared
+        # scratch would alias them
+        return transpose_stream_rows(a2).reshape(s_w * STREAM_ROWS, LANES)
+
     def packed(self, buf: np.ndarray):
         """→ device hit bitmap (transposed geometry; window rows
         appended in window mode); decode on host with ``flags_np``.
-        The buffer uploads in stream-row shape [N_STREAMS, stride/4]
-        (free on the host) so the device pays no layout copy."""
+        The buffer uploads born in the kernel's stream-major layout
+        (prep_t) so the device runs only the walk."""
         import jax
         import jax.numpy as jnp
 
         if self._fn is None:
-            self._fn = jax.jit(self._make_run().run2d)
-        a2 = self.prep(buf).reshape(N_STREAMS, self.stride // 4)
-        bm, _n, _conv = self._fn(jnp.asarray(a2))
+            self._fn = jax.jit(self._make_run().run_t)
+        bm, _n, _conv = self._fn(jnp.asarray(self.prep_t(buf)))
         return bm
 
     def _decode(self, bm, n_blocks, pos_of) -> np.ndarray:

@@ -85,15 +85,15 @@ class ShardedScanner(DeviceScanner):
         nb = self.buf_size // self.block
 
         if self.mode == "gdfa":
-            # strided-DFA scanner: per-shard Pallas relayout + walk (+
-            # windows / threading fixpoint); shards upload in the
-            # [16384, s_w] stream-row shape so no per-shard device
-            # layout copy happens (same round-4 optimization as the
-            # single-device packed path)
-            run2d = self._gdfa.traceable_run.run2d
+            # strided-DFA scanner: shards upload BORN in the walk
+            # kernel's stream-major geometry (host gt_transpose32 in
+            # _prep_one), so each shard runs only the walk (+ windows /
+            # threading fixpoint) — same round-5 contract as the
+            # single-device packed path
+            run_t = self._gdfa.traceable_run.run_t
 
-            def body(w3, v):  # [1, N_STREAMS, s_w] + validity per shard
-                bm, _n, _conv = run2d(w3[0])
+            def body(w3, v):  # [1, s_w*128, 128] + validity per shard
+                bm, _n, _conv = run_t(w3[0])
                 total = jax.lax.psum(
                     (jnp.count_nonzero(bm) * v[0]).astype(jnp.int32),
                     "shards",
@@ -109,6 +109,35 @@ class ShardedScanner(DeviceScanner):
 
         if getattr(self, "_input_words", False):
             members = self._cw_list
+            has_member_t = self._stride_member() is not None
+
+            if has_member_t:
+                # a stride-seq member rides each shard's SECOND upload
+                # (born-transposed; same contract as DeviceScanner.submit)
+                def body(w3, t3, v):
+                    tot = jnp.int32(0)
+                    outs = []
+                    for s in members:
+                        if getattr(s, "wants_transposed", False):
+                            t, pk = s.packed_t(t3[0])
+                        else:
+                            t, pk = s.packed(w3[0])
+                        tot = tot + t
+                        outs.append(pk[None])
+                    total = jax.lax.psum(tot * v[0], "shards")
+                    return (total, *outs)
+
+                fn = _wrap_shard_map(
+                    body, mesh,
+                    (
+                        P("shards", None, None),
+                        P("shards", None, None),
+                        P("shards"),
+                    ),
+                    (P(), *[P("shards", None) for _ in members]),
+                )
+                self._in_sharding = NamedSharding(mesh, P("shards", None, None))
+                return jax.jit(fn)
 
             def body(w3, v):  # [1, rows + PAD_ROWS, 128] + validity
                 tot = jnp.int32(0)
@@ -159,13 +188,8 @@ class ShardedScanner(DeviceScanner):
 
     def _prep_one(self, buf: np.ndarray) -> np.ndarray:
         if self.mode == "gdfa":
-            from grab_tpu.ops.pallas_stridedfa import N_STREAMS
-
-            # stream-row shape: free on the host, saves the device
-            # layout copy (see _build_sharded)
-            return self._gdfa.prep(
-                np.asarray(buf[: self.buf_size])
-            ).reshape(N_STREAMS, self._gdfa.stride // 4)
+            # born-transposed on the host (see _build_sharded)
+            return self._gdfa.prep_t(np.asarray(buf[: self.buf_size]))
         if getattr(self, "_input_words", False):
             from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
 
@@ -198,7 +222,23 @@ class ShardedScanner(DeviceScanner):
         valid = np.zeros(self.n_shards, dtype=np.int32)
         valid[:n_real] = 1
         v = jax.device_put(valid, NamedSharding(self.mesh, P("shards")))
-        handles = self._sharded_fn(x, v)
+        member = (
+            self._stride_member()
+            if getattr(self, "_input_words", False)
+            else None
+        )
+        if member is not None:
+            # per-shard second upload in the walk kernel's geometry
+            tshards = [member.prep_t(b) for b in bufs]
+            while len(tshards) < self.n_shards:
+                tshards.append(np.zeros_like(tshards[0]))
+            t = jax.device_put(
+                np.stack(tshards),
+                NamedSharding(self.mesh, P("shards", None, None)),
+            )
+            handles = self._sharded_fn(x, t, v)
+        else:
+            handles = self._sharded_fn(x, v)
         return (n_real,) + tuple(handles)
 
     def resolve_group(self, handles) -> List[np.ndarray]:
