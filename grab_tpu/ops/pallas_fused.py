@@ -109,10 +109,13 @@ def _build_kernel(
                     fold(eq)
 
         # long-literal member: exact XOR-filter core-word membership
-        # (ops/pallas_xorfilter; the round-4 bloom replacement — 16
-        # ops/word at fp ~2^-32 vs bloom's ~35 at 1e-5)
-        for gi, consts in enumerate(xor_groups):
-            fold(xor_member_test(x0, tbl_ref, consts, tile_rows, base=gi * 4))
+        # (ops/pallas_xorfilter; the round-4 bloom replacement — the
+        # cost is the summed group arities in gathers/word at fp ~2^-32;
+        # round 5's tiered groups cut the 400-key batch from 8 to 5)
+        from grab_tpu.ops.pallas_xorfilter import group_bases
+
+        for consts, base in zip(xor_groups, group_bases(xor_groups)):
+            fold(xor_member_test(x0, tbl_ref, consts, tile_rows, base=base))
 
         # class sequences (ops/pallas_classseq semantics)
         if seqs:
@@ -248,7 +251,7 @@ class FusedEnsembleScanner:
         self.interpret = interpret
 
         units = sum(t.k * t.n_words for t in self.cw_tests)
-        units += (len(self.xor.groups) if self.xor else 0) * 4
+        units += sum(len(c) for c, _ in self.xor.groups) if self.xor else 0
         if self.seqs:
             units += sum(len(s) for s in self.seqs)
         self.tile_rows = pick_tile_rows(units, tile_rows)

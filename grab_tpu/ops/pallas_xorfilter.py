@@ -20,12 +20,18 @@ still verify on host as always, so adversarial corpora only cost
 replay time. (A 3-hash/16-bit packing would reach ~270 at fp 1.5e-5;
 rejected so clean corpora keep decoding exactly clean.)
 
-Construction is 4-ary hypergraph peeling over 4 banks of 128 slots
-(one bank per gather row). 512 slots hold up to ~440 keys reliably
-(load 0.86 < the ~0.92 4-ary threshold); larger literal sets split
-into multiple independent filter groups of <= 384 keys, each costing
-one more 16-op test per word (vs the compare kernel's 8 ops per
-LITERAL per word, and bloom's 35 flat).
+Construction is k-ary hypergraph peeling over k banks of 128 slots
+(one bank per gather row; the gather count IS the cost, ~940/n GB/s,
+tools/exp_xor.py). Empirically measured reliable loads with salt
+retries (round 5; the round-4 note claiming "~440 keys in 512 slots"
+was wrong — 4-ary partitioned peeling fails reliably past ~400, load
+0.78, consistent with the c4≈0.77 threshold): 4 banks <= 384 keys,
+3 banks <= 300, 2 banks <= 120, 1 bank (perfect table) <= 24. Key
+sets partition greedily into full 4-bank groups plus ONE
+smallest-arity remainder group, so e.g. the 400-key 100-literal batch
+costs 5 gathers (4+1) instead of round 4's 8 (two fixed 4-bank
+groups), and a 100-key set costs 2 — with the fp unchanged at ~2^-32
+(the fingerprint is always the full 32-bit word).
 
 Keys: one aligned core word per (literal, phase), exactly
 pallas_bloom._phase_words (needs len >= 7 so a full aligned int32
@@ -54,7 +60,10 @@ from grab_tpu.ops.pallas_corewords import (
 
 N_BANKS = 4
 BANK_SLOTS = LANES  # one 128-lane gather row per bank
-GROUP_KEYS = 384  # comfortable peeling load: 384/512 = 0.75
+GROUP_KEYS = 384  # reliable 4-ary peeling load: 384/512 = 0.75
+# measured-reliable remainder-group capacities by arity (256 salts;
+# see module docstring)
+_ARITY_CAP = ((1, 24), (2, 120), (3, 300), (4, GROUP_KEYS))
 
 # base odd multiplicative constants, salted per construction attempt
 _BASE_CONSTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
@@ -70,9 +79,12 @@ def _hash_slots(x: int, consts) -> List[int]:
     return [((x * c) & 0xFFFFFFFF) >> 25 for c in consts]
 
 
-def _peel(keys: List[int], consts) -> "np.ndarray | None":
-    """Assign bank tables so xor of each key's 4 slots equals the key.
-    Returns uint32 [4, 128] or None if peeling fails."""
+def _peel(keys: List[int], consts, n_banks: int = N_BANKS) -> "np.ndarray | None":
+    """Assign bank tables so xor of each key's n_banks slots equals the
+    key. Returns uint32 [n_banks, 128] or None if peeling fails (a
+    1-bank group degenerates to a perfect table: peeling succeeds iff
+    the single hash is collision-free over the keys)."""
+    consts = consts[:n_banks]
     # slot id = bank * 128 + h_bank(key)
     occ: dict = {}
     key_slots = []
@@ -106,14 +118,14 @@ def _peel(keys: List[int], consts) -> "np.ndarray | None":
     # key like 0x00000000 — NUL runs are common in binary corpora),
     # then back-substitute in reverse peel order
     rng = np.random.default_rng(0xF117E4 ^ consts[0])
-    tbl = rng.integers(1, 1 << 32, size=N_BANKS * BANK_SLOTS, dtype=np.uint32)
+    tbl = rng.integers(1, 1 << 32, size=n_banks * BANK_SLOTS, dtype=np.uint32)
     for ki, owned in reversed(order):
         acc = np.uint32(keys[ki])
         for s in key_slots[ki]:
             if s != owned:
                 acc ^= tbl[s]
         tbl[owned] = acc
-    return tbl.reshape(N_BANKS, BANK_SLOTS)
+    return tbl.reshape(n_banks, BANK_SLOTS)
 
 
 class XorWordTests:
@@ -136,37 +148,45 @@ class XorWordTests:
                 max_back = max(max_back, 4 * j + 3)
         self.n_keys = len(keys)
         key_list = sorted(keys)
+        # greedy partition: full 4-bank groups, then ONE smallest-arity
+        # remainder group — the total gather count per word is the sum
+        # of group arities (e.g. 400 keys -> 4+1 = 5 gathers, not 8)
+        chunks: List[tuple] = []
+        pos = 0
+        while len(key_list) - pos > GROUP_KEYS:
+            chunks.append((key_list[pos : pos + GROUP_KEYS], 4))
+            pos += GROUP_KEYS
+        rem = key_list[pos:]
+        if rem:
+            arity = next(a for a, cap in _ARITY_CAP if len(rem) <= cap)
+            chunks.append((rem, arity))
         self.groups: List[tuple] = []
-        for i in range(0, len(key_list), GROUP_KEYS):
-            chunk = key_list[i : i + GROUP_KEYS]
-            built = None
-            for salt in range(64):
-                consts = _salted_consts(salt)
-                tbl = _peel(chunk, consts)
-                if tbl is not None:
-                    built = (consts, tbl)
-                    break
-            if built is None:
-                # pathological chunk: split in half (always succeeds at
-                # low enough load; each half retries its own salts)
-                half = len(chunk) // 2
-                for sub in (chunk[:half], chunk[half:]):
-                    for salt in range(256):
-                        consts = _salted_consts(salt + 64)
-                        tbl = _peel(sub, consts)
-                        if tbl is not None:
-                            self.groups.append((consts, tbl))
-                            break
-                    else:
-                        raise RuntimeError("xor filter construction failed")
-                continue
-            self.groups.append(built)
+        for chunk, arity in chunks:
+            self._build_group(chunk, arity)
         self.probe_back = max_back + maxlen
         self.probe_fwd = maxlen + 8
 
+    def _build_group(self, chunk: List[int], arity: int) -> None:
+        """Peel one group at the given arity; on repeated failure widen
+        the arity, and as a last resort split the chunk (each attempt
+        retries its own salt sequence)."""
+        for nb in range(arity, N_BANKS + 1):
+            for salt in range(256):
+                consts = _salted_consts(salt)[:nb]
+                tbl = _peel(chunk, consts, nb)
+                if tbl is not None:
+                    self.groups.append((consts, tbl))
+                    return
+        half = len(chunk) // 2
+        if half == 0:
+            raise RuntimeError("xor filter construction failed")
+        self._build_group(chunk[:half], min(arity, N_BANKS))
+        self._build_group(chunk[half:], min(arity, N_BANKS))
+
     def tables(self) -> np.ndarray:
-        """int32 [n_groups * 4, 128] stacked bank rows (2-D: slicing a
-        3-D VMEM ref per (group, bank) lowered poorly on Mosaic)."""
+        """int32 [sum of group arities, 128] stacked bank rows (2-D:
+        slicing a 3-D VMEM ref per (group, bank) lowered poorly on
+        Mosaic); group g's rows start at sum(arities[:g])."""
         return np.concatenate([t for _, t in self.groups]).view(np.int32)
 
     def consts(self) -> Tuple[Tuple[int, ...], ...]:
@@ -187,15 +207,16 @@ class XorWordTests:
 
 def xor_member_test(x, tbl_ref, consts, tile_rows: int, base: int = 0):
     """Kernel fragment: bool [tile_rows, LANES] candidate test for one
-    filter group. ``x`` uint32 words; ``tbl_ref`` int32 [n*4, 128] with
-    this group's bank rows at base..base+3; shared by the standalone
-    kernel and the fused ensemble."""
+    filter group. ``x`` uint32 words; ``tbl_ref`` int32 [rows, 128]
+    with this group's len(consts) bank rows at base..; shared by the
+    standalone kernel and the fused ensemble. The gather count per word
+    is exactly len(consts) — the group's arity."""
     import jax.numpy as jnp
 
     from jax.experimental.pallas import tpu as pltpu
 
     acc = None
-    for b in range(N_BANKS):
+    for b in range(len(consts)):
         h = ((x * jnp.uint32(consts[b])) >> 25).astype(jnp.int32)
         row = tbl_ref[base + b].reshape(1, LANES)
         tb = jnp.broadcast_to(row, (tile_rows, LANES))
@@ -204,16 +225,27 @@ def xor_member_test(x, tbl_ref, consts, tile_rows: int, base: int = 0):
     return pltpu.bitcast(acc, jnp.uint32) == x
 
 
+def group_bases(consts_groups) -> Tuple[int, ...]:
+    """Row offset of each group within the stacked tables() array."""
+    bases, pos = [], 0
+    for consts in consts_groups:
+        bases.append(pos)
+        pos += len(consts)
+    return tuple(bases)
+
+
 def _build_kernel(consts_groups, tile_rows: int):
     import jax.numpy as jnp
+
+    bases = group_bases(consts_groups)
 
     def kernel(tbl_ref, a_ref, bm_ref):
         from jax.experimental.pallas import tpu as pltpu
 
         x = pltpu.bitcast(a_ref[:], jnp.uint32)
         hit = None
-        for gi, consts in enumerate(consts_groups):
-            t = xor_member_test(x, tbl_ref, consts, tile_rows, base=gi * 4)
+        for consts, base in zip(consts_groups, bases):
+            t = xor_member_test(x, tbl_ref, consts, tile_rows, base=base)
             hit = t if hit is None else jnp.logical_or(hit, t)
         bm_ref[:] = _bitmap_rows(hit, tile_rows)
 

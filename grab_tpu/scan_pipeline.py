@@ -38,6 +38,18 @@ class _StrideSeqMember:
     Same (total, packed) / flags_np contract as the word-kernel
     members; the packed payload is the stride scanner's transposed hit
     bitmap, flattened (rank-1) so the sharded path's out-specs hold.
+
+    Input layout (round 5): the member consumes a SECOND upload of the
+    scan buffer, born in the walk kernel's stream-major geometry
+    (``prep_t`` → ``packed_t``), produced by the host's blocked C++
+    transpose during packing. The round-4 member read the shared linear
+    upload and paid a device layout copy + Pallas relayout per batch —
+    ~2 extra HBM passes that bounded it at ~64 GB/s (BENCH_r04
+    seqdfa10) while its walk alone runs several hundred. The trade is
+    one extra H2D transfer per batch (overlapped with compute by the
+    pipeline's double buffering) for two saved HBM passes per scan.
+    ``packed`` keeps the shared-upload contract for callers without a
+    transposed buffer.
     """
 
     def __init__(self, dfa, max_len, buf_size: int, interpret: bool):
@@ -51,6 +63,18 @@ class _StrideSeqMember:
         from grab_tpu.ops.pallas_stridedfa import N_STREAMS
 
         self.need_w = N_STREAMS * self.sc.stride // 4
+        self.wants_transposed = True
+
+    def prep_t(self, buf):
+        """Host: linear uint8 scan buffer → int32 kernel-geometry
+        upload (blocked native transpose; see StrideDfaScanner.prep_t)."""
+        return self.sc.prep_t(buf)
+
+    def packed_t(self, w2d_t):  # born-transposed upload on device
+        import jax.numpy as jnp
+
+        bm, _n, _conv = self.sc.traceable_run.run_t(w2d_t)
+        return jnp.count_nonzero(bm).astype(jnp.int32), bm.reshape(-1)
 
     def packed(self, words2d):  # int32 [rows + PAD_ROWS, 128] on device
         import jax.numpy as jnp
@@ -527,17 +551,31 @@ class DeviceScanner:
             # cache) independently — a fused 5+-kernel program was
             # observed to take the remote compiler >10 minutes, while
             # its members individually compile in seconds.
+            # A stride-seq member consumes the buffer's SECOND upload
+            # (born-transposed, see _StrideSeqMember) — ``compact``
+            # routes it the transposed device array when one is given.
             members = self._cw_list
             packed_fns = [
-                jax.jit(lambda w, s=s: s.packed(w)) for s in members
+                (
+                    jax.jit(lambda t, s=s: s.packed_t(t))
+                    if getattr(s, "wants_transposed", False)
+                    else None,
+                    jax.jit(lambda w, s=s: s.packed(w)),
+                )
+                for s in members
             ]
 
             @jax.jit
             def total_of(totals):
                 return jnp.sum(jnp.stack(totals), dtype=jnp.int32)
 
-            def compact(words2d):
-                pairs = [f(words2d) for f in packed_fns]
+            def compact(words2d, member_t=None):
+                pairs = [
+                    ft(member_t)
+                    if ft is not None and member_t is not None
+                    else fl(words2d)
+                    for ft, fl in packed_fns
+                ]
                 total = total_of([t for t, _ in pairs])
                 return (total,) + tuple(pk for _, pk in pairs)
 
@@ -581,9 +619,23 @@ class DeviceScanner:
                 )
             words2d = buf[:want].view("<i4").reshape(-1, LANES)
             dev_in = self._jnp.asarray(words2d)
+            member = self._stride_member()
+            if member is not None:
+                # second upload, born in the walk kernel's geometry
+                # (host C++ transpose) — the stride-seq member then
+                # runs only its walk (see _StrideSeqMember)
+                return self._compact(
+                    dev_in, self._jnp.asarray(member.prep_t(buf))
+                )
         else:
             dev_in = self._jnp.asarray(buf[: self.buf_size])
         return self._compact(dev_in)
+
+    def _stride_member(self):
+        for s in getattr(self, "_cw_list", []) or []:
+            if getattr(s, "wants_transposed", False):
+                return s
+        return None
 
     def resolve(self, handles) -> np.ndarray:
         """Block on a submitted scan → int32 [buf_size/block] 0/1 flags
