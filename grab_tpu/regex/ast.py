@@ -141,18 +141,26 @@ class Define(Node):
     node: Node
 
 
-@dataclass(frozen=True)
+@dataclass
 class CondR(Node):
-    """Recursion condition (?(R)yes|no): yes iff the matcher is
-    currently inside a subroutine call / recursion. Backtracking
-    engine only (the VM threads an in-call flag); the candidate
-    automaton over-approximates as Alt((yes, no)) like Cond."""
+    """Recursion condition (?(R)yes|no) and its per-group forms
+    (?(RN)../(?(R&name)..): yes iff the matcher is currently inside a
+    subroutine call / recursion — any call when ``ref`` is None, the
+    whole pattern when ref == 0 ((?(R0)), or specifically a call whose
+    MOST RECENT frame targets group ``ref`` (PCRE's documented (?(Rn)
+    semantics). ``name`` holds an unresolved (?(R&name) reference until
+    the post-parse resolve pass (mutable node, like Call). Backtracking
+    engine only (the VM threads the innermost call target); the
+    candidate automaton over-approximates as Alt((yes, no)) like
+    Cond. Reference: libpcre OP_RREF via grab.cc:106."""
 
     yes: Node
     no: Node
+    ref: "Optional[int]" = None  # None = any recursion
+    name: "Optional[str]" = None
 
 
-@dataclass(frozen=True)
+@dataclass
 class Cond(Node):
     """Conditional group (?(n)yes|no) testing whether capturing group
     ``ref`` has matched. Lookaround conditions (?(?=..)..) are
@@ -160,13 +168,16 @@ class Cond(Node):
     runtime group state, so has_backrefs() returns True and such
     patterns route to the exact backtracking engine exactly like
     backreference patterns (the reference gets them from libpcre,
-    grab.cc:101-123). The static analyses treat Cond as Alt((yes, no))
-    — an over-approximation of the language, sound for candidate
-    generation."""
+    grab.cc:101-123). ``name`` holds a not-yet-defined named condition
+    ((?(<n>)..)(?<n>..) — libpcre accepts named forward references)
+    resolved after the parse, hence the mutable node. The static
+    analyses treat Cond as Alt((yes, no)) — an over-approximation of
+    the language, sound for candidate generation."""
 
     ref: int
     yes: Node
     no: Node
+    name: "Optional[str]" = None
 
 
 @dataclass(frozen=True)

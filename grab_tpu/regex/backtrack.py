@@ -42,7 +42,10 @@ LOOK = 9  # (ahead, negate, sub_pc, behind_len) zero-width sub-match
 CONDGROUP = 10  # (group, else_pc) jump to else_pc unless group matched
 CALL = 11  # (sub_pc, group) match the group's subprogram here; ATOMIC
 # (PCRE1 recursion semantics, grab.cc:106 — PCRE2 10.30+ differs)
-CONDR = 12  # (else_pc,) jump to else_pc unless inside a call/recursion
+CONDR = 12  # (else_pc, ref) jump to else_pc unless inside a
+# call/recursion — any call when ref is None, else one whose most
+# recent frame targets group ref (PCRE (?(Rn)/(?(R&name) semantics;
+# ref 0 = whole-pattern recursion)
 
 # PCRE1's recursion limit is ~10M (practically stack-bound); ours is
 # bounded by Python frame nesting (_exec recurses natively, default
@@ -131,11 +134,11 @@ class _Compiler:
         if isinstance(node, A.Define):
             return  # zero-width inline; targets via register_groups
         if isinstance(node, A.CondR):
-            # CONDR else; yes; JMP end; else: no; end:
-            cond = self.emit(CONDR, None)
+            # CONDR else, ref; yes; JMP end; else: no; end:
+            cond = self.emit(CONDR, None, node.ref)
             self.compile(node.yes)
             jmp = self.emit(JMP, None)
-            self.code[cond] = (CONDR, len(self.code))
+            self.code[cond] = (CONDR, len(self.code), node.ref)
             self.compile(node.no)
             self.code[jmp] = (JMP, len(self.code))
             return
@@ -326,7 +329,7 @@ class Matcher:
         pc0: int,
         depth: int = 0,
         groups0: Optional[List[int]] = None,
-        in_call: bool = False,
+        call_target: Optional[int] = None,
     ) -> Optional[int]:
         """Run the VM from ``pc0`` (0 = whole pattern; lookaround and
         subroutine-call sub-programs re-enter here with their own stack
@@ -434,7 +437,7 @@ class Matcher:
                     ok = (
                         self._exec(
                             data, cur, lo, hi, sub_pc, depth + 1, groups,
-                            in_call,
+                            call_target,
                         )
                         is not None
                     )
@@ -444,7 +447,7 @@ class Matcher:
                     ok = s >= lo and (
                         self._exec(
                             data, s, lo, hi, sub_pc, depth + 1, groups,
-                            in_call,
+                            call_target,
                         )
                         is not None
                     )
@@ -485,15 +488,23 @@ class Matcher:
                     pc = op[2]
                 continue
             elif kind == CONDR:
-                pc = pc + 1 if in_call else op[1]
+                want = op[2]
+                ok = (
+                    call_target is not None
+                    if want is None
+                    else call_target == want
+                )
+                pc = pc + 1 if ok else op[1]
                 continue
             elif kind == CALL:
                 # atomic subroutine call (PCRE1 recursion semantics):
                 # match the target subprogram once, greedily; no
-                # backtracking into a completed call
+                # backtracking into a completed call. op[2] (the target
+                # group, 0 = whole pattern) becomes the innermost call
+                # target the callee's (?(Rn) conditions test.
                 if depth < _MAX_CALL_DEPTH:
                     res = self._exec(
-                        data, cur, lo, hi, op[1], depth + 1, groups, True
+                        data, cur, lo, hi, op[1], depth + 1, groups, op[2]
                     )
                     if res is not None:
                         cur = res

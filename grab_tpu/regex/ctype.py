@@ -86,6 +86,40 @@ def fold_table() -> bytes:
     return tbl
 
 
+def _fold_pairs(t: Dict[str, int]):
+    pairs = t.get("_foldpairs")
+    if pairs is None:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        tl, tu = libc.tolower, libc.toupper
+        for fn in (tl, tu):
+            fn.argtypes = [ctypes.c_int]
+            fn.restype = ctypes.c_int
+        pairs = tuple((tl(b) & 0xFF, tu(b) & 0xFF) for b in range(256))
+        t["_foldpairs"] = pairs
+    return pairs
+
+
+def fold_case_mask(mask: int) -> int:
+    """Close a byte-class mask under (?i) case folding. C locale: the
+    static ASCII fold (regex/ast.fold_case_mask). An active locale
+    folds through libc tolower/toupper pairs — pcre_maketables' fcc
+    table, so e.g. a Latin-1 locale's accented pairs (0xE9 <-> 0xC9)
+    fold exactly as the reference's libpcre does (grab.cc:106; round 5
+    closes the ASCII-only deviation PARITY §6 documented)."""
+    t = _active
+    if t is None:
+        return A.fold_case_mask(mask)
+    pairs = _fold_pairs(t)
+    out = mask
+    for b in range(256):
+        if (mask >> b) & 1:
+            lo, up = pairs[b]
+            out |= (1 << lo) | (1 << up)
+    return out
+
+
 def set_tables(tables: Optional[Dict[str, int]]) -> None:
     """Install (or clear, with None) the active locale tables."""
     global _active

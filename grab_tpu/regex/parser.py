@@ -19,13 +19,16 @@ engines only — it disables DFA coverage; see tests/test_lookaround_flags).
 classes over Latin-1 code points (libpcre's 8-bit non-UTF behavior),
 and conditionals ``(?(n)yes|no)`` / ``(?(name)..)`` / ``(?(?=..)..)``
 compile (group conditions route to the backtracking engine, assertion
-conditions desugar exactly). Subroutine calls ``(?N) (?+N) (?-N) (?R)
-(?&name) (?P>name)``, ``(?(DEFINE)...)``, and bare recursion
-conditions ``(?(R)yes|no)`` compile with PCRE1-atomic call semantics
-(regex/backtrack CALL). Unsupported constructs (per-group recursion
-conditions ``(?(RN)``, script runs) raise RegexSyntaxError;
-the engine surfaces that as the reference surfaces pcre_compile
-errors (grab.cc:107).
+conditions desugar exactly; named conditions may forward-reference a
+later group, like libpcre). Subroutine calls ``(?N) (?+N) (?-N) (?R)
+(?&name) (?P>name)``, ``(?(DEFINE)...)``, and the recursion
+conditions ``(?(R)`` / ``(?(RN)`` / ``(?(R&name)`` compile with
+PCRE1-atomic call semantics (regex/backtrack CALL; the VM threads the
+innermost call target for the per-group forms). Unsupported
+constructs (script runs ``(*sr:...)``, UTF mode — excluded by the
+reference's ``options=0`` compile) raise RegexSyntaxError; the engine
+surfaces that as the reference surfaces pcre_compile errors
+(grab.cc:107).
 """
 
 from __future__ import annotations
@@ -39,7 +42,6 @@ from grab_tpu.regex.ast import (
     CondR,
     Define,
     Look,
-    fold_case_mask,
     ALNUM_MASK,
     ALPHA_MASK,
     Alt,
@@ -223,7 +225,7 @@ class _Parser:
 
     def _class(self, mask: int) -> CharClass:
         if self.flags & F_I:
-            mask = fold_case_mask(mask)
+            mask = _ct.fold_case_mask(mask)  # locale-aware fcc fold
         return CharClass(mask)
 
     def _lit(self, byte: int) -> CharClass:
@@ -288,11 +290,28 @@ class _Parser:
                     f"subroutine call to non-existent group {node.index}"
                 )
             return
-        if isinstance(node, Cond) and not (1 <= node.ref <= self.ngroups):
-            # libpcre: 'reference to non-existent subpattern'
-            self._error(
-                f"conditional reference to non-existent group {node.ref}"
-            )
+        if isinstance(node, Cond):
+            if node.name is not None:
+                # named forward reference (libpcre accepts
+                # (?(<n>)a|b)(?<n>x)? — the name resolves post-parse)
+                if node.name not in self.names:
+                    self._error(f"unknown group name {node.name!r}")
+                node.ref = self.names[node.name]
+            elif not (1 <= node.ref <= self.ngroups):
+                # libpcre: 'reference to non-existent subpattern'
+                self._error(
+                    f"conditional reference to non-existent group {node.ref}"
+                )
+        if isinstance(node, CondR):
+            if node.name is not None:
+                if node.name not in self.names:
+                    self._error(f"unknown group name {node.name!r}")
+                node.ref = self.names[node.name]
+            elif node.ref is not None and not (0 <= node.ref <= self.ngroups):
+                self._error(
+                    f"recursion condition references non-existent group "
+                    f"{node.ref}"
+                )
         for attr in ("parts", "branches"):
             for child in getattr(node, attr, ()) or ():
                 self._resolve_calls(child)
@@ -524,11 +543,14 @@ class _Parser:
 
     def _conditional(self) -> Node:
         """(?(cond)yes|no) — positioned just past ``(?(``. Conditions:
-        a group number, a named group (<name>, 'name', or bare name),
-        or a lookaround assertion (desugared to an exact Alt). PCRE's
-        recursion conditions (?(R)/(?(DEFINE) are not supported (they
-        need subroutine calls)."""
+        a group number, a named group (<name>, 'name', or bare name —
+        forward references to not-yet-defined names resolve after the
+        parse, like libpcre), a lookaround assertion (desugared to an
+        exact Alt), the recursion conditions (?(R) / (?(RN) /
+        (?(R&name), or (?(DEFINE). An R prefix takes precedence over
+        group names starting with R, as in pcre_compile."""
         ref: Optional[int] = None
+        cond_name: Optional[str] = None
         cond_look: Optional[Look] = None
         c = self._peek()
         if c == ord("?"):
@@ -546,9 +568,11 @@ class _Parser:
                 name = self._group_name(closer)
                 if self._next() != ord(")"):
                     self._error("missing ) after condition")
-                if name not in self.names:
-                    self._error(f"unknown group name {name!r}")
-                ref = self.names[name]
+                if name in self.names:
+                    ref = self.names[name]
+                else:
+                    # forward reference: resolved in _resolve_calls
+                    ref, cond_name = -1, name
             elif ord("0") <= c <= ord("9"):
                 digits = b""
                 while ord("0") <= self._peek() <= ord("9"):
@@ -559,6 +583,28 @@ class _Parser:
                 if ref == 0:
                     self._error("invalid condition (?(0)")
             else:
+                if c == ord("R"):
+                    # recursion conditions (?(R) / (?(RN) / (?(R&name);
+                    # pcre_compile gives the R prefix precedence over
+                    # group names that merely start with R
+                    save = self.pos
+                    self.pos += 1
+                    nc = self._peek()
+                    if nc == ord(")"):
+                        self.pos += 1
+                        return self._condr_branches(None, None)
+                    if nc == ord("&"):
+                        self.pos += 1
+                        rname = self._group_name(ord(")"))
+                        return self._condr_branches(None, rname)
+                    if ord("0") <= nc <= ord("9"):
+                        digits = b""
+                        while ord("0") <= self._peek() <= ord("9"):
+                            digits += bytes([self._next()])
+                        if self._next() != ord(")"):
+                            self._error("missing ) after condition")
+                        return self._condr_branches(int(digits), None)
+                    self.pos = save  # a plain group name starting with R
                 name = self._group_name(ord(")"))
                 if name == "DEFINE":
                     # (?(DEFINE)...): zero-width at runtime; its groups
@@ -573,19 +619,11 @@ class _Parser:
                     if self._next() != ord(")"):
                         self._error("missing )")
                     return Define(body)
-                if name == "R":
-                    # (?(R)yes|no): inside-any-recursion condition
-                    yes = self._concat()
-                    no: Node = Empty()
-                    if self._peek() == ord("|"):
-                        self.pos += 1
-                        no = self._concat()
-                    if self._next() != ord(")"):
-                        self._error("missing )")
-                    return CondR(yes, no)
-                if name not in self.names:
-                    self._error(f"unknown group name {name!r}")
-                ref = self.names[name]
+                if name in self.names:
+                    ref = self.names[name]
+                else:
+                    # forward reference: resolved in _resolve_calls
+                    ref, cond_name = -1, name
         # yes|no branches: at most two (PCRE: "conditional group
         # contains more than two branches" is a compile error)
         yes = self._concat()
@@ -602,7 +640,21 @@ class _Parser:
             # shared Look body keeps capture numbering intact
             neg = Look(cond_look.node, cond_look.ahead, not cond_look.negate)
             return Alt((Concat((cond_look, yes)), Concat((neg, no))))
-        return Cond(ref, yes, no)
+        return Cond(ref, yes, no, name=cond_name)
+
+    def _condr_branches(self, ref: Optional[int], name: Optional[str]) -> Node:
+        """Parse the yes|no branches of a recursion condition
+        (positioned just past the condition's ``)``)."""
+        yes = self._concat()
+        no: Node = Empty()
+        if self._peek() == ord("|"):
+            self.pos += 1
+            no = self._concat()
+        if self._peek() == ord("|"):
+            self._error("conditional group contains more than two branches")
+        if self._next() != ord(")"):
+            self._error("missing )")
+        return CondR(yes, no, ref=ref, name=name)
 
     def _group_name(self, closer: int) -> str:
         out = b""
@@ -844,7 +896,7 @@ class _Parser:
             else:
                 mask |= 1 << lo_b
         if self.flags & F_I:
-            mask = fold_case_mask(mask)
+            mask = _ct.fold_case_mask(mask)  # locale-aware fcc fold
         mask |= pmask
         if negate:
             mask = ALL_BYTES_MASK & ~mask
