@@ -184,16 +184,38 @@ def main():
 
     value = n / dt
     target = 0.80 * chip_roofline()
-    print(
-        json.dumps(
-            {
-                "metric": "literal_scan_bytes_per_sec_per_chip",
-                "value": round(value, 1),
-                "unit": "bytes/s",
-                "vs_baseline": round(value / target, 4),
-            }
-        )
-    )
+    line = {
+        "metric": "literal_scan_bytes_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "bytes/s",
+        "vs_baseline": round(value / target, 4),
+    }
+    if on_tpu:
+        # the spec-table denominator (0.8 x 819 GB/s) is stale against
+        # the chip's own measurement (VERDICT r4 weak 3): measure the
+        # HBM roofline at the SAME 1 GiB geometry and carry both
+        # ratios on the headline line — vs_measured_target (0.8 x
+        # measured) is the one that matters
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tools"
+                ),
+            )
+            from axon_timing import make_stack, measure
+
+            rstack = make_stack(words2d, 8)
+            roof = n / measure(
+                lambda x: jnp.sum(x, dtype=jnp.int32).reshape(1, 1), rstack
+            )
+            del rstack
+            line["measured_roofline_bytes_per_sec"] = round(roof, 1)
+            line["vs_measured_roofline"] = round(value / roof, 4)
+            line["vs_measured_target"] = round(value / (0.80 * roof), 4)
+        except Exception as e:
+            print(f"bench: roofline measure failed: {e!r}", file=sys.stderr)
+    print(json.dumps(line))
     sys.stdout.flush()
     if on_tpu and os.environ.get("GRAB_TPU_BENCH_QUICK") != "1":
         try:
@@ -244,28 +266,12 @@ def secondary_metrics():
         ),
     )
 
-    # bloom: 100 long literals, constant-in-K (superseded by the XOR
-    # filter below in the product path; tracked for comparison)
-    from grab_tpu.ops.pallas_bloom import BloomWordTests, bloom_word_bitmap
-
+    # 100 long literals for the filter/ensemble metrics below; the
+    # xor/bloom member kernels themselves are measured at the credible
+    # 1 GiB geometry further down (VERDICT r4 weak 6: 256 MB captures
+    # of those kernels are jitter-limited and showed the shipped
+    # replacement losing)
     lits = [bytes(rng.integers(33, 127, 9, np.uint8).tobytes()) for _ in range(100)]
-    bt = BloomWordTests(lits)
-    tbl = jnp.asarray(bt.tbl)
-    emit(
-        "bloom100_bytes_per_sec",
-        measure(lambda x: bloom_word_bitmap(x, tbl, bt.levels), stack),
-    )
-
-    # XOR filter: exact core-word membership, the round-4 bloom
-    # replacement (~16 ops/word, fp ~2^-32; ops/pallas_xorfilter)
-    from grab_tpu.ops.pallas_xorfilter import XorWordTests, xor_word_bitmap
-
-    xt = XorWordTests(lits)
-    xtbl = jnp.asarray(xt.tables())
-    emit(
-        "xor100_bytes_per_sec",
-        measure(lambda x: xor_word_bitmap(x, xtbl, xt.consts()), stack),
-    )
 
     # class sequences: [0-9]{3}[a-z]{2}
     from grab_tpu.ops.class_prefilter import compile_sequences
@@ -279,14 +285,15 @@ def secondary_metrics():
         measure(lambda x: classseq_word_bitmap(x, seqs), stack),
     )
 
-    # BASELINE config 4's 100-literal + 10-regex ensemble. ROUND-4
-    # PRODUCTION path: literals (XOR filter + compare buckets) in the
-    # fused single-pass kernel, ALL seq-routed regexes in the union
-    # strided-DFA member (default for 2+ seqs since the tiled Pallas
-    # relayout removed the transpose penalty — scan_pipeline
-    # _seq_scanner). fused_ensemble = both members chained on the same
-    # buffer, exactly what DeviceScanner submits; the two components
-    # are also tracked separately.
+    # BASELINE config 4's 100-literal + 10-regex ensemble. ROUND-5
+    # PRODUCTION path: literals (tiered XOR filter groups + short
+    # compare buckets) in the fused single-pass kernel; ALL seq-routed
+    # regexes in the union strided-DFA member, which now consumes the
+    # buffer's SECOND upload born in the walk kernel's geometry
+    # (scan_pipeline._StrideSeqMember packed_t) — so its device cost is
+    # the walk alone. fused_ensemble chains both members exactly as
+    # DeviceScanner.submit does (fused on the linear upload, member on
+    # the transposed one); components tracked separately.
     from grab_tpu.ops.pallas_fused import FusedEnsembleScanner
     from grab_tpu.regex.compiler import compile_multi
     from grab_tpu.scan_pipeline import _StrideSeqMember
@@ -300,8 +307,7 @@ def secondary_metrics():
     ]
     cpseq = compile_multi(regex10)
     assert cpseq.seq_dfa is not None and cpseq.seq_max_len is not None
-    # the member runs at the production 32 MiB buffer geometry (its
-    # relayout rate depends on the stream stride; see stridedfa_e2e)
+    # the member runs at the production 32 MiB buffer geometry
     mbuf = 32 << 20
     member = _StrideSeqMember(
         cpseq.seq_dfa,
@@ -309,33 +315,74 @@ def secondary_metrics():
         mbuf,
         jax.default_backend() == "cpu",
     )
-    mrun = member.sc.traceable_run.run2d
     msw = member.sc.stride // 4
-    from grab_tpu.ops.pallas_stridedfa import N_STREAMS as _NS
+    from grab_tpu.ops.pallas_stridedfa import STREAM_ROWS as _SR
 
-    def member_total(x):
-        a = x[:rows].reshape(n // mbuf * _NS, msw)
+    rows_tm = msw * _SR  # transposed rows per 32 MiB buffer
+
+    def member_total_t(run_t, xt):
+        # xt: born-transposed corpus [n/mbuf * rows_tm, 128]
         acc = jnp.int32(0)
         for i in range(n // mbuf):
-            bm, _n_, _c = mrun(a[i * _NS : (i + 1) * _NS])
+            bm, _n_, _c = run_t(xt[i * rows_tm : (i + 1) * rows_tm])
             acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
         return acc
 
-    fsc = FusedEnsembleScanner(lits100, None, tile_rows=1024)
+    # member corpus: same letters distribution, generated in the
+    # transposed geometry it uploads in (no pad rows)
+    wt = device_corpus_words(rows, 0, seed=8)
+    stack_t = make_stack(wt, 12)
+
+    fsc = FusedEnsembleScanner(lits100, None, tile_rows=4096)
+    mrun_t = member.sc.traceable_run.run_t
+    pair_stack = tuple(zip(stack, stack_t))
     emit(
         "fused_ensemble_bytes_per_sec",
         measure(
-            jax.jit(lambda x: fsc.packed(x)[0] + member_total(x)), stack
+            jax.jit(
+                lambda ab: fsc.packed(ab[0])[0] + member_total_t(mrun_t, ab[1])
+            ),
+            pair_stack,
         ),
     )
 
     dt_f = measure(lambda x: fsc.bitmap(x), stack)
     emit("fused_lits100_bytes_per_sec", dt_f)
 
-    dt_s = measure(jax.jit(lambda x: member_total(x).reshape(1, 1)), stack)
+    dt_s = measure(
+        jax.jit(lambda xt: member_total_t(mrun_t, xt).reshape(1, 1)), stack_t
+    )
     emit("seqdfa10_bytes_per_sec", dt_s)
 
-    # the retired all-in-one alternative (seq AND chains inside the
+    # 2-seq A/B: the marginal cost of routing a SMALL seq batch to the
+    # member (seqdfa2, one extra corpus pass at walk rate) vs folding
+    # its AND chains into the fused kernel (fused_lits100_seq2) — the
+    # captured pair justifies scan_pipeline._seq_scanner's n_seqs >= 2
+    # threshold with driver numbers instead of a stale claim
+    # (VERDICT r4 weak 4a / task 6)
+    regex2 = regex10[:2]
+    cp2 = compile_multi(regex2)
+    member2 = _StrideSeqMember(
+        cp2.seq_dfa, cp2.seq_max_len, mbuf, jax.default_backend() == "cpu"
+    )
+    m2run_t = member2.sc.traceable_run.run_t
+    emit(
+        "seqdfa2_bytes_per_sec",
+        measure(
+            jax.jit(lambda xt: member_total_t(m2run_t, xt).reshape(1, 1)),
+            stack_t,
+        ),
+    )
+    seqs2 = compile_sequences(
+        [tuple([digit] * (3 + i % 3) + [lower] * (1 + i % 2)) for i in range(2)]
+    )
+    fsc2 = FusedEnsembleScanner(lits100, seqs2, tile_rows=4096)
+    emit(
+        "fused_lits100_seq2_bytes_per_sec",
+        measure(lambda x: fsc2.bitmap(x), stack),
+    )
+
+    # the retired all-in-one alternative (10 seq AND chains inside the
     # fused kernel) — tracked so the routing decision stays visible
     seqs10 = compile_sequences(
         [
@@ -343,7 +390,7 @@ def secondary_metrics():
             for i in range(10)
         ]
     )
-    fsc_all = FusedEnsembleScanner(lits100, seqs10, tile_rows=1024)
+    fsc_all = FusedEnsembleScanner(lits100, seqs10, tile_rows=4096)
     emit(
         "fused_allinone_bytes_per_sec",
         measure(lambda x: fsc_all.bitmap(x), stack),
@@ -381,7 +428,7 @@ def secondary_metrics():
     # differences for these fast kernels sit inside the ~20 ms
     # round-trip jitter — captured values swung 325-944 GB/s; at
     # 1 GiB x 8 the 4-scan difference is ~7 ms of real signal)
-    del stack  # release the 3 GB 256 MB stack first
+    del stack, stack_t, pair_stack  # release the 256 MB stacks first
     g_mb = 1024
     g_rows_all = (g_mb << 20) // (4 * LANES)
     wg = device_corpus_words(g_rows_all, PAD_ROWS, seed=11)
@@ -453,29 +500,68 @@ def secondary_metrics():
     )
 
 
-    # measured at the PRODUCTION buffer size (32 MiB, stride 2 KiB),
-    # chained over the corpus exactly as the engine submits batches:
-    # the relayout's strided-DMA efficiency depends on the stream
-    # stride (241.8 GB/s at 2 KiB vs 95 at 16 KiB, tools/exp_t2.py).
-    # The corpus for these metrics is BORN in the stream-row shape the
-    # production upload arrives in (StrideDfaScanner.packed uploads
-    # [16384, s_w]); reshaping a (rows,128)-born array is a TPU
-    # tiled-layout copy (~0.8 ms/GiB) the real pipeline never pays.
+    # xor/bloom literal-member kernels at the credible 1 GiB geometry
+    # (VERDICT r4 weak 6: the 256 MB captures were jitter-limited for
+    # these rates and contradicted the 1 GiB ladder the bloom->XOR
+    # switch was decided on; the driver metric now measures the same
+    # geometry as the decision). The XOR filter carries round 5's
+    # tiered groups: 100 literals -> 400 keys -> arities [4,1] = 5
+    # gathers/word (was two fixed 4-bank groups = 8).
     del gstack
+    from grab_tpu.ops.pallas_bloom import BloomWordTests, bloom_word_bitmap
+    from grab_tpu.ops.pallas_xorfilter import XorWordTests, xor_word_bitmap
+
+    rows2 = (g_rows_all // 2048) * 2048
+    wx = device_corpus_words(rows2, PAD_ROWS, seed=9)
+    xstack = make_stack(wx, 8)
+    xbytes = rows2 * 4 * LANES
+
+    def emit_x(metric, dt):
+        print(
+            json.dumps(
+                {"metric": metric, "value": round(xbytes / dt, 1), "unit": "bytes/s"}
+            ),
+            file=sys.stderr,
+        )
+
+    xt = XorWordTests(lits)
+    xtbl = jnp.asarray(xt.tables())
+    emit_x(
+        "xor100_bytes_per_sec",
+        measure(lambda x: xor_word_bitmap(x, xtbl, xt.consts()), xstack),
+    )
+    bt = BloomWordTests(lits)
+    tbl = jnp.asarray(bt.tbl)
+    emit_x(
+        "bloom100_bytes_per_sec",
+        measure(lambda x: bloom_word_bitmap(x, tbl, bt.levels), xstack),
+    )
+    del xstack
+
+    # END-TO-END factor-less tier, measured at the PRODUCTION buffer
+    # size (32 MiB, stride 2 KiB) chained exactly as the engine submits
+    # batches. ROUND 5: the corpus is BORN in the walk kernel's
+    # stream-major geometry — which is what the production upload now
+    # IS (the host's blocked C++ transpose, ingest gt_transpose32,
+    # writes it during packing; host_transpose below carries that
+    # cost) — so the device chain is the walk + boundary windows /
+    # threading fixpoint and nothing else. Round 4 uploaded stream
+    # rows and paid a device relayout per batch (e2e 120-144 GB/s).
     e2e_buf = 32 << 20
     from grab_tpu.ops.pallas_stridedfa import N_STREAMS as NS
 
     e2e_sw = e2e_buf // 4 // NS
+    rows_tb = e2e_sw * STREAM_ROWS  # transposed rows per buffer
     n_bufs = (g_mb << 20) // e2e_buf
 
     @jax.jit
-    def gen2(key):
+    def gen2t(key):
         b = jax.random.randint(
-            key, (n_bufs * NS, e2e_sw, 4), 97, 123, dtype=jnp.uint8
+            key, (n_bufs * rows_tb, LANES, 4), 97, 123, dtype=jnp.uint8
         )
         return jax.lax.bitcast_convert_type(b, jnp.int32)
 
-    g2stack = make_stack(gen2(jax.random.PRNGKey(13)), 8)
+    g2stack = make_stack(gen2t(jax.random.PRNGKey(13)), 8)
 
     def emit_g3(metric, dt):
         print(
@@ -495,18 +581,57 @@ def secondary_metrics():
     ):
         cpx = compile_multi([pat])
         scx = StrideDfaScanner(cpx.dfa, cpx.max_len, e2e_buf, interpret=False)
-        runx = scx.traceable_run.run2d  # 2-D entry: no layout roundtrip
+        runx = scx.traceable_run.run_t  # born-transposed production entry
         assert scx.stride // 4 == e2e_sw
 
         @jax.jit
         def e2e_fn(x, runx=runx):
             acc = jnp.int32(0)
             for i in range(n_bufs):
-                bm, _n_, _c = runx(x[i * NS : (i + 1) * NS])
+                bm, _n_, _c = runx(x[i * rows_tb : (i + 1) * rows_tb])
                 acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
             return acc.reshape(1, 1)
 
         emit_g3(metric, measure(e2e_fn, g2stack))
+    del g2stack
+
+    # the HOST cost of producing the born layout: the blocked
+    # multithreaded C++ transpose (ingest gt_transpose32) at the
+    # production 32 MiB / 2 KiB-stride geometry. Runs on host DRAM
+    # alongside the pread fill, overlapped with device compute by the
+    # pipeline's double buffering; reported here so the "relayout left
+    # the device" claim carries its host-side price. (This VM has 2
+    # cores; production ingest hosts scale it with their core count.)
+    try:
+        from grab_tpu.ingest.native import available as _nat_avail
+        from grab_tpu.ingest.native import transpose_stream_rows
+
+        if _nat_avail():
+            hrng = np.random.default_rng(3)
+            a2 = hrng.integers(
+                0, 2**31, size=(NS, e2e_sw), dtype=np.int64
+            ).astype(np.int32)
+            out = np.empty((e2e_sw, NS), dtype=np.int32)
+            nt = os.cpu_count() or 2
+            transpose_stream_rows(a2, nthreads=nt, out=out)  # warm
+            best_t = float("inf")
+            for _ in range(5):
+                t0 = time.time()
+                transpose_stream_rows(a2, nthreads=nt, out=out)
+                best_t = min(best_t, time.time() - t0)
+            print(
+                json.dumps(
+                    {
+                        "metric": "host_transpose_bytes_per_sec",
+                        "value": round(a2.nbytes / best_t, 1),
+                        "unit": "bytes/s",
+                        "host_threads": nt,
+                    }
+                ),
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"bench: host transpose metric failed: {e!r}", file=sys.stderr)
 
 if __name__ == "__main__":
     main()

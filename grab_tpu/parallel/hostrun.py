@@ -51,6 +51,7 @@ from grab_tpu.parallel.multihost import (
     kv_get_blob,
     kv_put_blob,
     merge_host_outputs,
+    next_run_tag,
     psum_total,
 )
 
@@ -68,6 +69,11 @@ def _gather_pieces(
     merged, file-index-ordered list on host 0; [] on other hosts; None
     on every host when any payload exceeds GATHER_CAP (callers fall
     back to the shared-dir scheme)."""
+    # run-unique tag prefix: the coordinator KV store is write-once per
+    # key, so repeated gathers in one distributed session must not
+    # reuse tags (multihost.next_run_tag; every host calls this in the
+    # same sequence, so the prefixes agree cluster-wide)
+    tag = next_run_tag()
     # serialize: [ (idx, len, bytes) ... ] with fixed headers
     blob = bytearray()
     for idx, buf in sorted(pieces):
@@ -75,16 +81,16 @@ def _gather_pieces(
         blob += len(buf).to_bytes(8, "little")
         blob += buf
     # cap check: tiny length exchange first, decision broadcast by root
-    kv_put_blob(f"tg.len.h{host}", str(len(blob)).encode())
+    kv_put_blob(f"{tag}.len.h{host}", str(len(blob)).encode())
     if host == 0:
-        lens = [int(kv_get_blob(f"tg.len.h{h}")) for h in range(n_hosts)]
+        lens = [int(kv_get_blob(f"{tag}.len.h{h}")) for h in range(n_hosts)]
         ok = max(lens) <= GATHER_CAP
-        kv_put_blob("tg.ok", b"1" if ok else b"0")
+        kv_put_blob(f"{tag}.ok", b"1" if ok else b"0")
     else:
-        ok = kv_get_blob("tg.ok") == b"1"
+        ok = kv_get_blob(f"{tag}.ok") == b"1"
     if not ok:
         return None
-    raws = gather_blobs_to_root(bytes(blob), "tg.out", n_hosts)
+    raws = gather_blobs_to_root(bytes(blob), f"{tag}.out", n_hosts)
     if raws is None:  # non-root: nothing received, nothing to emit
         return []
     merged: List[Tuple[int, bytes]] = []
@@ -114,6 +120,9 @@ def host_entries(
 
     ``names`` injects a prebuilt global list (tests / callers that
     already walked); the walk and broadcast are skipped entirely."""
+    # write-once KV: a unique tag per walk broadcast; every host takes
+    # the same branch here, so the sequence counters stay in lockstep
+    walk_tag = next_run_tag() if names is None and n_hosts > 1 else None
     if names is not None:
         pass
     elif host == 0:
@@ -126,9 +135,9 @@ def host_entries(
             blob = b"\x00".join(
                 p.encode("utf-8", "surrogateescape") for p in names
             )
-            broadcast_blob(blob, "tg.walk")
+            broadcast_blob(blob, f"{walk_tag}.walk")
     else:
-        blob = broadcast_blob(None, "tg.walk")
+        blob = broadcast_blob(None, f"{walk_tag}.walk")
         names = [
             p.decode("utf-8", "surrogateescape")
             for p in (blob.split(b"\x00") if blob else [])

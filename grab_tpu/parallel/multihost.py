@@ -107,6 +107,32 @@ def psum_total(local_count: int, mesh=None) -> int:
 
 _KV_CHUNK = 2 << 20
 
+# The coordinator KV store is WRITE-ONCE per key: publishing the same
+# tag twice (a second multihost scan in one distributed session, or
+# repeated host_entries/_gather_pieces calls in library use) raises
+# key-exists or reads stale values. Every multihost operation therefore
+# salts its tags with a per-process sequence number; all hosts execute
+# the same sequence of tagged operations, so the counters advance in
+# lockstep and tags agree cluster-wide. (ADVICE r4 hostrun.py:78.)
+_run_seq = 0
+
+
+def next_run_tag(prefix: str = "tg") -> str:
+    """→ a run-unique KV tag prefix (see the write-once note above)."""
+    global _run_seq
+    _run_seq += 1
+    return f"{prefix}{_run_seq}"
+
+
+def _kv_timeout_ms(timeout_ms: Optional[int]) -> int:
+    """Blocking-get timeout: explicit arg, else GRAB_TPU_KV_TIMEOUT_MS,
+    else 10 min. A very large corpus whose phase-1 walk outlasts the
+    default should raise the env var rather than crash non-root hosts
+    (ADVICE r4 multihost.py:127)."""
+    if timeout_ms is not None:
+        return timeout_ms
+    return int(os.environ.get("GRAB_TPU_KV_TIMEOUT_MS", 600_000))
+
 
 def _kv():
     from jax._src import distributed
@@ -124,11 +150,12 @@ def _kv_set(key: str, data: bytes) -> None:
         c.key_value_set(key, data.decode("latin-1"))
 
 
-def _kv_get(key: str, timeout_ms: int = 600_000) -> bytes:
+def _kv_get(key: str, timeout_ms: Optional[int] = None) -> bytes:
     c = _kv()
+    t = _kv_timeout_ms(timeout_ms)
     if hasattr(c, "blocking_key_value_get_bytes"):
-        return c.blocking_key_value_get_bytes(key, timeout_ms)
-    return c.blocking_key_value_get(key, timeout_ms).encode("latin-1")
+        return c.blocking_key_value_get_bytes(key, t)
+    return c.blocking_key_value_get(key, t).encode("latin-1")
 
 
 def kv_put_blob(tag: str, data: bytes) -> None:
@@ -139,7 +166,7 @@ def kv_put_blob(tag: str, data: bytes) -> None:
         _kv_set(f"{tag}.{i}", data[i * _KV_CHUNK : (i + 1) * _KV_CHUNK])
 
 
-def kv_get_blob(tag: str, timeout_ms: int = 600_000) -> bytes:
+def kv_get_blob(tag: str, timeout_ms: Optional[int] = None) -> bytes:
     n = int(_kv_get(f"{tag}.n", timeout_ms))
     return b"".join(_kv_get(f"{tag}.{i}", timeout_ms) for i in range(n))
 
