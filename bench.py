@@ -320,18 +320,37 @@ def secondary_metrics():
 
     rows_tm = msw * _SR  # transposed rows per 32 MiB buffer
 
-    def member_total_t(run_t, xt):
-        # xt: born-transposed corpus [n/mbuf * rows_tm, 128]
+    def member_total_t(run_t, bufs):
+        # bufs: TUPLE of per-buffer born-transposed arrays — production
+        # submits every 32 MiB batch as its own device array; slicing
+        # one big array instead makes XLA materialize a copy per slice
+        # (~2 extra HBM passes — measured 226 vs 722 GB/s for the same
+        # walk, tools/exp_e2e5.py), a cost the real pipeline never pays
         acc = jnp.int32(0)
-        for i in range(n // mbuf):
-            bm, _n_, _c = run_t(xt[i * rows_tm : (i + 1) * rows_tm])
+        for b in bufs:
+            bm, _n_, _c = run_t(b)
             acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
         return acc
 
-    # member corpus: same letters distribution, generated in the
-    # transposed geometry it uploads in (no pad rows)
-    wt = device_corpus_words(rows, 0, seed=8)
-    stack_t = make_stack(wt, 12)
+    # member corpus: letters distribution, generated per-buffer in the
+    # transposed geometry it uploads in (no pad rows; distinct keys =
+    # distinct runtime data, same anti-CSE property as make_stack)
+    @jax.jit
+    def gen_mbuf(key):
+        b = jax.random.randint(
+            key, (rows_tm, LANES, 4), 97, 123, dtype=jnp.uint8
+        )
+        return jax.lax.bitcast_convert_type(b, jnp.int32)
+
+    n_mb_bufs = n // mbuf
+    mkeys = jax.random.split(jax.random.PRNGKey(8), 12 * n_mb_bufs)
+    stack_t = tuple(
+        tuple(gen_mbuf(mkeys[j * n_mb_bufs + i]) for i in range(n_mb_bufs))
+        for j in range(12)
+    )
+    for e in stack_t:
+        for b in e:
+            b.block_until_ready()
 
     fsc = FusedEnsembleScanner(lits100, None, tile_rows=4096)
     mrun_t = member.sc.traceable_run.run_t
@@ -349,30 +368,21 @@ def secondary_metrics():
     dt_f = measure(lambda x: fsc.bitmap(x), stack)
     emit("fused_lits100_bytes_per_sec", dt_f)
 
-    dt_s = measure(
-        jax.jit(lambda xt: member_total_t(mrun_t, xt).reshape(1, 1)), stack_t
-    )
-    emit("seqdfa10_bytes_per_sec", dt_s)
-
     # 2-seq A/B: the marginal cost of routing a SMALL seq batch to the
     # member (seqdfa2, one extra corpus pass at walk rate) vs folding
     # its AND chains into the fused kernel (fused_lits100_seq2) — the
     # captured pair justifies scan_pipeline._seq_scanner's n_seqs >= 2
     # threshold with driver numbers instead of a stale claim
-    # (VERDICT r4 weak 4a / task 6)
+    # (VERDICT r4 weak 4a / task 6). The standalone member rates
+    # (seqdfa10/seqdfa2) are measured further down on 1 GiB member
+    # stacks — the walk is fast enough that 256 MB differences sit
+    # inside round-trip jitter.
     regex2 = regex10[:2]
     cp2 = compile_multi(regex2)
     member2 = _StrideSeqMember(
         cp2.seq_dfa, cp2.seq_max_len, mbuf, jax.default_backend() == "cpu"
     )
     m2run_t = member2.sc.traceable_run.run_t
-    emit(
-        "seqdfa2_bytes_per_sec",
-        measure(
-            jax.jit(lambda xt: member_total_t(m2run_t, xt).reshape(1, 1)),
-            stack_t,
-        ),
-    )
     seqs2 = compile_sequences(
         [tuple([digit] * (3 + i % 3) + [lower] * (1 + i % 2)) for i in range(2)]
     )
@@ -396,20 +406,6 @@ def secondary_metrics():
         measure(lambda x: fsc_all.bitmap(x), stack),
     )
 
-    # alphabet-run: digits, run >= 11
-    from grab_tpu.ops.pallas_alpharun import alpharun_word_bitmap, plan_for
-
-    mode, units = plan_for(11)
-    emit(
-        "alpharun_bytes_per_sec",
-        measure(
-            lambda x: alpharun_word_bitmap(x, ((48, 57),), mode, units),
-            stack,
-            reps=5,  # fastest kernel here: differencing needs the
-            # tightest min over dispatch jitter
-        ),
-    )
-
     # strided exact DFA (the production DFA tier, ops/pallas_stridedfa):
     # one transition gather per k bytes + W-word grid blocks. quad =
     # [0-9]{5} (k=4); pair = [0-9]{50}, a 51-state automaton (k=2) —
@@ -429,6 +425,47 @@ def secondary_metrics():
     # round-trip jitter — captured values swung 325-944 GB/s; at
     # 1 GiB x 8 the 4-scan difference is ~7 ms of real signal)
     del stack, stack_t, pair_stack  # release the 256 MB stacks first
+
+    # standalone seq-member rates at 1 GiB signal per entry (tuple of
+    # 32 x 32 MiB born-transposed buffers — the production submission
+    # shape; see the e2e section note on slice copies)
+    n_g_bufs = (1 << 30) // mbuf
+    mkeys2 = jax.random.split(jax.random.PRNGKey(18), 8 * n_g_bufs)
+    mstack = tuple(
+        tuple(gen_mbuf(mkeys2[j * n_g_bufs + i]) for i in range(n_g_bufs))
+        for j in range(8)
+    )
+    for e in mstack:
+        for b in e:
+            b.block_until_ready()
+
+    def emit_m(metric, dt):
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(n_g_bufs * mbuf / dt, 1),
+                    "unit": "bytes/s",
+                }
+            ),
+            file=sys.stderr,
+        )
+
+    emit_m(
+        "seqdfa10_bytes_per_sec",
+        measure(
+            jax.jit(lambda bufs: member_total_t(mrun_t, bufs).reshape(1, 1)),
+            mstack,
+        ),
+    )
+    emit_m(
+        "seqdfa2_bytes_per_sec",
+        measure(
+            jax.jit(lambda bufs: member_total_t(m2run_t, bufs).reshape(1, 1)),
+            mstack,
+        ),
+    )
+    del mstack
     g_mb = 1024
     g_rows_all = (g_mb << 20) // (4 * LANES)
     wg = device_corpus_words(g_rows_all, PAD_ROWS, seed=11)
@@ -481,11 +518,29 @@ def secondary_metrics():
     # 1-2: was ~56 GB/s with the XLA transpose).
     from grab_tpu.ops.pallas_stridedfa import StrideDfaScanner
 
-    # fragmented class map: the k-strided cls plan (round 4; the
-    # round-3 per-byte class-gather walk ran 126 GB/s)
-    cpf = compile_multi([rb"[acegikmoqsuwy]{3}"])
+    # fragmented class maps. The alternating set [acegikmoqsuwy] took
+    # the 5-gather cls-k4 plan through round 4 (stridedfa_cls 178);
+    # round 5's parity-refined runs (runp: q = run*2 + (b & 1), pure
+    # SWAR) walk it with ONE transition gather per 2 bytes. The cls
+    # plan remains for maps parity cannot rescue (step-3 set below).
+    cpp = compile_multi([rb"[acegikmoqsuwy]{3}"])
+    planp = stride_plan(cpp.dfa)
+    assert planp == ("runp", 2), planp
+    tp_ = StrideDfaTables(cpp.dfa, planp)
+    tabp = jnp.asarray(tp_.tab)
+    entriesp = jnp.full((STREAM_ROWS, LANES), tp_.start, jnp.int32)
+    emit_g(
+        "stridedfa_runp_bytes_per_sec",
+        measure(
+            lambda x: stride_dfa_scan(
+                x, tabp, entriesp, tp_.thresholds, tp_.m, tp_.k, mode=tp_.mode
+            )[0],
+            gstack,
+        ),
+    )
+    cpf = compile_multi([rb"[adgjmpsvy]{3}"])
     planf = stride_plan(cpf.dfa)
-    assert planf == ("cls", 4), planf  # round 4: k-strided cls
+    assert planf == ("cls", 4), planf  # parity-immune fragmented map
     tf = StrideDfaTables(cpf.dfa, planf)
     tabf = jnp.asarray(tf.tab)
     entriesf = jnp.full((STREAM_ROWS, LANES), tf.start, jnp.int32)
@@ -536,6 +591,22 @@ def secondary_metrics():
         "bloom100_bytes_per_sec",
         measure(lambda x: bloom_word_bitmap(x, tbl, bt.levels), xstack),
     )
+
+    # alphabet-run: digits, run >= 11 — measured HERE at 1 GiB (padded
+    # stack): this gather-free kernel runs well past 300 GB/s, where
+    # 256 MB differences sit inside round-trip jitter (the r4/early-r5
+    # captures of 641-1001 GB/s on the 256 MB stack were in exactly
+    # the regime this file's caveat describes)
+    from grab_tpu.ops.pallas_alpharun import alpharun_word_bitmap, plan_for
+
+    amode, units = plan_for(11)
+    emit_x(
+        "alpharun_bytes_per_sec",
+        measure(
+            lambda x: alpharun_word_bitmap(x, ((48, 57),), amode, units),
+            xstack,
+        ),
+    )
     del xstack
 
     # END-TO-END factor-less tier, measured at the PRODUCTION buffer
@@ -554,14 +625,28 @@ def secondary_metrics():
     rows_tb = e2e_sw * STREAM_ROWS  # transposed rows per buffer
     n_bufs = (g_mb << 20) // e2e_buf
 
+    # stack entries are TUPLES of separate per-buffer device arrays —
+    # the shape production actually submits (one array per 32 MiB
+    # batch). Feeding chained slices of one 1 GiB array instead makes
+    # XLA materialize a copy per slice: same walk measured 226 vs 722
+    # GB/s (tools/exp_e2e5.py) — a protocol artifact, not a production
+    # cost, which round 4's e2e numbers (and this round's first
+    # capture) silently included.
     @jax.jit
-    def gen2t(key):
+    def gen_buf(key):
         b = jax.random.randint(
-            key, (n_bufs * rows_tb, LANES, 4), 97, 123, dtype=jnp.uint8
+            key, (rows_tb, LANES, 4), 97, 123, dtype=jnp.uint8
         )
         return jax.lax.bitcast_convert_type(b, jnp.int32)
 
-    g2stack = make_stack(gen2t(jax.random.PRNGKey(13)), 8)
+    bkeys = jax.random.split(jax.random.PRNGKey(13), 8 * n_bufs)
+    g2stack = tuple(
+        tuple(gen_buf(bkeys[j * n_bufs + i]) for i in range(n_bufs))
+        for j in range(8)
+    )
+    for e in g2stack:
+        for b in e:
+            b.block_until_ready()
 
     def emit_g3(metric, dt):
         print(
@@ -585,10 +670,10 @@ def secondary_metrics():
         assert scx.stride // 4 == e2e_sw
 
         @jax.jit
-        def e2e_fn(x, runx=runx):
+        def e2e_fn(bufs, runx=runx):
             acc = jnp.int32(0)
-            for i in range(n_bufs):
-                bm, _n_, _c = runx(x[i * rows_tb : (i + 1) * rows_tb])
+            for b in bufs:
+                bm, _n_, _c = runx(b)
                 acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
             return acc.reshape(1, 1)
 

@@ -25,6 +25,7 @@ int gt_walk(const char *, gt_walk_cb, gt_err_cb, void *);
 int gt_pwalk(const char *, int32_t, gt_walk_cb, gt_err_cb, void *);
 int gt_fill(uint8_t *, const gt_seg *, int32_t, int32_t);
 int gt_fill2(uint8_t *, const gt_seg *, int32_t, int32_t, int32_t *);
+int gt_transpose32(int32_t *, const int32_t *, int64_t, int64_t, int32_t);
 int gt_abi_version(void);
 }
 
@@ -35,7 +36,7 @@ static void collect(const char *path, int64_t size, void *) {
 }
 
 int main() {
-  assert(gt_abi_version() == 2);
+  assert(gt_abi_version() >= 4);
 
   char tmpl[] = "/tmp/gtingest_test_XXXXXX";
   char *dir = mkdtemp(tmpl);
@@ -95,6 +96,21 @@ int main() {
   assert(gt_fill2(buf, mix, 2, 2, failed) == 1);
   assert(failed[0] == 0);
   assert(failed[1] == ENOENT);
+
+  // gt_transpose32: blocked stream-major transpose (odd shapes
+  // exercise the ragged g-slab and row-tile tails), any thread count
+  for (auto dims : {std::pair<int64_t, int64_t>{1024, 160},
+                    {300, 7}, {16384, 32}}) {
+    int64_t R = dims.first, W = dims.second;
+    std::vector<int32_t> src(R * W), dst(W * R, -1);
+    for (int64_t i = 0; i < R * W; ++i) src[i] = (int32_t)(i * 2654435761u);
+    for (int nt : {1, 3}) {
+      gt_transpose32(dst.data(), src.data(), R, W, nt);
+      for (int64_t s = 0; s < R; ++s)
+        for (int64_t g = 0; g < W; ++g)
+          assert(dst[g * R + s] == src[s * W + g]);
+    }
+  }
 
   printf("smoke_test OK\n");
   return 0;

@@ -81,8 +81,11 @@ class CoreWordTests:
     """Per-(phase, literal) aligned-word tests.
 
     tab: int32 [2, 4, K, W]  (vals, masks) — K padded to a bucket, W in
-    {1, 2}. Padding literals use (val=1, mask=0) at word 0 (never
-    matches); padding words use (val=0, mask=0) (always match).
+    {1, 2}. Padding literals duplicate literal 0's tests (a redundant
+    compare whose union contribution is idempotent — required by the
+    xor-accumulate masked test form, which cannot express a
+    never-match (val, mask) sentinel); padding words use
+    (val=0, mask=0) (always match, neutral in the accumulate).
     probe_back / probe_fwd: byte slack the decoder must add around a
     flagged word to cover every literal occurrence that could have
     fired the test.
@@ -106,7 +109,6 @@ class CoreWordTests:
         # bytes, ~1/65k FP per word: measured 28k junk blocks per 500MB)
         self.n_words = 1 if (max_words == 1 or minlen >= 7) else 2
         tab = np.zeros((2, 4, self.k, self.n_words), dtype=np.uint32)
-        tab[0, :, :, 0] = 1  # padding literals: never match
         max_back = 0
         all_full = True
         for li, lit in enumerate(lits):
@@ -128,12 +130,14 @@ class CoreWordTests:
                     tab[1, p, li, w] = mask
         # masked=False kernel variant: skip the AND entirely (measured
         # ~30% faster); only sound when every real test is a full-word
-        # compare. Padding literals then duplicate literal 0's tests
-        # (a redundant compare instead of a never-match sentinel).
+        # compare. Padding literals always duplicate literal 0's tests
+        # — a redundant compare whose union contribution is idempotent;
+        # the xor-accumulate masked form (round 5) cannot express the
+        # old never-match (val=1, mask=0) sentinel, since a zero mask
+        # contributes nothing to the accumulator.
         self.masked = not all_full
-        if not self.masked:
-            for li in range(len(lits), self.k):
-                tab[:, :, li, :] = tab[:, :, 0, :]
+        for li in range(len(lits), self.k):
+            tab[:, :, li, :] = tab[:, :, 0, :]
         self.tab = tab.view(np.int32)
         self.probe_back = max_back + maxlen  # generous: covers start slack
         self.probe_fwd = maxlen + 8
@@ -211,14 +215,23 @@ def _build_kernel(k: int, n_words: int, tile_rows: int, masked: bool = True):
         hit = None
         for p in range(4):
             for li in range(k):
-                eq = None
-                for w in range(n_words):
-                    val = tab_ref[0, p, li, w]
-                    if masked:
-                        t = (planes[w] & tab_ref[1, p, li, w]) == val
-                    else:
-                        t = planes[w] == val
-                    eq = t if eq is None else jnp.logical_and(eq, t)
+                if masked:
+                    # xor-accumulate: ((plane ^ val) & mask) ORed over
+                    # words, zero-tested ONCE — 6 ops per (p, li) at
+                    # n_words=2 vs 8 for per-word compare+AND (round 5;
+                    # identical boolean, vals are pre-masked)
+                    acc = None
+                    for w in range(n_words):
+                        t = (
+                            planes[w] ^ tab_ref[0, p, li, w]
+                        ) & tab_ref[1, p, li, w]
+                        acc = t if acc is None else jnp.bitwise_or(acc, t)
+                    eq = acc == 0
+                else:
+                    eq = None
+                    for w in range(n_words):
+                        t = planes[w] == tab_ref[0, p, li, w]
+                        eq = t if eq is None else jnp.logical_and(eq, t)
                 hit = eq if hit is None else jnp.logical_or(hit, eq)
         bm_ref[:] = _bitmap_rows(hit, tile_rows)
 

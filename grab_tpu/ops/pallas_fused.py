@@ -94,19 +94,28 @@ def _build_kernel(
             nonlocal hit
             hit = t if hit is None else jnp.logical_or(hit, t)
 
-        # compare buckets (ops/pallas_corewords semantics)
+        # compare buckets (ops/pallas_corewords semantics). Masked
+        # multi-word tests accumulate ((plane ^ val) & mask) and
+        # zero-test ONCE — 6 ops per (phase, literal) at n_words=2 vs
+        # 8 for per-word compare+AND (identical boolean; the masked
+        # short-literal mass dominates the fused kernel's VPU budget)
         for tab_ref, (k, n_words, masked) in zip(tabs, cw_shapes):
             for p in range(4):
                 for li in range(k):
-                    eq = None
-                    for w in range(n_words):
-                        val = tab_ref[0, p, li, w]
-                        if masked:
-                            t = (planes[w] & tab_ref[1, p, li, w]) == val
-                        else:
-                            t = planes[w] == val
-                        eq = t if eq is None else jnp.logical_and(eq, t)
-                    fold(eq)
+                    if masked:
+                        acc = None
+                        for w in range(n_words):
+                            t = (
+                                planes[w] ^ tab_ref[0, p, li, w]
+                            ) & tab_ref[1, p, li, w]
+                            acc = t if acc is None else jnp.bitwise_or(acc, t)
+                        fold(acc == 0)
+                    else:
+                        eq = None
+                        for w in range(n_words):
+                            t = planes[w] == tab_ref[0, p, li, w]
+                            eq = t if eq is None else jnp.logical_and(eq, t)
+                        fold(eq)
 
         # long-literal member: exact XOR-filter core-word membership
         # (ops/pallas_xorfilter; the round-4 bloom replacement — the

@@ -31,19 +31,20 @@ gather, dominated. Round 3 used W=8 (512 KiB blocks, 457 GB/s at
 roofline was still grid-step overhead: W=16 → 575, W=32 → 596 GB/s.
 W=32 (2 MiB blocks) is the default.
 
-**Tiled Pallas relayout (round 4).** The kernel wants stream-major
-geometry; XLA's strided transpose produced it at ~64 GB/s, capping the
-END-TO-END tier at ~56 GB/s. ``stride_transpose`` moves 128-stream x
-128-word tiles through VMEM (241.8 GB/s r+w at the production 32 MiB /
-2 KiB-stride geometry, tools/exp_t2.py). The full production chain —
-Pallas relayout, W=32 walk, boundary-window pass, candidate count,
-fed in the [16384, s_w] stream-row shape the host uploads
-(StrideDfaScanner.packed; a 1-D view reshape would be a TPU
-tiled-layout copy) — measures 120.7 GB/s driver-captured per chained
-32 MiB buffer (81.9 for the unbounded fixpoint path), vs ~56
-end-to-end in round 3 with the kernel-only number 8x away; both tier
-and kernel rates are driver-reported honestly
-(tools/exp_prof.py decomposes the chain).
+**Born-transposed uploads (round 5).** The kernel wants stream-major
+geometry. Round 3 got it from XLA's strided transpose (~64 GB/s,
+capping the tier at ~56); round 4 from a tiled Pallas relayout
+(``stride_transpose``, 241.8 GB/s r+w at production geometry —
+e2e 120.7 driver-captured, the relayout + a layout-view copy eating
+~4/5 of the chain, tools/exp_prof.py). Round 5 removes the device
+relayout entirely: the HOST writes the scan buffer in the kernel's own
+layout during packing (blocked multithreaded C++ transpose, ingest
+gt_transpose32 — contiguous write runs at host memory bandwidth,
+reported as the host_transpose bench metric) and the device runs ONLY
+the walk + windows/fixpoint (``run_t``/``prep_t``; driver metrics
+stridedfa_e2e / stridedfa_e2e_unbounded, BENCH_r05).
+``stride_transpose`` remains for the ``run2d`` entry (buffers that
+must share a linear upload with word-kernel members).
 
 **Boundary windows for bounded patterns (round 4, replacing the halo
 layout).** A bounded match (max_len <= HALO-8 = 120) crossing a stream
@@ -129,6 +130,38 @@ def class_runs(class_map: np.ndarray):
     return thresholds, run_classes
 
 
+def class_runs_parity(class_map: np.ndarray):
+    """Parity-refined run decomposition (round 5): maximal runs where
+    the class depends only on the byte's PARITY within the run. An
+    alternating-set class map like ``[acegikmoqsuwy]`` (odd bytes of
+    [a, y]) fragments into ~26 plain runs (ineligible: > MAX_RUNS, so
+    it fell to the 5-gather cls plan) but is exactly THREE parity-runs;
+    the refined index q = run*2 + (b & 1) is still a pure SWAR
+    threshold-sum computation (one extra shift+add), restoring the
+    run modes' 1-transition-gather-per-k-bytes chain structure.
+
+    → (thresholds, pair_classes) where pair_classes[i] = (class of
+    even bytes, class of odd bytes) for run i; None when no such
+    decomposition exists (always exists in the worst case as 256
+    degenerate runs, but then it is useless — callers bound
+    len(thresholds) by MAX_RUNS)."""
+    cm = np.asarray(class_map, dtype=np.int64)
+
+    def pair(b):  # the (even, odd) class pair governing byte b's run
+        base = b & ~1
+        return (int(cm[base]), int(cm[base + 1]) if base + 1 < 256 else int(cm[base]))
+
+    starts = [0]
+    for b in range(2, 256, 2):
+        if pair(b) != pair(b - 2):
+            starts.append(b)
+    # validity: within each run every even byte has pair[0], odd pair[1]
+    # (guaranteed by construction at even-aligned boundaries)
+    thresholds = tuple(starts[1:])
+    pair_classes = tuple(pair(s) for s in starts)
+    return thresholds, pair_classes
+
+
 _H = 0x80808080
 _L7 = 0x7F7F7F7F
 _L1 = 0x01010101
@@ -136,39 +169,54 @@ _L1 = 0x01010101
 
 def stride_plan(dfa):
     """→ ("run", k) with k in {4, 2, 1} (SWAR run indices, one gather
-    per k bytes), ("cls", k) (fragmented class maps: packed class-table
-    gathers — chain-independent — plus ONE transition gather per k
-    bytes; round 4 added k-striding here too, lifting the 2-class
-    fragmented family to quad-like chain structure), their 16-bit wide
-    variants ("run16", k) / ("cls16", k) for automata up to 512 states
-    (multi-row tables, R gathers + selects per link), or None (needs
-    the host/jnp fallback: > 512 states or capacity blown)."""
+    per k bytes), ("runp", k) (parity-refined runs, round 5: the
+    refined index run*2 + (b & 1) costs one extra SWAR shift+add and
+    keeps the 1-gather-per-k-bytes chain for alternating-set maps that
+    fragment past MAX_RUNS), ("cls", k) (fragmented class maps: packed
+    class-table gathers — chain-independent — plus ONE transition
+    gather per k bytes), their 16-bit wide variants ("run16"/"runp16"/
+    "cls16", k) for automata up to 512 states (multi-row tables, R
+    gathers + selects per link), or None (needs the host/jnp fallback:
+    > 512 states or capacity blown). Preference order per width:
+    run > runp > cls (each step costs ~2 more SWAR ops or gathers)."""
     if dfa is None or dfa.n_states > MAX_STATES16:
         return None
     thresholds, _ = class_runs(dfa.class_map)
     m = len(thresholds) + 1
+    tp, _ = class_runs_parity(dfa.class_map)
+    mp = 2 * (len(tp) + 1)  # refined index space: run*2 + parity
     C = dfa.n_classes
-    if dfa.n_states <= MAX_STATES:
-        if m <= MAX_RUNS:
-            for k in (4, 2, 1):
-                if k == 4 and m ** 4 > 256:
-                    continue  # SWAR dot byte-3 must hold q < 256
-                if dfa.n_states * (m ** k) <= CAPACITY:
-                    return ("run", k)
-        if C <= 256:
-            for k in (4, 2, 1):
-                if dfa.n_states * (C ** k) <= CAPACITY:
-                    return ("cls", k)
-    if m <= MAX_RUNS:
-        for k in (4, 2, 1):
-            if k == 4 and m ** 4 > 256:
-                continue
-            if dfa.n_states * (m ** k) <= CAPACITY16:
-                return ("run16", k)
-    if C <= 256:
-        for k in (4, 2, 1):
-            if dfa.n_states * (C ** k) <= CAPACITY16:
-                return ("cls16", k)
+    S = dfa.n_states
+
+    def ok(kind, k, cap):
+        if kind.startswith("cls"):
+            return C <= 256 and S * (C ** k) <= cap
+        mm, thr = (mp, len(tp)) if "runp" in kind else (m, m - 1)
+        if thr > MAX_RUNS:
+            return False
+        if k == 4 and mm ** 4 > 256:
+            return False  # SWAR dot byte-3 must hold q < 256
+        if k == 2 and mm * (mm - 1) > 255:
+            return False  # k=2 byte extraction: r*m must fit a byte
+        return S * (mm ** k) <= cap
+
+    # preference follows the MEASURED cost ladder (driver metrics:
+    # quad/run-k4 638 GB/s > pair/run-k2 377 > cls-k4 178 > run-k1
+    # ~136 > cls-k1 ~105, BENCH_r05/BENCH.md): chained transition
+    # gathers dominate, per-byte class gathers add ~1 gather each,
+    # the parity refinement adds ~2 SWAR ops (run > runp at equal k)
+    pref = [
+        ("run", 4), ("runp", 4), ("run", 2), ("runp", 2),
+        ("cls", 4), ("cls", 2), ("run", 1), ("runp", 1), ("cls", 1),
+    ]
+    if S <= MAX_STATES:
+        for kind, k in pref:
+            if ok(kind, k, CAPACITY):
+                return (kind, k)
+    for kind, k in pref:
+        kind16 = kind + "16"
+        if ok(kind16, k, CAPACITY16):
+            return (kind16, k)
     return None
 
 
@@ -214,7 +262,7 @@ class StrideDfaTables:
         mode, k = plan
         self.mode = mode
         self.k = k
-        wide = mode in ("run16", "cls16")
+        wide = mode in ("run16", "runp16", "cls16")
         self.acc_bit = 1 << 15 if wide else 1 << 7
         S = self.n_states = dfa.n_states
         self.start = int(dfa.start)
@@ -227,6 +275,13 @@ class StrideDfaTables:
             self.thresholds = ()
             assert m <= 256
             t1 = told  # [S, C]: per-byte step indexed by class directly
+        elif mode in ("runp", "runp16"):
+            # parity-refined runs: index q = run*2 + (b & 1)
+            thresholds, pair_classes = class_runs_parity(dfa.class_map)
+            m = self.m = 2 * (len(thresholds) + 1)
+            self.thresholds = thresholds
+            order = [c for even, odd in pair_classes for c in (even, odd)]
+            t1 = told[:, order]  # [S, 2*runs]
         else:
             thresholds, run_classes = class_runs(dfa.class_map)
             m = self.m = len(thresholds) + 1
@@ -274,7 +329,7 @@ def _build_kernel(
 
         state = state_ref[:]
         H, L7 = jnp.uint32(_H), jnp.uint32(_L7)
-        wide = mode in ("run16", "cls16")
+        wide = mode in ("run16", "runp16", "cls16")
         is_cls = mode in ("cls", "cls16")
         n_rows = tab_ref.shape[0] - (1 if is_cls else 0)
         smask = 0x7FFF if wide else 0x7F
@@ -304,6 +359,10 @@ def _build_kernel(
                     acc = ind if acc is None else acc + ind
                 if acc is None:  # m == 1: every byte is run 0
                     acc = jnp.zeros_like(x)
+                if mode in ("runp", "runp16"):
+                    # parity refinement: q = run*2 + (b & 1) per byte
+                    # (no cross-byte carries: 2*run+1 <= m-1 < 128)
+                    acc = acc + acc + (x & jnp.uint32(_L1))
 
             if wide:
                 # 16-bit entries across n_rows table rows: one gather
@@ -492,6 +551,8 @@ def np_stride_scan(words2d: np.ndarray, tables: StrideDfaTables, entries):
                 r = np.zeros_like(b)
                 for t in tables.thresholds:
                     r += b >= t
+                if tables.mode in ("runp", "runp16"):
+                    r = r * 2 + (b & 1)
             runs.append(r)
         for j in range(0, 4, k):
             q = np.zeros_like(runs[0])

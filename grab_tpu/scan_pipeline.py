@@ -222,18 +222,21 @@ class DeviceScanner:
         Multi-sequence batches default to the union strided-DFA member
         (_StrideSeqMember): per-word cost independent of seq count and
         EXACT union match ends (~2x tighter candidates on the mixed
-        batch). Round 3 shipped it opt-in because the XLA stream
-        transpose (~64 GB/s) strangled the 325+ GB/s walk to ~53; the
-        round-4 tiled Pallas relayout (~260 GB/s pass) lifts the member
-        to ~180 GB/s end-to-end, decisively above the fused AND-chain
-        cost for 2+ sequences (a 10-seq batch dragged the fused kernel
-        to ~37 GB/s; each seq costs ~len x 4 phases of whole-tile ops
-        per word). In the literal ENSEMBLE a single sequence stays in
-        the fused kernel — one AND chain rides the literal pass almost
-        free, while the member would add two whole extra HBM passes.
+        batch). Since round 5 the member reads its own born-transposed
+        upload and pays only the walk (driver metrics: seqdfa10 /
+        seqdfa2 in BENCH_r05; the round-4 shared-upload member captured
+        64.4 GB/s — BENCH_r04 — because a device layout copy + relayout
+        preceded the walk). The fused AND-chain alternative costs
+        ~seq-len x 4 phases of whole-tile ops per word and collapses
+        for large batches (driver: fused_allinone vs fused_lits100;
+        the 2-seq threshold is justified by the captured
+        seqdfa2/fused_lits100_seq2 pair — see docs/BENCH.md round-5
+        table). In the literal ENSEMBLE a single sequence stays in the
+        fused kernel — one AND chain rides the literal pass almost
+        free, while the member would add a whole extra corpus pass.
         ``standalone`` (class_seq mode, no literal members) takes the
-        member for any seq count: ~180 GB/s + exact match-end
-        candidates vs the range-test kernel's 125-168.
+        member for any seq count: walk-rate scanning + exact match-end
+        candidates vs the range-test kernel (classseq metric).
         GRAB_TPU_SEQDFA=0 forces the member off for A/B measurement.
         """
         import os as _os

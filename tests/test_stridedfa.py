@@ -219,19 +219,23 @@ def test_scanner_flags_are_superset_of_match_ends():
 
 
 def test_cls_mode_kernel_and_scanner():
-    """Fragmented class maps take the cls plan (packed class gather +
-    transition gather, sticky accepts): kernel == oracle == golden, and
-    the scanner threads state across streams exactly."""
+    """Fragmented class maps that defeat plain runs (27 boundaries)
+    AND get no usable k from parity refinement (step-3 set: 14 parity
+    runs -> m_eff 30 blows the k=2 byte-extraction bound, and cls-k4
+    outranks runp-k1 on the measured ladder) take the cls plan (packed
+    class gather + transition gather, sticky accepts): kernel ==
+    oracle == golden, and the scanner threads state across streams
+    exactly."""
     import jax.numpy as jnp
 
-    cp = _dfa(rb"[acegikmoqsuwy]{3}")
+    cp = _dfa(rb"[adgjmpsvy]{3}")
     plan = stride_plan(cp.dfa)
-    assert plan == ("cls", 4), plan  # 2-class map: k=4 striding (r4)
+    assert plan == ("cls", 4), plan  # step-3 set: parity doesn't help
     t = StrideDfaTables(cp.dfa, plan)
     rng = np.random.default_rng(31)
     n_words = 16
     raw = rng.choice(
-        np.frombuffer(b"acegikmoqsuwy bdfh\n", dtype=np.uint8),
+        np.frombuffer(b"adgjmpsvy bceh\n", dtype=np.uint8),
         size=(n_words * STREAM_ROWS, LANES, 4),
     ).astype(np.uint8)
     w2d = np.ascontiguousarray(raw).view("<i4").reshape(
@@ -269,10 +273,78 @@ def test_cls_mode_kernel_and_scanner():
     # bounded len-3 pattern)
     buf_size = N_STREAMS * 32
     buf = np.full(buf_size, ord("b"), dtype=np.uint8)
-    buf[63:66] = np.frombuffer(b"ace", dtype=np.uint8)
-    sc, flags = _scanner_flags(rb"[acegikmoqsuwy]{3}", buf, buf_size)
+    buf[63:66] = np.frombuffer(b"adg", dtype=np.uint8)
+    sc, flags = _scanner_flags(rb"[adgjmpsvy]{3}", buf, buf_size)
     assert sc.tables.mode == "cls"
     assert flags[0] == 1
+
+
+def test_runp_mode_kernel_and_scanner():
+    """Alternating-set class maps ([acegikmoqsuwy]: odd bytes of
+    [a, y]) fragment past MAX_RUNS as plain runs but are exactly 3
+    parity-refined runs: the runp plan (round 5) walks them with ONE
+    transition gather per 2 bytes instead of the 5-gather cls-k4 plan.
+    Kernel == oracle == golden; scanner window pass exact."""
+    import jax.numpy as jnp
+
+    cp = _dfa(rb"[acegikmoqsuwy]{3}")
+    plan = stride_plan(cp.dfa)
+    assert plan == ("runp", 2), plan
+    t = StrideDfaTables(cp.dfa, plan)
+    assert t.m == 6  # 3 parity runs x 2
+    rng = np.random.default_rng(33)
+    n_words = 16
+    raw = rng.choice(
+        np.frombuffer(b"acegikmoqsuwy bdfhz\n", dtype=np.uint8),
+        size=(n_words * STREAM_ROWS, LANES, 4),
+    ).astype(np.uint8)
+    w2d = np.ascontiguousarray(raw).view("<i4").reshape(
+        n_words * STREAM_ROWS, LANES
+    )
+    entries = rng.integers(
+        0, cp.dfa.n_states, (STREAM_ROWS, LANES), dtype=np.int32
+    )
+    bm_np, ex_np = np_stride_scan(w2d, t, entries)
+    bm, ex = stride_dfa_scan(
+        jnp.asarray(w2d),
+        jnp.asarray(t.tab),
+        jnp.asarray(entries),
+        t.thresholds,
+        t.m,
+        t.k,
+        mode=t.mode,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(bm), bm_np)
+    assert np.array_equal(np.asarray(ex), ex_np)
+    # sample streams vs the per-byte golden walk
+    for s in (0, 511, N_STREAMS - 1):
+        r, c = divmod(s, LANES)
+        sb = np.empty(n_words * 4, dtype=np.uint8)
+        for g in range(n_words):
+            sb[g * 4 : (g + 1) * 4] = np.array(
+                [w2d[g * STREAM_ROWS + r, c]], dtype="<i4"
+            ).view(np.uint8)
+        want_hits, want_exit = _golden_word_hits(
+            cp.dfa, sb, int(entries[r, c])
+        )
+        assert int(ex_np[r, c]) == want_exit, s
+        for g in range(n_words):
+            row = g * STREAM_ROWS + r
+            got = bool(
+                (np.uint32(bm_np[row // 16, c]) >> np.uint32(row % 16)) & 1
+            )
+            assert got == want_hits[g], (s, g)
+    # scanner end-to-end across a stream boundary
+    buf_size = N_STREAMS * 32
+    buf = np.full(buf_size, ord("b"), dtype=np.uint8)
+    buf[63:66] = np.frombuffer(b"ace", dtype=np.uint8)
+    sc, flags = _scanner_flags(rb"[acegikmoqsuwy]{3}", buf, buf_size)
+    assert sc.tables.mode == "runp"
+    assert flags[0] == 1
+    clean = np.full(buf_size, ord("b"), dtype=np.uint8)
+    bm2 = sc.packed(clean)
+    assert sc.flags_np(bm2, buf_size // 512).sum() == 0
 
 
 def test_threading_round_cap_falls_back_to_all_flags(monkeypatch):
@@ -299,7 +371,10 @@ def test_threading_round_cap_falls_back_to_all_flags(monkeypatch):
 def test_plan_16bit_modes():
     cp = _dfa(rb"[0-9]{200}")  # ~201 states, m=3 runs
     assert cp.dfa.n_states > 128
-    assert stride_plan(cp.dfa) == ("run16", 1)
+    # round 5: cls16-k2 (2-class map: 4 class extracts + 2 chained
+    # links) outranks round 4's run16-k1 (4 chained multi-row links)
+    # on the measured ladder
+    assert stride_plan(cp.dfa) == ("cls16", 2)
     cp2 = _dfa(rb"[acegikmoqsuwy]{150}")  # fragmented classes, S>128
     assert cp2.dfa.n_states > 128
     assert stride_plan(cp2.dfa) == ("cls16", 2)

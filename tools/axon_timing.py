@@ -102,10 +102,13 @@ def measure(fn, stack, reps: int = 5) -> float:
 
 
 def overhead(stack, reps: int = 3) -> float:
-    """Fixed round-trip seconds for a near-empty dispatch."""
+    """Fixed round-trip seconds for a near-empty dispatch. Stack
+    entries may be pytrees (tuples of per-buffer arrays); the probe
+    touches only the first leaf."""
     import jax
     import jax.numpy as jnp
 
+    leaf = jax.tree_util.tree_leaves(stack[0])[0]
     f = jax.jit(lambda s: jnp.sum(s[:128], dtype=jnp.int32))
-    int(f(stack[0]))
-    return _timed_fetch(f, (stack[0],), reps)
+    int(f(leaf))
+    return _timed_fetch(f, (leaf,), reps)

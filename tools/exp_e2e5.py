@@ -1,0 +1,100 @@
+"""Round-5 e2e decomposition: where do the born-transposed tier's
+bytes go? BENCH_r05 captured stridedfa_e2e 220 GB/s (chained 32 MiB
+buffers) vs stridedfa_quad 638 kernel-only — the relayout is gone, so
+the remaining gap is per-buffer costs: the windows pass + bitmap
+concat + count per 32 MiB call, and whatever XLA makes of the chained
+slices. Ladder at 1 GiB, all born-transposed:
+
+  walk32     chained 32 MiB, MAIN WALK ONLY (no windows/count)
+  e2e32      chained 32 MiB, full run_t + count   (= BENCH e2e)
+  e2e128     chained 128 MiB buffers
+  e2e1g      ONE 1 GiB buffer (stride 64 KiB)
+  walk1g     one 1 GiB main walk only
+
+If e2e1g ~= walk1g ~= quad, the chain overhead is per-buffer and the
+production buffer size is the lever.
+
+Run solo: python tools/exp_e2e5.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from axon_timing import make_stack, measure
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES
+    from grab_tpu.ops.pallas_stridedfa import (
+        N_STREAMS,
+        STREAM_ROWS,
+        StrideDfaScanner,
+        stride_dfa_scan,
+    )
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
+    g = 1 << 30
+    rows_all = g // (4 * LANES)
+    w = device_corpus_words(rows_all, 0, seed=17)
+    stack = make_stack(w, 8)
+
+    cp = compile_multi([rb"[0-9]{5}"])
+
+    def emit(name, dt):
+        print(json.dumps({"name": name, "gb_s": round(g / dt / 1e9, 1)}), flush=True)
+
+    def chained(buf_size):
+        sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=False)
+        run_t = sc.traceable_run.run_t
+        rows_tb = (sc.stride // 4) * STREAM_ROWS
+        n_bufs = g // buf_size
+
+        @jax.jit
+        def fn(x):
+            acc = jnp.int32(0)
+            for i in range(n_bufs):
+                bm, _n, _c = run_t(x[i * rows_tb : (i + 1) * rows_tb])
+                acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+            return acc.reshape(1, 1)
+
+        return fn
+
+    def walk_only(buf_size):
+        sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=False)
+        t = sc.tables
+        tab = jnp.asarray(t.tab)
+        rows_tb = (sc.stride // 4) * STREAM_ROWS
+        n_bufs = g // buf_size
+        e0 = jnp.full((STREAM_ROWS, LANES), t.start, jnp.int32)
+
+        @jax.jit
+        def fn(x):
+            acc = jnp.int32(0)
+            for i in range(n_bufs):
+                bm, _ex = stride_dfa_scan(
+                    x[i * rows_tb : (i + 1) * rows_tb],
+                    tab, e0, t.thresholds, t.m, t.k, mode=t.mode,
+                )
+                acc = acc + bm[0, 0]
+            return acc.reshape(1, 1)
+
+        return fn
+
+    emit("walk32", measure(walk_only(32 << 20), stack))
+    emit("e2e32", measure(chained(32 << 20), stack))
+    emit("e2e128", measure(chained(128 << 20), stack))
+    emit("e2e1g", measure(chained(1 << 30), stack))
+    emit("walk1g", measure(walk_only(1 << 30), stack))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Op-count ladder for the headline literal kernel (round 5, VERDICT
+r4 task 3): is the gap between the headline (~790 GB/s) and the
+measured roofline (~1140) op-bound physics or tunable slack?
+
+Ladder: the exact kernel structure of ops/pallas_corewords with the
+phase-compare count swept N = 0 (bitmap only), 1, 2, 4 (= production
+single-literal), plus 4-compare variants with the bitmap pack swapped
+for a cheaper reduction, all at tile_rows=4096 on a 1 GiB device
+corpus with the differencing protocol. If rate falls linearly with N
+and N=4 lands at the headline, the headline IS the op ladder's value
+for its structure and the remaining gap needs fewer ops, not tuning.
+
+Run solo (one TPU process at a time): python tools/exp_oplimit.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from axon_timing import make_stack, measure
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES, _bitmap_rows
+    from grab_tpu.scan_pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
+    n_mb = 1024
+    rows = (n_mb << 20) // (4 * LANES)
+    # no pad rows: a [:rows] slice of a padded array is a full-buffer
+    # XLA copy on this backend (memory-quirk list) — these kernels use
+    # single-word tests, so no halo is needed
+    w = device_corpus_words(rows, 0, seed=21)
+    stack = make_stack(w, 8)
+    n = rows * 4 * LANES
+    TR = 4096
+
+    consts = [0x715A7839, 0x6B57763B, 0x5A783971, 0x57763B6B]
+
+    def build(n_cmp: int, pack: str):
+        def kernel(a_ref, bm_ref):
+            x = pltpu.bitcast(a_ref[:], jnp.uint32)
+            hit = None
+            for i in range(n_cmp):
+                t = x == jnp.uint32(consts[i])
+                hit = t if hit is None else jnp.logical_or(hit, t)
+            if hit is None:
+                hit = x == x  # all-true: pure pack cost
+            if pack == "bitmap":
+                bm_ref[:] = _bitmap_rows(hit, TR)
+            else:  # "sum32": plain 32-row segment count (no bit weights)
+                h3 = hit.reshape(TR // 32, 32, LANES)
+                bm_ref[:] = jnp.sum(h3.astype(jnp.int32), axis=1)
+
+        @jax.jit
+        def run(words2d):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((rows // 32, LANES), jnp.int32),
+                grid=(rows // TR,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (TR, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (TR // 32, LANES),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )(words2d)
+
+        return run
+
+    def emit(name, dt):
+        print(
+            json.dumps(
+                {"name": name, "gb_s": round(n / dt / 1e9, 1)}
+            ),
+            flush=True,
+        )
+
+    emit(
+        "roofline_sum",
+        measure(lambda x: jnp.sum(x, dtype=jnp.int32).reshape(1, 1), stack),
+    )
+    for n_cmp in (0, 1, 2, 4):
+        emit(f"cmp{n_cmp}_bitmap", measure(build(n_cmp, "bitmap"), stack))
+    emit("cmp4_sum32", measure(build(4, "sum32"), stack))
+
+
+if __name__ == "__main__":
+    main()
