@@ -269,6 +269,42 @@ def test_group_recursion_conditions_vs_grep(case):
     assert _matcher_line_set(pat, lines) == _grep_selected(pat, lines), pat
 
 
+@pytest.mark.skipif(not HAS_PCRE, reason="no grep -P")
+@pytest.mark.parametrize("seed", range(1500, 1510))
+def test_fuzzed_recursion_conditions_vs_grep(seed):
+    """Generated self-recursive groups with per-group recursion
+    conditions: (?<g>(?(R&g)U1|U2)(?&g)?) shapes over random unit
+    fragments, plus a sibling group so (?(R1)/(?(R2) distinguish
+    frames."""
+    rng = np.random.default_rng(seed)
+    units = ["[a-c]", "\\d", "[xy]{2}", "k"]
+    smps = [
+        lambda rng: str(rng.choice(list("abc"))),
+        lambda rng: str(rng.integers(0, 10)),
+        lambda rng: "".join(rng.choice(list("xy"), 2)),
+        lambda rng: "k",
+    ]
+    ti = int(rng.integers(0, len(units)))  # top-level unit
+    ri = int(rng.integers(0, len(units)))  # in-recursion unit
+    form = int(rng.integers(0, 3))
+    if form == 0:
+        pat = "((?(R1)%s|%s)(?1)?)" % (units[ri], units[ti])
+    elif form == 1:
+        pat = "(?<g>(?(R&g)%s|%s)(?&g)?)" % (units[ri], units[ti])
+    else:
+        pat = "(%s)?((?(R2)%s|%s)(?2)?)" % (units[ti], units[ri], units[ti])
+    samplers = [
+        lambda rng, a=smps[ti], b=smps[ri]: a(rng)
+        + "".join(b(rng) for _ in range(int(rng.integers(0, 3)))),
+        lambda rng, b=smps[ri]: b(rng),
+        lambda rng, a=smps[ti]: a(rng) + a(rng),
+    ]
+    lines = _lines_corpus(rng, samplers)
+    assert _matcher_line_set(pat.encode(), lines) == _grep_selected(
+        pat.encode(), lines
+    ), pat
+
+
 def test_group_recursion_condition_errors():
     from grab_tpu.regex.parser import RegexSyntaxError, parse
 

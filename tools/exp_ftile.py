@@ -1,0 +1,54 @@
+"""Fused-ensemble tile_rows sweep after the round-5 op diet (6-op
+masked compares): pick_tile_rows caps units=12 kernels at 1024 rows —
+re-check the cap now that live temporaries per (phase, literal) are
+leaner. Run solo: python tools/exp_ftile.py"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from axon_timing import make_stack, measure
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES, PAD_ROWS
+    from grab_tpu.ops.pallas_fused import FusedEnsembleScanner, fused_word_bitmap
+    from grab_tpu.scan_pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(7)
+    lits100 = [
+        bytes(rng.integers(33, 127, 9, np.uint8).tobytes()) for _ in range(96)
+    ] + [b"qZxW", b"kV9#p", b"a_Qz", b"T4$u"]
+
+    n = 1 << 30
+    rows = n // (4 * LANES)
+    w = device_corpus_words(rows, PAD_ROWS, seed=23)
+    stack = make_stack(w, 8)
+
+    fsc = FusedEnsembleScanner(lits100, None, tile_rows=4096)
+    for tr in (512, 1024, 2048):
+        if rows % tr:
+            continue
+        dt = measure(
+            lambda x, tr=tr: fused_word_bitmap(
+                x,
+                fsc._cw_tabs,
+                fsc._tbl,
+                fsc.cw_shapes,
+                fsc.xor_groups,
+                None,
+                tile_rows=tr,
+            ),
+            stack,
+        )
+        print(json.dumps({"tile": tr, "gb_s": round(n / dt / 1e9, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
