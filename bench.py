@@ -648,26 +648,10 @@ def secondary_metrics():
         for b in e:
             b.block_until_ready()
 
-    def emit_g3(metric, dt):
-        print(
-            json.dumps(
-                {
-                    "metric": metric,
-                    "value": round(n_bufs * e2e_buf / dt, 1),
-                    "unit": "bytes/s",
-                }
-            ),
-            file=sys.stderr,
-        )
-
-    for metric, pat in (
-        ("stridedfa_e2e_bytes_per_sec", rb"[0-9]{5}"),  # window mode
-        ("stridedfa_e2e_unbounded_bytes_per_sec", rb"a[0-9]*b"),  # fixpoint
-    ):
+    def e2e_metric(metric, pat, buf_size, stack_x, n_bufs_x):
         cpx = compile_multi([pat])
-        scx = StrideDfaScanner(cpx.dfa, cpx.max_len, e2e_buf, interpret=False)
+        scx = StrideDfaScanner(cpx.dfa, cpx.max_len, buf_size, interpret=False)
         runx = scx.traceable_run.run_t  # born-transposed production entry
-        assert scx.stride // 4 == e2e_sw
 
         @jax.jit
         def e2e_fn(bufs, runx=runx):
@@ -677,7 +661,36 @@ def secondary_metrics():
                 acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
             return acc.reshape(1, 1)
 
-        emit_g3(metric, measure(e2e_fn, g2stack))
+        dt = measure(e2e_fn, stack_x)
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(n_bufs_x * buf_size / dt, 1),
+                    "unit": "bytes/s",
+                }
+            ),
+            file=sys.stderr,
+        )
+
+    e2e_metric(
+        "stridedfa_e2e_bytes_per_sec", rb"[0-9]{5}", e2e_buf, g2stack, n_bufs
+    )
+    # unbounded tier, same production 32 MiB batches. Pattern: the
+    # canonical ENGINE-reachable unbounded case (the seq planner
+    # covers simple a[0-9]*b-style patterns, which then take the
+    # prefilter tier; this one is covered=False and routes to the
+    # gdfa fixpoint — same k=2 run plan either way). The tier's cost
+    # is exactly 2x its walk at EVERY buffer size (loop/walk 2.03 at
+    # 32 MiB / 128 MiB / 1 GiB, tools/exp_unbsize.py in one process),
+    # so expect ~half the pair rate here.
+    e2e_metric(
+        "stridedfa_e2e_unbounded_bytes_per_sec",
+        rb".{0,2}(?:[0-9a-zA-Z]{4})+",
+        e2e_buf,
+        g2stack,
+        n_bufs,
+    )
     del g2stack
 
     # the HOST cost of producing the born layout: the blocked

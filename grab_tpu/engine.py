@@ -560,15 +560,24 @@ class Engine:
         return cp.max_len is None or cp.max_len > HALO - 8
 
     def _get_scanner(self):
+        # buffer size: the user's scan_buf_size or the backend default.
+        # A 128 MiB auto-default for the unbounded DFA tier was
+        # prototyped and REVERTED: the in-one-process ladder
+        # (tools/exp_unbsize.py) shows the fixpoint runs at exactly
+        # 2x the walk cost at EVERY buffer size (loop/walk ratio 2.03
+        # at 32 MiB, 128 MiB, and 1 GiB) — earlier cross-window
+        # samples suggesting a small-grid penalty were session
+        # variance, not a real effect.
         if self._scanner is None:
             n = self._effective_shards()
+            buf = self.cfg.scan_buf_size
             if n > 1:
                 from grab_tpu.parallel.sharded import ShardedScanner
 
                 self._scanner = ShardedScanner(
                     self.compiled,
                     n,
-                    buf_size=self.cfg.scan_buf_size,
+                    buf_size=buf,
                     pallas_interpret=self.cfg.pallas_interpret,
                 )
             else:
@@ -576,7 +585,7 @@ class Engine:
 
                 self._scanner = DeviceScanner(
                     self.compiled,
-                    buf_size=self.cfg.scan_buf_size,
+                    buf_size=buf,
                     pallas_interpret=self.cfg.pallas_interpret,
                 )
         return self._scanner

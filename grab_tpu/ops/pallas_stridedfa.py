@@ -426,12 +426,45 @@ def _build_kernel(
                 p1 = ((pk_ >> jnp.uint32(24)) + (acc >> jnp.uint32(24))).astype(
                     jnp.int32
                 )
-                e = take(state * mk + p0)
-                state = e & smask
-                e2 = take(state * mk + p1)
-                state = e2 & smask
-                hacc = e | e2
-                e = None
+                if not wide:
+                    # split-2 ILP (round 5): the k=2 chain is two
+                    # SERIAL gathers per word and gather-latency
+                    # exposed; issuing both sublane-halves' first
+                    # links before either second link overlaps the
+                    # chains (tools/exp_k2.py: split1 334 -> split2
+                    # 377 GB/s at 1 GiB; split4 regressed — 2 is the
+                    # sweet spot). Identical semantics to the serial
+                    # form; the oracle is unchanged.
+                    B = STREAM_ROWS // 2
+                    tr_half = jnp.broadcast_to(
+                        tab_ref[0].reshape(1, LANES), (B, LANES)
+                    )
+
+                    def take_h(idx):
+                        wv = jnp.take_along_axis(tr_half, idx >> 2, axis=1)
+                        return (wv >> ((idx & 3) << 3)) & 0xFF
+
+                    sts = [state[:B], state[B:]]
+                    p0h = [p0[:B], p0[B:]]
+                    p1h = [p1[:B], p1[B:]]
+                    e1s = [
+                        take_h(sts[s_] * mk + p0h[s_]) for s_ in range(2)
+                    ]
+                    hs = []
+                    for s_ in range(2):
+                        e2 = take_h((e1s[s_] & smask) * mk + p1h[s_])
+                        sts[s_] = e2 & smask
+                        hs.append(e1s[s_] | e2)
+                    state = jnp.concatenate(sts, axis=0)
+                    hacc = jnp.concatenate(hs, axis=0)
+                    e = None
+                else:
+                    e = take(state * mk + p0)
+                    state = e & smask
+                    e2 = take(state * mk + p1)
+                    state = e2 & smask
+                    hacc = e | e2
+                    e = None
             else:
                 acc_i = acc.astype(jnp.int32)
                 hacc = None

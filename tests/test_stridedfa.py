@@ -347,6 +347,55 @@ def test_runp_mode_kernel_and_scanner():
     assert sc.flags_np(bm2, buf_size // 512).sum() == 0
 
 
+@pytest.mark.parametrize("seed", range(60, 70))
+def test_plan_modes_property_oracle_vs_golden(seed):
+    """Randomized class-structure hammer across ALL plan modes (run /
+    runp / cls and 16-bit variants, any k): whatever plan the ladder
+    picks, the k-step tables' oracle must equal the per-byte golden
+    walk — hits and exit states — on random streams with random
+    entries."""
+    rng = np.random.default_rng(seed)
+    sets = [
+        b"0-9", b"a-z", b"acegikmoqsuwy", b"02468", b"adgjmpsvy",
+        b"a-fA-F", b"xyz", b"\\x00-\\x1f",
+    ]
+    cls = sets[int(rng.integers(0, len(sets)))]
+    reps = int(rng.integers(2, 7))
+    pat = b"[" + cls + b"]{%d}" % reps
+    cp = _dfa(pat)
+    plan = stride_plan(cp.dfa)
+    assert plan is not None, pat
+    t = StrideDfaTables(cp.dfa, plan)
+    n_words = 8
+    raw = rng.integers(0, 256, size=(n_words * STREAM_ROWS, LANES, 4))
+    w2d = (
+        raw.astype(np.uint8).reshape(-1, 4).view("<i4").reshape(
+            n_words * STREAM_ROWS, LANES
+        )
+    )
+    entries = rng.integers(
+        0, cp.dfa.n_states, (STREAM_ROWS, LANES), dtype=np.int32
+    )
+    bm, exits = np_stride_scan(w2d, t, entries)
+    for s in (0, 4097, N_STREAMS - 1):
+        r, c = divmod(s, LANES)
+        sb = np.empty(n_words * 4, dtype=np.uint8)
+        for g in range(n_words):
+            sb[g * 4 : (g + 1) * 4] = np.array(
+                [w2d[g * STREAM_ROWS + r, c]], dtype="<i4"
+            ).view(np.uint8)
+        want_hits, want_exit = _golden_word_hits(
+            cp.dfa, sb, int(entries[r, c])
+        )
+        assert int(exits[r, c]) == want_exit, (pat, plan, s)
+        for g in range(n_words):
+            row = g * STREAM_ROWS + r
+            got = bool(
+                (np.uint32(bm[row // 16, c]) >> np.uint32(row % 16)) & 1
+            )
+            assert got == want_hits[g], (pat, plan, s, g)
+
+
 def test_threading_round_cap_falls_back_to_all_flags(monkeypatch):
     """If the threading fixpoint hits MAX_ROUNDS without converging,
     the scanner returns an all-flags bitmap — sound (the exact replay

@@ -1,0 +1,105 @@
+"""Where does the unbounded fixpoint tier's time go? At 32 MiB batches
+the bounded tier runs ~480-731 GB/s but the unbounded tier only
+135-180 — ~2x more than its expected 2-walk cost. Ladder on per-buffer
+tuple stacks (a[0-9]*b, k=2 run plan):
+
+  walk1     one walk per buffer + count (no threading, no loop)
+  walk2     two walks unrolled (second with threaded entries) + count
+  loop      the production run_t (lax.while_loop fixpoint)
+
+Run solo: python tools/exp_fp5.py"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from axon_timing import make_stack, measure
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES
+    from grab_tpu.ops.pallas_stridedfa import (
+        STREAM_ROWS,
+        StrideDfaScanner,
+        stride_dfa_scan,
+    )
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
+    mbuf = 32 << 20
+    rows_tb = (mbuf // 4 // (STREAM_ROWS * LANES)) * STREAM_ROWS
+    n_bufs = (1 << 30) // mbuf
+
+    @jax.jit
+    def gen_buf(key):
+        b = jax.random.randint(key, (rows_tb, LANES, 4), 97, 123, dtype=jnp.uint8)
+        return jax.lax.bitcast_convert_type(b, jnp.int32)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 8 * n_bufs)
+    tstack = tuple(
+        tuple(gen_buf(keys[j * n_bufs + i]) for i in range(n_bufs))
+        for j in range(8)
+    )
+    for e in tstack:
+        for b in e:
+            b.block_until_ready()
+
+    cpx = compile_multi([rb"a[0-9]*b"])
+    scx = StrideDfaScanner(cpx.dfa, cpx.max_len, mbuf, interpret=False)
+    t = scx.tables
+    tab = jnp.asarray(t.tab)
+    e0 = jnp.full((STREAM_ROWS, LANES), t.start, jnp.int32)
+
+    def thread(exits):
+        flat = exits.reshape(-1)
+        return jnp.concatenate(
+            [jnp.full((1,), t.start, jnp.int32), flat[:-1]]
+        ).reshape(STREAM_ROWS, LANES)
+
+    def step(b, entries):
+        return stride_dfa_scan(
+            b, tab, entries, t.thresholds, t.m, t.k, mode=t.mode
+        )
+
+    @jax.jit
+    def walk1(bufs):
+        acc = jnp.int32(0)
+        for b in bufs:
+            bm, _ex = step(b, e0)
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    @jax.jit
+    def walk2(bufs):
+        acc = jnp.int32(0)
+        for b in bufs:
+            bm, ex = step(b, e0)
+            bm2, _ex2 = step(b, thread(ex))
+            acc = acc + jnp.count_nonzero(bm2).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    runx = scx.traceable_run.run_t
+
+    @jax.jit
+    def loop(bufs):
+        acc = jnp.int32(0)
+        for b in bufs:
+            bm, _n, _c = runx(b)
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    nbytes = n_bufs * mbuf
+    for name, fn in (("walk1", walk1), ("walk2", walk2), ("loop", loop)):
+        dt = measure(fn, tstack)
+        print(json.dumps({"name": name, "gb_s": round(nbytes / dt / 1e9, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Verify the production split-2 k=2 kernel on the chip: pair kernel
+rate + the unbounded e2e tier it gates (2 fixpoint walks) + the seq
+member. Run solo: python tools/exp_split2ver.py"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from axon_timing import make_stack, measure
+    from bench import device_corpus_words
+    from grab_tpu.ops.pallas_corewords import LANES
+    from grab_tpu.ops.pallas_stridedfa import (
+        STREAM_ROWS,
+        W,
+        StrideDfaScanner,
+        StrideDfaTables,
+        stride_dfa_scan,
+        stride_plan,
+    )
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import _StrideSeqMember, enable_compilation_cache
+
+    enable_compilation_cache()
+    g_rows_all = (1 << 30) // (4 * LANES)
+    g_rows = (g_rows_all // (STREAM_ROWS * W)) * STREAM_ROWS * W
+    wg = device_corpus_words(g_rows, 0, seed=11)
+    gstack = make_stack(wg, 8)
+    g_bytes = g_rows * 4 * LANES
+
+    def emit(name, dt, nbytes):
+        print(json.dumps({"name": name, "gb_s": round(nbytes / dt / 1e9, 1)}), flush=True)
+
+    cp = compile_multi([rb"[0-9]{50}"])
+    t = StrideDfaTables(cp.dfa, stride_plan(cp.dfa))
+    tab = jnp.asarray(t.tab)
+    entries = jnp.full((STREAM_ROWS, LANES), t.start, jnp.int32)
+    emit(
+        "pair_split2",
+        measure(
+            lambda x: stride_dfa_scan(
+                x, tab, entries, t.thresholds, t.m, t.k, mode=t.mode
+            )[0],
+            gstack,
+        ),
+        g_bytes,
+    )
+    del gstack
+
+    # unbounded e2e (fixpoint, k=2 plan) at production 32 MiB batches
+    mbuf = 32 << 20
+    rows_tb = (mbuf // 4 // (STREAM_ROWS * LANES)) * STREAM_ROWS
+
+    @jax.jit
+    def gen_buf(key):
+        b = jax.random.randint(key, (rows_tb, LANES, 4), 97, 123, dtype=jnp.uint8)
+        return jax.lax.bitcast_convert_type(b, jnp.int32)
+
+    n_bufs = (1 << 30) // mbuf
+    keys = jax.random.split(jax.random.PRNGKey(5), 8 * n_bufs)
+    tstack = tuple(
+        tuple(gen_buf(keys[j * n_bufs + i]) for i in range(n_bufs))
+        for j in range(8)
+    )
+    for e in tstack:
+        for b in e:
+            b.block_until_ready()
+
+    cpx = compile_multi([rb"a[0-9]*b"])
+    scx = StrideDfaScanner(cpx.dfa, cpx.max_len, mbuf, interpret=False)
+    runx = scx.traceable_run.run_t
+
+    @jax.jit
+    def e2e_fn(bufs):
+        acc = jnp.int32(0)
+        for b in bufs:
+            bm, _n, _c = runx(b)
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    emit("e2e_unbounded_split2", measure(e2e_fn, tstack), n_bufs * mbuf)
+
+    # seq member (k=2 union automaton)
+    regex10 = [
+        ("[0-9]{%d}[a-z]{%d}" % (3 + i % 3, 1 + i % 2)).encode()
+        for i in range(10)
+    ]
+    cps = compile_multi(regex10)
+    member = _StrideSeqMember(cps.seq_dfa, cps.seq_max_len, mbuf, False)
+    mrun = member.sc.traceable_run.run_t
+
+    @jax.jit
+    def m_fn(bufs):
+        acc = jnp.int32(0)
+        for b in bufs:
+            bm, _n, _c = mrun(b)
+            acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+        return acc.reshape(1, 1)
+
+    emit("seqdfa10_split2", measure(m_fn, tstack), n_bufs * mbuf)
+
+
+if __name__ == "__main__":
+    main()

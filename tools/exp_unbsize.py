@@ -1,0 +1,114 @@
+"""Definitive IN-ONE-PROCESS comparison for the unbounded gdfa tier:
+does buffer size matter at all, and what does the fixpoint machinery
+cost? Same pattern (a[0-9]*b, k=2 run plan, miss-heavy letters corpus)
+for every variant; the 1 GiB single-kernel walk is the in-process
+control. Cross-window session variance made earlier single-sample
+comparisons unreliable (quad swung 461-707 between runs).
+
+  pair1g       one 1 GiB kernel walk (control)
+  walk1_32M    one walk per 32 MiB buffer (32 per GiB)
+  walk1_128M   one walk per 128 MiB buffer (8 per GiB)
+  loop_32M     production run_t (fixpoint) per 32 MiB buffer
+  loop_128M    production run_t per 128 MiB buffer
+
+Run solo: python tools/exp_unbsize.py"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from axon_timing import measure
+    from grab_tpu.ops.pallas_corewords import LANES
+    from grab_tpu.ops.pallas_stridedfa import (
+        N_STREAMS,
+        STREAM_ROWS,
+        StrideDfaScanner,
+        stride_dfa_scan,
+    )
+    from grab_tpu.regex.compiler import compile_multi
+    from grab_tpu.scan_pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
+    g = 1 << 30
+
+    def make_tstack(buf_size, seed):
+        rows_tb = (buf_size // 4 // N_STREAMS) * STREAM_ROWS
+        n_bufs = g // buf_size
+
+        @jax.jit
+        def gen_buf(key):
+            b = jax.random.randint(
+                key, (rows_tb, LANES, 4), 97, 123, dtype=jnp.uint8
+            )
+            return jax.lax.bitcast_convert_type(b, jnp.int32)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), 8 * n_bufs)
+        st = tuple(
+            tuple(gen_buf(keys[j * n_bufs + i]) for i in range(n_bufs))
+            for j in range(8)
+        )
+        for e in st:
+            for b in e:
+                b.block_until_ready()
+        return st
+
+    cp = compile_multi([rb"a[0-9]*b"])
+
+    def emit(name, dt):
+        print(json.dumps({"name": name, "gb_s": round(g / dt / 1e9, 1)}), flush=True)
+
+    def walk1_fn(buf_size):
+        sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=False)
+        t = sc.tables
+        tab = jnp.asarray(t.tab)
+        e0 = jnp.full((STREAM_ROWS, LANES), t.start, jnp.int32)
+
+        @jax.jit
+        def fn(bufs):
+            acc = jnp.int32(0)
+            for b in bufs:
+                bm, _ex = stride_dfa_scan(
+                    b, tab, e0, t.thresholds, t.m, t.k, mode=t.mode
+                )
+                acc = acc + bm[0, 0]
+            return acc.reshape(1, 1)
+
+        return fn
+
+    def loop_fn(buf_size):
+        sc = StrideDfaScanner(cp.dfa, cp.max_len, buf_size, interpret=False)
+        runx = sc.traceable_run.run_t
+
+        @jax.jit
+        def fn(bufs):
+            acc = jnp.int32(0)
+            for b in bufs:
+                bm, _n, _c = runx(b)
+                acc = acc + jnp.count_nonzero(bm).astype(jnp.int32)
+            return acc.reshape(1, 1)
+
+        return fn
+
+    st1g = make_tstack(1 << 30, 31)
+    emit("pair1g", measure(walk1_fn(1 << 30), st1g))
+    emit("loop_1g", measure(loop_fn(1 << 30), st1g))
+    del st1g
+    st32 = make_tstack(32 << 20, 32)
+    emit("walk1_32M", measure(walk1_fn(32 << 20), st32))
+    emit("loop_32M", measure(loop_fn(32 << 20), st32))
+    del st32
+    st128 = make_tstack(128 << 20, 33)
+    emit("walk1_128M", measure(walk1_fn(128 << 20), st128))
+    emit("loop_128M", measure(loop_fn(128 << 20), st128))
+
+
+if __name__ == "__main__":
+    main()
