@@ -486,8 +486,9 @@ class Engine:
             # in-buffer; cross-batch coverage comes from no-split
             # packing + forced full replay of oversize files (see
             # _dfa_tier_unbounded). Only stride-ineligible automata
-            # (> 512 states, or class/run capacity blown — the 16-bit
-            # wide tables widened this from 128 in round 4) fall back
+            # (> 2048 states, or class/run capacity blown — the
+            # 16-bit wide tables widened this from 128 in round 4 and
+            # to 2048 in round 5) fall back
             # to the host-exact scan.
             from grab_tpu.scan_pipeline import HALO, DeviceScanner
 

@@ -104,13 +104,17 @@ WIN_W = 64  # max boundary-window words per stream (128 B either side;
 # pattern needs ~16 B per side, 1/8 the window-pass data)
 CAPACITY = 512  # pack4: 128 lanes x 4 8-bit entries
 MAX_STATES = 128  # 7-bit state ids + sticky accept bit
-# 16-bit wide-table modes (round 4): 2 entries/lane x up to 4 table
-# rows = 1024-entry capacity with 15-bit state ids, closing the
-# >128-state host-only cliff (VERDICT r3 item 3). Each extra row costs
-# one more gather + select per k-byte link, so the 8-bit plan is
-# preferred whenever it fits.
-CAPACITY16 = 1024
-MAX_STATES16 = 512
+# 16-bit wide-table modes (round 4): 2 entries/lane x multiple table
+# rows with 15-bit state ids, closing the >128-state host-only cliff
+# (VERDICT r3 item 3). Each extra row costs one more gather + select
+# per k-byte link, so the 8-bit plan is preferred whenever it fits and
+# deeper k always outranks fewer rows on the measured ladder. Round 5
+# widened the ceiling to 4096 entries / 2048 states (16 rows worst
+# case — a ~16-gather/link walk is slow in kernel terms but orders
+# above the host fallback it replaces, and 2048 matches the engine's
+# DFA-mode state gate): -E now device-serves e.g. [0-9]{1500}.
+CAPACITY16 = 4096
+MAX_STATES16 = 2048
 ROW16 = 2 * LANES  # entries per 16-bit table row
 MAX_RUNS = 16  # SWAR membership cost per threshold per word
 MAX_ROUNDS = 24  # threading fixpoint cap (typical: 2)
@@ -175,9 +179,10 @@ def stride_plan(dfa):
     fragment past MAX_RUNS), ("cls", k) (fragmented class maps: packed
     class-table gathers — chain-independent — plus ONE transition
     gather per k bytes), their 16-bit wide variants ("run16"/"runp16"/
-    "cls16", k) for automata up to 512 states (multi-row tables, R
-    gathers + selects per link), or None (needs the host/jnp fallback:
-    > 512 states or capacity blown). Preference order per width:
+    "cls16", k) for automata up to 2048 states (multi-row tables, R
+    gathers + selects per link; ceiling widened round 5), or None
+    (needs the host/jnp fallback: > 2048 states or capacity blown).
+    Preference order per width:
     run > runp > cls (each step costs ~2 more SWAR ops or gathers)."""
     if dfa is None or dfa.n_states > MAX_STATES16:
         return None
@@ -213,11 +218,30 @@ def stride_plan(dfa):
         for kind, k in pref:
             if ok(kind, k, CAPACITY):
                 return (kind, k)
-    for kind, k in pref:
+    # 16-bit plans: table ROWS vary with capacity use, and each row
+    # costs one gather + select per link — so family order alone is
+    # wrong once the widened capacity admits high-row run plans (e.g.
+    # [0-9]{200}: run16-k2 needs 8 rows = 16 gathers/word where
+    # cls16-k2 needs 4 rows = 12). Pick by estimated gathers/word =
+    # links_per_word * rows (+4 chain-independent class extracts for
+    # cls); ties break to deeper k (shorter chains), then run > runp >
+    # cls (fewer SWAR ops).
+    best = None
+    for rank, (kind, k) in enumerate(pref):
         kind16 = kind + "16"
-        if ok(kind16, k, CAPACITY16):
-            return (kind16, k)
-    return None
+        if not ok(kind16, k, CAPACITY16):
+            continue
+        if kind == "cls":
+            entries = S * (C ** k)
+        else:
+            mm = mp if kind == "runp" else m
+            entries = S * (mm ** k)
+        rows = -(-entries // ROW16)
+        cost = (4 // k) * rows + (4 if kind == "cls" else 0)
+        key = (cost, -k, rank)
+        if best is None or key < best[0]:
+            best = (key, (kind16, k))
+    return best[1] if best else None
 
 
 def _pack4(flat: np.ndarray) -> np.ndarray:

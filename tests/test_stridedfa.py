@@ -427,10 +427,24 @@ def test_plan_16bit_modes():
     cp2 = _dfa(rb"[acegikmoqsuwy]{150}")  # fragmented classes, S>128
     assert cp2.dfa.n_states > 128
     assert stride_plan(cp2.dfa) == ("cls16", 2)
+    # round 5 widened the wide-table ceiling to 2048 states / 4096
+    # entries: 513-1025-state automata (previously host-only) are
+    # device-served; NFA over-approximated huge repeats (hi > 1024 ->
+    # {lo,} candidates, superset) plan too
+    cp3 = _dfa(rb"[0-9]{600}")  # exact 601-state automaton
+    assert cp3.dfa.n_states == 601
+    assert stride_plan(cp3.dfa) == ("cls16", 2)
+    cp4 = _dfa(rb"[0-9]{1500}")  # over-approx candidate automaton
+    # (the NFA caps huge counted repeats at {1024,} — a documented
+    # superset; host verify restores exactness)
+    assert cp4.dfa.n_states == 1025
+    # row-aware 16-bit cost model: cls16-k1 (9 rows + class extracts =
+    # 40 gathers-equiv/word) beats run16-k1 (13 rows = 52)
+    assert stride_plan(cp4.dfa) == ("cls16", 1)
 
 
 @pytest.mark.parametrize(
-    "pattern", [rb"[0-9]{200}", rb"[acegikmoqsuwy]{150}"]
+    "pattern", [rb"[0-9]{200}", rb"[acegikmoqsuwy]{150}", rb"[0-9]{600}"]
 )
 def test_16bit_oracle_matches_per_byte_walk(pattern):
     cp = _dfa(pattern)
@@ -471,7 +485,7 @@ def test_16bit_oracle_matches_per_byte_walk(pattern):
 
 
 @pytest.mark.parametrize(
-    "pattern", [rb"[0-9]{200}", rb"[acegikmoqsuwy]{150}"]
+    "pattern", [rb"[0-9]{200}", rb"[acegikmoqsuwy]{150}", rb"[0-9]{600}"]
 )
 def test_16bit_kernel_matches_oracle(pattern):
     import jax.numpy as jnp
