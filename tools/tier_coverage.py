@@ -72,6 +72,11 @@ BATTERY = [
     rb"[0-9]{200}",
     rb"[acegikmoqsuwy]{150}",
     rb"(?:[0-9]{120}x){2}[0-9]{60}",  # ~300 states, bounded
+    # round-5 widened wide-table ceiling (2048 states): the 513-1025
+    # band was host-only through round 4
+    rb"[0-9]{600}",  # 601 exact states
+    # round-5 parity-refined run plans (alternating sets)
+    rb"[02468]{4}",
 ]
 
 
