@@ -197,19 +197,36 @@ def main():
         # ratios on the headline line — vs_measured_target (0.8 x
         # measured) is the one that matters
         try:
-            sys.path.insert(
-                0,
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "tools"
-                ),
-            )
-            from axon_timing import make_stack, measure
+            # same 32-vs-8 chained differencing protocol as the
+            # headline (24 x 1 GiB of signal): the 8-entry stack
+            # protocol's ~5 ms difference sits inside round-trip
+            # jitter for this fastest-possible op and its fallback
+            # once INFLATED the roofline to 1372 GB/s (0.53 "ratio"
+            # for a kernel that is structurally ~0.92 of roofline —
+            # tools/exp_oplimit.py). Distinct xor constants defeat CSE
+            # exactly like the headline's distinct SMEM tables.
+            @jax.jit
+            def roof_chain(consts, words):
+                def body(acc, c):
+                    return acc + jnp.sum(words ^ c, dtype=jnp.int32), None
+                acc, _ = jax.lax.scan(body, jnp.int32(0), consts)
+                return acc
 
-            rstack = make_stack(words2d, 8)
-            roof = n / measure(
-                lambda x: jnp.sum(x, dtype=jnp.int32).reshape(1, 1), rstack
-            )
-            del rstack
+            c_hi = jnp.arange(32, dtype=jnp.int32)
+            c_lo = jnp.arange(8, dtype=jnp.int32)
+            int(roof_chain(c_hi, words2d))
+            int(roof_chain(c_lo, words2d))
+
+            def bestr(consts, reps=7):
+                b = float("inf")
+                for _ in range(reps):
+                    t0 = time.time()
+                    int(roof_chain(consts, words2d))
+                    b = min(b, time.time() - t0)
+                return b
+
+            dtr = max(bestr(c_hi) - bestr(c_lo), 1e-9) / 24
+            roof = words2d.size * 4 / dtr
             line["measured_roofline_bytes_per_sec"] = round(roof, 1)
             line["vs_measured_roofline"] = round(value / roof, 4)
             line["vs_measured_target"] = round(value / (0.80 * roof), 4)
